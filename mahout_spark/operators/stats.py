@@ -1,0 +1,90 @@
+"""Corpus statistics pipeline (SURVEY.md §2.4, A1-A6).
+
+The reference materialized each of these as a SequenceFile stage
+(wordcount, dictionary.file-0, tf-vectors, tfidf/df-count); here each is a
+lazy DataFrame, and Catalyst fuses the chain. Shuffle inventory for the full
+stats build is exactly two wide stages:
+
+  docs --(tf_map UDF, narrow)--> explode --(shuffle 1: groupBy doc,term is
+  avoided entirely because the UDF pre-aggregates per doc)--> term_freqs
+  term_freqs --(shuffle 2: groupBy term)--> df/wordcount
+
+Doc length rides along as a column computed inside the same UDF row, so no
+separate doclen aggregation pass over the token stream is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mahout_spark.functions import dense_ids, tf_map_udf
+
+
+def term_frequencies(
+    docs: DataFrame,
+    content_col: str = "content",
+    id_cols: list[str] | None = None,
+    mode: str = "text",
+    **tok_kw,
+) -> DataFrame:
+    """docs -> one row per (doc, term): id_cols..., term, tf, doclen.
+
+    Equivalent of the reference's tokenized-documents + tf-vectors stages
+    (DocumentProcessor.tokenizeDocuments at MahoutTermFinderMwk.java:203-204,
+    DictionaryVectorizer.createTermFrequencyVectors at :206-208) collapsed
+    into one narrow map: tokenize + doc-local count in a single Arrow UDF,
+    then explode the map. doclen = total surviving tokens (sum of tf),
+    the BM25 length normalizer.
+    """
+    if id_cols is None:
+        id_cols = ["doc_id"]
+    tfm = tf_map_udf(mode=mode, **tok_kw)
+    with_map = docs.withColumn("_tf_map", tfm(F.col(content_col)))
+    return (
+        with_map.select(
+            *id_cols,
+            F.explode_outer("_tf_map").alias("term", "tf"),
+            F.aggregate(
+                F.map_values("_tf_map"), F.lit(0), lambda acc, x: acc + x
+            ).alias("doclen"),
+        )
+        .filter(F.col("term").isNotNull())
+    )
+
+
+def wordcount(term_freqs: DataFrame) -> DataFrame:
+    """A1: corpus-wide term occurrence counts (the reference's wordcount
+    artifact, sample at reference README.md:36-72)."""
+    return term_freqs.groupBy("term").agg(F.sum("tf").alias("count"))
+
+
+def document_frequency(term_freqs: DataFrame) -> DataFrame:
+    """A4: df per term. term_freqs is already distinct per (doc, term), so
+    a plain count is an exact count-distinct of docs (never approximate —
+    rank-identity requires exact df)."""
+    return term_freqs.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+
+def doc_lengths(term_freqs: DataFrame, id_cols: list[str] | None = None) -> DataFrame:
+    """A6: per-doc length (sum of tf == doclen column carried per row)."""
+    if id_cols is None:
+        id_cols = ["doc_id"]
+    return term_freqs.groupBy(*id_cols).agg(F.max("doclen").alias("doclen"))
+
+
+def corpus_stats(docs: DataFrame, term_freqs: DataFrame,
+                 id_cols: list[str] | None = None) -> tuple[int, float]:
+    """(N, avgdl). N counts all docs (a doc whose tokens are all filtered
+    still counts toward N, matching the reference where every ingested doc
+    reaches the vectorizer); avgdl averages over docs with >=1 term."""
+    n_docs = docs.count()
+    row = doc_lengths(term_freqs, id_cols).agg(F.avg("doclen")).first()
+    avgdl = float(row[0]) if row[0] is not None else 0.0
+    return n_docs, avgdl
+
+
+def dictionary(term_freqs: DataFrame) -> DataFrame:
+    """A3: the reference's dictionary.file-0 — distinct terms with dense
+    deterministic ids (global rank in term sort order)."""
+    return dense_ids(term_freqs.select("term").distinct(), ["term"], "term_id")

@@ -1,0 +1,72 @@
+"""Pure-Python reference scorer (SURVEY.md §5.2 dual-implementation oracle).
+
+Independent of Spark: dict/loops only, shares nothing with the engine except
+the tokenizer module (which is itself pinned by the reference's golden token
+dump). Every Spark result must match this rank-identically.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from mahout_spark import BM25_B, BM25_K1
+from mahout_spark.tokenize import tokenize_code, tokenize_text
+
+
+class OracleIndex:
+    def __init__(self, docs: dict, mode: str = "text", **tok_kw):
+        """docs: {doc_id: content}"""
+        tok = tokenize_text if mode == "text" else tokenize_code
+        self.tf: dict = {}
+        self.doclen: dict = {}
+        for doc_id, content in docs.items():
+            toks = tok(content, **tok_kw)
+            self.tf[doc_id] = Counter(toks)
+            self.doclen[doc_id] = len(toks)
+        self.n_docs = len(docs)
+        self.df = Counter()
+        for c in self.tf.values():
+            for term in c:
+                self.df[term] += 1
+        nonempty = [l for l in self.doclen.values() if l > 0]
+        self.avgdl = sum(nonempty) / len(nonempty) if nonempty else 0.0
+
+    def tfidf(self, doc_id, term) -> float:
+        tf = self.tf[doc_id][term]
+        return math.sqrt(tf) * (1.0 + math.log(self.n_docs / (self.df[term] + 1.0)))
+
+    def bm25(self, doc_id, term, k1=BM25_K1, b=BM25_B) -> float:
+        tf = self.tf[doc_id][term]
+        if tf == 0:
+            return 0.0
+        idf = math.log(1.0 + (self.n_docs - self.df[term] + 0.5) / (self.df[term] + 0.5))
+        dl = self.doclen[doc_id]
+        return idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / self.avgdl))
+
+    def search(self, terms, k=10, mode_all=False):
+        """BM25 top-k: [(doc_id, score)] ranked by (score desc, doc_id asc).
+        Per-doc score sums term contributions in sorted-term order (the
+        engine-wide deterministic reduction order)."""
+        qt = list(dict.fromkeys(terms))
+        results = []
+        for doc_id, c in self.tf.items():
+            matched = [t for t in qt if c[t] > 0]
+            if not matched or (mode_all and len(matched) != len(qt)):
+                continue
+            score = sum(self.bm25(doc_id, t) for t in sorted(matched))
+            results.append((doc_id, score))
+        results.sort(key=lambda r: (-r[1], r[0]))
+        return results[:k]
+
+    def topk_terms(self, doc_id, k, min_score=None, scorer="tfidf"):
+        """[(term, score)] per-doc top-k, rank by (score desc, term asc)."""
+        fn = self.tfidf if scorer == "tfidf" else self.bm25
+        entries = [
+            (t, fn(doc_id, t))
+            for t in self.tf[doc_id]
+        ]
+        if min_score is not None:
+            entries = [(t, s) for t, s in entries if s > min_score]
+        entries.sort(key=lambda e: (-e[1], e[0]))
+        return entries[:k]
