@@ -53,6 +53,36 @@ def term_frequencies(
     )
 
 
+def simple_term_frequencies(
+    docs: DataFrame, content_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """SQL-expressible tokenization variant: lowercase + split on
+    ``[^a-z0-9]+`` — no stemming/stoplist, 100% JVM-side (split/explode are
+    codegen'd builtins; no Python at all). This is the tokenizer used for
+    DuckDB-oracle-checked queries, mirroring the reference's independent
+    shell reimplementation (shell_simplification/cat_with_filename.sh:16-27)
+    which also tokenizes by naive splitting.
+
+    Returns (id_col, term, tf, doclen); doclen = total tokens in the doc.
+    """
+    toks = (
+        docs.filter(F.col(content_col).isNotNull())
+        .select(
+            id_col,
+            F.explode(
+                F.split(F.lower(F.col(content_col)), "[^a-z0-9]+")
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    from pyspark.sql import Window
+
+    return tf.withColumn(
+        "doclen", F.sum("tf").over(Window.partitionBy(id_col))
+    )
+
+
 def wordcount(term_freqs: DataFrame) -> DataFrame:
     """A1: corpus-wide term occurrence counts (the reference's wordcount
     artifact, sample at reference README.md:36-72)."""
