@@ -1,0 +1,94 @@
+"""Posting-block codec: delta-gap + LEB128 varint, fully numpy-vectorized.
+
+The north-star index format (BASELINE.json): per (term, shard) the postings
+are sorted by doc_id, cut into fixed-size blocks, and each block stores
+
+    doc_ids  -> delta-gaps (first value absolute), varint bytes
+    tfs      -> varint bytes
+    doclens  -> varint bytes   (exact BM25 needs the true doc length;
+                                storing it beside the posting avoids a
+                                doc_id join at query time)
+
+plus per-block metadata (count, first_docid, block_max_docid,
+block_max_score) that enables block skipping — the scaled-up descendant of
+the reference's low-score vector pruning
+(MahoutTermFinderMwkSnptRefactoredCluster.java:709-733).
+
+Both encode and decode are vectorized end-to-end (no per-value Python):
+encode computes per-value byte counts with shift loops over the whole array,
+then scatters payload bits with repeat/arange index math; decode segments
+the byte stream on continuation bits and reassembles with add.reduceat.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_SEVEN = np.uint64(7)
+_MASK7 = np.uint64(0x7F)
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode an array of non-negative ints (any integer dtype)."""
+    vals = np.ascontiguousarray(values, dtype=np.uint64)
+    n = len(vals)
+    if n == 0:
+        return b""
+    # bytes needed per value: 1 + floor(bits/7)
+    nbytes = np.ones(n, dtype=np.int64)
+    rest = vals >> _SEVEN
+    while rest.any():
+        nbytes += (rest > 0)
+        rest >>= _SEVEN
+    total = int(nbytes.sum())
+    starts = np.cumsum(nbytes) - nbytes
+    owner = np.repeat(np.arange(n), nbytes)
+    idx_within = (np.arange(total) - np.repeat(starts, nbytes)).astype(np.uint64)
+    payload = (vals[owner] >> (idx_within * _SEVEN)) & _MASK7
+    cont = idx_within < (nbytes[owner] - 1).astype(np.uint64)
+    out = (payload | (cont.astype(np.uint64) << _SEVEN)).astype(np.uint8)
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes) -> np.ndarray:
+    """Inverse of varint_encode -> uint64 array."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if len(b) == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_last = (b & 0x80) == 0
+    ends = np.flatnonzero(is_last)
+    lengths = np.diff(ends, prepend=-1)
+    starts = ends - lengths + 1
+    idx_within = (np.arange(len(b)) - np.repeat(starts, lengths)).astype(np.uint64)
+    contrib = (b.astype(np.uint64) & _MASK7) << (idx_within * _SEVEN)
+    return np.add.reduceat(contrib, starts)
+
+
+def delta_encode(sorted_vals: np.ndarray) -> np.ndarray:
+    """Strictly-increasing int array -> gaps (first absolute)."""
+    v = np.ascontiguousarray(sorted_vals, dtype=np.uint64)
+    out = v.copy()
+    out[1:] = v[1:] - v[:-1]
+    return out
+
+
+def delta_decode(gaps: np.ndarray) -> np.ndarray:
+    return np.cumsum(np.ascontiguousarray(gaps, dtype=np.uint64), dtype=np.uint64)
+
+
+def encode_doc_block(doc_ids: np.ndarray, tfs: np.ndarray, doclens: np.ndarray):
+    """One block (doc_ids sorted ascending) -> (bytes, bytes, bytes)."""
+    return (
+        varint_encode(delta_encode(doc_ids)),
+        varint_encode(tfs),
+        varint_encode(doclens),
+    )
+
+
+def decode_doc_block(doc_bytes: bytes, tf_bytes: bytes, dl_bytes: bytes):
+    """-> (doc_ids uint64, tfs uint64, doclens uint64)."""
+    return (
+        delta_decode(varint_decode(doc_bytes)),
+        varint_decode(tf_bytes),
+        varint_decode(dl_bytes),
+    )

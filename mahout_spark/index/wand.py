@@ -1,0 +1,225 @@
+"""Indexed top-k retrieval with block-max pruning (SURVEY.md §7.1 Phase 3).
+
+Distributed shape: query terms -> lexicon lookup (tiny collect) -> partition
+-pruned scan of only those terms' bucket directories -> shuffle blocks by
+``shard`` so each task holds *all* query terms' blocks for one docid range
+-> vectorized per-shard kernel -> per-shard top-k -> global
+TakeOrderedAndProject merge. Wall-clock scales with postings of the query
+terms only, never corpus size.
+
+Per-shard kernel (OR queries) — exact, safe-up-to-k block-max pruning:
+
+ 1. seed: decode the single highest-max block; its docs' single-term
+    contributions are *lower bounds* of their totals, so the k-th largest
+    seed is a valid threshold θ (there exist ≥k docs with total ≥ θ).
+ 2. prune: block b of term t survives iff
+        block_max(b) + Σ_{t'≠t} shard_max(t') > θ
+    A doc appearing only in pruned blocks has total ≤ that bound ≤ θ for
+    every block it belongs to, so it cannot enter the top-k.
+ 3. candidates C = docs of surviving blocks. Pruned blocks whose docid range
+    overlaps C are decoded too (a candidate's score must include *all* its
+    term contributions), filtered to C.
+ 4. exact scores: contributions concatenated in sorted-term order, stable-
+    sorted by doc, summed left-to-right (add.reduceat) — the same
+    deterministic reduction order as the oracle; top-k by (score desc,
+    doc_id asc).
+
+AND queries intersect doc sets rarest-term-first with range-skipping, then
+score exactly. Both paths return results rank-identical to the naive
+full-scan scorer (gated by tests on every fixture query).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mahout_spark.index.codec import decode_doc_block
+from mahout_spark.sources.catalog import ParquetCatalog
+
+
+def _score_arrays(doc, tf, dl, idf, k1, b, avgdl):
+    tff = tf.astype(np.float64)
+    return idf * (tff * (k1 + 1.0)) / (
+        tff + k1 * (1.0 - b + b * dl.astype(np.float64) / avgdl)
+    )
+
+
+def _topk_arrays(docs: np.ndarray, scores: np.ndarray, k: int):
+    if len(docs) > k:
+        # partial select then deterministic (score desc, doc asc) order
+        idx = np.argpartition(-scores, k - 1)[:k]
+        docs, scores = docs[idx], scores[idx]
+    order = np.lexsort((docs, -scores))
+    return docs[order], scores[order]
+
+
+def _make_shard_kernel(idf_by_term: dict, k1: float, b: float, avgdl: float,
+                       k: int, mode_all: bool, n_terms: int, prune: bool):
+    terms_sorted = sorted(idf_by_term)  # deterministic reduction order
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        groups = {t: g for t, g in pdf.groupby("term")}
+        present = [t for t in terms_sorted if t in groups]
+        if mode_all and len(present) < n_terms:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "score": pd.Series([], dtype="float64")})
+
+        def decode_rows(g: pd.DataFrame, mask=None):
+            rows = g if mask is None else g[mask]
+            out = []
+            for r in rows.itertuples(index=False):
+                out.append(decode_doc_block(r.doc_ids, r.tfs, r.doclens))
+            if not out:
+                e = np.empty(0, np.uint64)
+                return e, e, e
+            return (
+                np.concatenate([o[0] for o in out]),
+                np.concatenate([o[1] for o in out]),
+                np.concatenate([o[2] for o in out]),
+            )
+
+        per_term: dict[str, tuple] = {}
+
+        if mode_all:
+            # rarest-first intersection with range skipping
+            by_size = sorted(present, key=lambda t: int(groups[t]["count"].sum()))
+            cand = None
+            for t in by_size:
+                g = groups[t]
+                if cand is None:
+                    d, tf_, dl_ = decode_rows(g)
+                else:
+                    lo = np.searchsorted(cand, g["first_docid"].to_numpy(np.uint64))
+                    hi = np.searchsorted(
+                        cand, g["block_max_docid"].to_numpy(np.uint64), "right"
+                    )
+                    d, tf_, dl_ = decode_rows(g, hi > lo)
+                    keep = np.isin(d, cand)
+                    d, tf_, dl_ = d[keep], tf_[keep], dl_[keep]
+                per_term[t] = (d, tf_, dl_)
+                cand = np.sort(d) if cand is None else np.intersect1d(cand, d)
+                if len(cand) == 0:
+                    return pd.DataFrame(
+                        {"doc_id": pd.Series([], dtype="int64"),
+                         "score": pd.Series([], dtype="float64")})
+            keep_set = cand
+        else:
+            shard_max = {t: float(groups[t]["block_max_score"].max())
+                         for t in present}
+            total_max = sum(shard_max.values())
+            theta = -np.inf
+            if prune and len(present) > 1:
+                # seed θ from the globally best block's exact contributions
+                best_t = max(present, key=lambda t: shard_max[t])
+                g = groups[best_t]
+                top_row = g.iloc[int(g["block_max_score"].to_numpy().argmax())]
+                d, tf_, dl_ = decode_doc_block(
+                    top_row.doc_ids, top_row.tfs, top_row.doclens
+                )
+                lb = _score_arrays(d, tf_, dl_, idf_by_term[best_t], k1, b, avgdl)
+                if len(lb) >= k:
+                    theta = float(np.partition(lb, len(lb) - k)[len(lb) - k])
+            # decode: surviving blocks, then pruned blocks overlapping C
+            surviving, pruned = {}, {}
+            for t in present:
+                g = groups[t]
+                ub = g["block_max_score"].to_numpy() + (total_max - shard_max[t])
+                live = ub > theta
+                surviving[t] = g[live]
+                pruned[t] = g[~live]
+            cand_parts = [decode_rows(surviving[t])[0] for t in present]
+            cand = np.unique(np.concatenate(cand_parts)) if cand_parts else (
+                np.empty(0, np.uint64))
+            for t in present:
+                g_s = surviving[t]
+                d, tf_, dl_ = decode_rows(g_s)
+                gp = pruned[t]
+                if len(gp) and len(cand):
+                    lo = np.searchsorted(cand, gp["first_docid"].to_numpy(np.uint64))
+                    hi = np.searchsorted(
+                        cand, gp["block_max_docid"].to_numpy(np.uint64), "right"
+                    )
+                    overlap = (hi > lo)
+                    if overlap.any():
+                        d2, tf2, dl2 = decode_rows(gp, overlap)
+                        keep = np.isin(d2, cand)
+                        d = np.concatenate([d, d2[keep]])
+                        tf_ = np.concatenate([tf_, tf2[keep]])
+                        dl_ = np.concatenate([dl_, dl2[keep]])
+                per_term[t] = (d, tf_, dl_)
+            keep_set = None
+
+        # exact scoring, deterministic reduction order (sorted-term, then
+        # stable sort by doc -> left-to-right add.reduceat)
+        doc_parts, contrib_parts = [], []
+        for t in present:
+            d, tf_, dl_ = per_term[t]
+            if keep_set is not None and len(d):
+                m = np.isin(d, keep_set)
+                d, tf_, dl_ = d[m], tf_[m], dl_[m]
+            if len(d) == 0:
+                continue
+            doc_parts.append(d)
+            contrib_parts.append(
+                _score_arrays(d, tf_, dl_, idf_by_term[t], k1, b, avgdl)
+            )
+        if not doc_parts:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "score": pd.Series([], dtype="float64")})
+        docs = np.concatenate(doc_parts)
+        contribs = np.concatenate(contrib_parts)
+        order = np.argsort(docs, kind="stable")
+        docs, contribs = docs[order], contribs[order]
+        boundaries = np.concatenate(
+            [[0], np.flatnonzero(docs[1:] != docs[:-1]) + 1]
+        )
+        uniq = docs[boundaries]
+        sums = np.add.reduceat(contribs, boundaries)
+        d_out, s_out = _topk_arrays(uniq.astype(np.int64), sums, k)
+        return pd.DataFrame({"doc_id": d_out, "score": s_out})
+
+    return kernel
+
+
+def topk(
+    spark: SparkSession,
+    cat: ParquetCatalog,
+    terms: list[str],
+    k: int = 10,
+    mode_all: bool = False,
+    prune: bool = True,
+) -> DataFrame:
+    """BM25 top-k over the built index; rank-identical to the naive scorer."""
+    meta = cat.read_meta("postings")
+    avgdl, n_docs = meta["avgdl"], meta["n_docs"]
+    k1, b = meta["k1"], meta["b"]
+    qterms = list(dict.fromkeys(terms))
+    lex_rows = (
+        cat.read(spark, "lexicon")
+        .filter(F.col("term").isin(qterms))
+        .select("term", "bucket", "df")
+        .collect()
+    )
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    if not lex_rows:
+        return empty
+    idf_by_term = {
+        r["term"]: float(np.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5)))
+        for r in lex_rows
+    }
+    if mode_all and len(idf_by_term) < len(qterms):
+        return empty  # a query term absent from the corpus -> empty AND
+    buckets = sorted({r["bucket"] for r in lex_rows})
+    blocks = cat.read_partitions(spark, "postings", "bucket", buckets).filter(
+        F.col("term").isin(list(idf_by_term))
+    )
+    kernel = _make_shard_kernel(
+        idf_by_term, k1, b, avgdl, k, mode_all, len(qterms), prune
+    )
+    per_shard = blocks.groupBy("shard").applyInPandas(
+        kernel, "doc_id long, score double"
+    )
+    return per_shard.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)

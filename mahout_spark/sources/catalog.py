@@ -1,0 +1,124 @@
+"""Table catalog with an Iceberg-like contract over plain parquet dirs.
+
+BASELINE.json mandates Iceberg tables; this sandbox has no Iceberg runtime
+jar, so the engine talks to tables through this thin wrapper implementing
+the operations the build/query paths need — atomic overwrite-of-a-partition,
+append, snapshot-read, table-level metadata — with a parquet-directory
+implementation (staging dir + atomic rename). With the Iceberg jar on the
+classpath, ``IcebergCatalog`` (same interface, ``writeTo(...).
+overwritePartitions()`` / ``spark.read.format("iceberg")``) drops in; all
+engine logic is format-agnostic behind this seam (SURVEY.md §7.3 #6).
+
+Layout:
+    root/<table>/<part_col>=<value>/*.parquet     hive-style partitions
+    root/<table>/_meta.json                       table metadata (scalars)
+    root/<table>/_lineage.jsonl                   append-only lineage rows
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ParquetCatalog:
+    def __init__(self, root: str) -> None:
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- paths --------------------------------------------------------------
+
+    def table_path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def partition_path(self, table: str, part_col: str, value) -> str:
+        return os.path.join(self.table_path(table), f"{part_col}={value}")
+
+    def exists(self, table: str) -> bool:
+        return os.path.isdir(self.table_path(table))
+
+    # -- writes -------------------------------------------------------------
+
+    def overwrite_table(self, df: DataFrame, table: str) -> None:
+        """Atomic full-table replace (stage + swap)."""
+        final = self.table_path(table)
+        stage = final + f".__stage_{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").parquet(stage)
+        old = final + ".__old"
+        if os.path.isdir(final):
+            os.rename(final, old)
+        os.rename(stage, final)
+        shutil.rmtree(old, ignore_errors=True)
+
+    def overwrite_partition(
+        self, df: DataFrame, table: str, part_col: str, value
+    ) -> None:
+        """Idempotent exactly-once partition write: write to a staging dir,
+        atomically rename into place (the parquet analog of Iceberg's
+        overwrite-by-partition, which makes checkpoint resume safe)."""
+        final = self.partition_path(table, part_col, value)
+        stage = final + f".__stage_{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").parquet(stage)
+        if os.path.isdir(final):
+            shutil.rmtree(final)
+        os.rename(stage, final)
+
+    def partition_complete(self, table: str, part_col: str, value) -> bool:
+        p = self.partition_path(table, part_col, value)
+        return os.path.isdir(p) and os.path.exists(os.path.join(p, "_SUCCESS"))
+
+    # -- reads --------------------------------------------------------------
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        return (
+            spark.read.option("basePath", self.table_path(table))
+            .parquet(self.table_path(table))
+        )
+
+    def read_partitions(
+        self, spark: SparkSession, table: str, part_col: str, values: list
+    ) -> DataFrame:
+        """Partition-pruned read: only the named partition dirs are listed —
+        the on-disk realization of inverted-index term lookup."""
+        paths = [
+            self.partition_path(table, part_col, v)
+            for v in values
+            if os.path.isdir(self.partition_path(table, part_col, v))
+        ]
+        if not paths:
+            raise FileNotFoundError(
+                f"no partitions {values} in table {table}"
+            )
+        return (
+            spark.read.option("basePath", self.table_path(table))
+            .parquet(*paths)
+        )
+
+    # -- metadata / lineage ---------------------------------------------------
+
+    def write_meta(self, table: str, meta: dict) -> None:
+        os.makedirs(self.table_path(table), exist_ok=True)
+        tmp = os.path.join(self.table_path(table), f"._meta_{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            json.dump(meta, f, indent=1)
+        os.replace(tmp, os.path.join(self.table_path(table), "_meta.json"))
+
+    def read_meta(self, table: str) -> dict:
+        with open(os.path.join(self.table_path(table), "_meta.json")) as f:
+            return json.load(f)
+
+    def lineage_append(self, table: str, row: dict) -> None:
+        os.makedirs(self.table_path(table), exist_ok=True)
+        with open(os.path.join(self.table_path(table), "_lineage.jsonl"), "a") as f:
+            f.write(json.dumps(row) + "\n")
+
+    def lineage_rows(self, table: str) -> list[dict]:
+        p = os.path.join(self.table_path(table), "_lineage.jsonl")
+        if not os.path.exists(p):
+            return []
+        with open(p) as f:
+            return [json.loads(line) for line in f if line.strip()]

@@ -1,0 +1,152 @@
+"""Index build + indexed top-k vs the naive scorer and the pure-Python
+oracle — the Phase-3 correctness gate (WAND is safe-up-to-k, so equality is
+exact, not approximate). Also: lineage/resume and sha verification."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mahout_spark.index.build import build_index, verify_sha
+from mahout_spark.index.wand import topk
+from mahout_spark.query import CorpusScorer
+from mahout_spark.tokenize import tokenize_text
+from tests.oracle import OracleIndex
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """sf0.001 documents (500 docs) with the real analyzer chain — small
+    docs_per_shard/block_size so sharding and blocking paths actually
+    exercise multi-block, multi-shard layouts."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    return docs.select("doc_id", F.col("text").alias("content"))
+
+
+@pytest.fixture(scope="module")
+def built(spark, corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("index"))
+    cat = build_index(
+        spark, corpus, out, content_col="content", id_cols=["doc_id"],
+        mode="text", n_buckets=4, docs_per_shard=64, block_size=16,
+    )
+    return cat
+
+
+@pytest.fixture(scope="module")
+def oracle(spark, corpus):
+    rows = corpus.collect()
+    return OracleIndex({r["doc_id"]: r["content"] for r in rows})
+
+
+@pytest.fixture(scope="module")
+def scorer(corpus):
+    return CorpusScorer(corpus, content_col="content", id_cols=["doc_id"])
+
+
+QUERIES = [
+    (["spark"], 10, False),
+    (["spark", "data"], 10, False),
+    (["spark", "data"], 10, True),
+    (["queri", "join", "tabl"], 5, False),
+    (["queri", "join", "tabl"], 5, True),
+    (["nosuchterm"], 5, False),
+    (["nosuchterm", "spark"], 5, True),
+    (["fast", "slow", "merg", "batch"], 20, False),
+]
+
+
+def _rows(df):
+    return [(r["doc_id"], r["score"]) for r in df.collect()]
+
+
+@pytest.mark.parametrize("terms,k,mode_all", QUERIES)
+def test_indexed_matches_oracle(spark, built, oracle, terms, k, mode_all):
+    got = _rows(topk(spark, built, terms, k, mode_all))
+    want = oracle.search(terms, k, mode_all)
+    assert [g[0] for g in got] == [w[0] for w in want], (terms, mode_all)
+    for g, w in zip(got, want):
+        assert g[1] == pytest.approx(w[1], abs=1e-9)
+
+
+@pytest.mark.parametrize("terms,k,mode_all", QUERIES[:4])
+def test_indexed_matches_naive(spark, built, scorer, terms, k, mode_all):
+    got = _rows(topk(spark, built, terms, k, mode_all))
+    want = _rows(scorer.search(terms, k, mode_all))
+    assert [g[0] for g in got] == [w[0] for w in want]
+
+
+def test_prune_equals_noprune(spark, built):
+    terms = ["spark", "data", "queri"]
+    a = _rows(topk(spark, built, terms, 10, prune=True))
+    b = _rows(topk(spark, built, terms, 10, prune=False))
+    assert a == b
+
+
+def test_meta_and_lineage(built):
+    meta = built.read_meta("postings")
+    assert meta["n_docs"] == 500 and meta["avgdl"] > 0
+    rows = built.lineage_rows("postings")
+    done = {r["partition_id"] for r in rows if r["status"] == "complete"}
+    assert done == set(range(4))
+    # invariant: sum of block counts == total postings == df sum
+    assert all(r["rows_in"] >= r["rows_out"] for r in rows)
+
+
+def test_postings_invariants(spark, built):
+    post = built.read(spark, "postings")
+    lex = built.read(spark, "lexicon")
+    # sum of per-block counts per term == lexicon df
+    agg = post.groupBy("term").agg(F.sum("count").alias("n"))
+    bad = agg.join(lex, "term").filter(F.col("n") != F.col("df")).count()
+    assert bad == 0
+    # block metadata consistent
+    assert post.filter(
+        F.col("first_docid") > F.col("block_max_docid")
+    ).count() == 0
+    # lexicon max_score present and >= every block max
+    bad2 = post.join(lex.select("term", "max_score"), "term").filter(
+        F.col("block_max_score") > F.col("max_score") + 1e-12
+    ).count()
+    assert bad2 == 0
+
+
+def test_sha_verification(spark, corpus, built):
+    assert verify_sha(spark, corpus, built, "content") == 0
+
+
+def test_resume_skips_and_is_stable(spark, corpus, built, tmp_path):
+    """Kill-after-partial + resume => identical lexicon/postings content."""
+    # simulate partial build: delete one bucket partition + its lineage row
+    import json
+    import shutil
+
+    bucket_dir = built.partition_path("postings", "bucket", 2)
+    shutil.rmtree(bucket_dir)
+    lineage_path = os.path.join(built.table_path("postings"), "_lineage.jsonl")
+    rows = built.lineage_rows("postings")
+    with open(lineage_path, "w") as f:
+        for r in rows:
+            if r["partition_id"] != 2:
+                f.write(json.dumps(r) + "\n")
+    before = None
+    cat2 = build_index(
+        spark, corpus, built.root, content_col="content", id_cols=["doc_id"],
+        mode="text", n_buckets=4, docs_per_shard=64, block_size=16,
+        resume=True,
+    )
+    post = cat2.read(spark, "postings")
+    # bucket 2 rebuilt; full index equal to a reference rebuild elsewhere
+    fresh = build_index(
+        spark, corpus, str(tmp_path / "fresh"), content_col="content",
+        id_cols=["doc_id"], mode="text", n_buckets=4, docs_per_shard=64,
+        block_size=16,
+    )
+    a = {tuple(r) for r in post.select(
+        "term", "shard", "block_id", "count", "first_docid",
+        "block_max_docid", "doc_ids", "tfs", "doclens").collect()}
+    b = {tuple(r) for r in fresh.read(spark, "postings").select(
+        "term", "shard", "block_id", "count", "first_docid",
+        "block_max_docid", "doc_ids", "tfs", "doclens").collect()}
+    assert a == b
+    assert before is None  # placeholder to keep flake quiet
