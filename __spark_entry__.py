@@ -230,6 +230,117 @@ def q_engine_bm25_search(spark, sf_dir):
     return scorer.search(tokenize_text(" ".join(BM25_QUERY_TERMS)), k=10)
 
 
+# ---------------------------------------------------------------------------
+# training-data pipeline operators (textstats / dedup / similarity /
+# multimodal) — SURVEY.md §2 extension set
+# ---------------------------------------------------------------------------
+
+EMB_NEARDUP_THRESHOLD = 0.4
+JACCARD_K, JACCARD_THRESHOLD, JACCARD_RARE_DF = 3, 0.5, 10
+
+
+def q_token_stats(spark, sf_dir):
+    """Token accounting: word/distinct/BPE-estimate counts per doc."""
+    from mahout_spark.operators.textstats import token_counts
+
+    return token_counts(_load(spark, sf_dir, "documents"))
+
+
+def q_quality_scores(spark, sf_dir):
+    """Gopher-style per-doc quality heuristics + combined score."""
+    from mahout_spark.operators.textstats import quality_scores
+
+    return quality_scores(_load(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark, sf_dir):
+    """Marker-profile language ID with deterministic argmax."""
+    from mahout_spark.operators.textstats import lang_id
+
+    return lang_id(_load(spark, sf_dir, "documents"))
+
+
+def q_fingerprint(spark, sf_dir):
+    """Positional document fingerprint (order-sensitive 64-bit checksum)."""
+    from mahout_spark.operators.textstats import fingerprints
+
+    return fingerprints(_load(spark, sf_dir, "documents"))
+
+
+def q_jaccard_neardup(spark, sf_dir):
+    """Near-dup pairs: exact Jaccard over word 3-shingles with rare-shingle
+    candidate blocking."""
+    from mahout_spark.operators.dedup import jaccard_neardup_pairs
+
+    return jaccard_neardup_pairs(
+        _load(spark, sf_dir, "documents"),
+        k=JACCARD_K, threshold=JACCARD_THRESHOLD, rare_df_max=JACCARD_RARE_DF,
+    )
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """Exact cosine near-dup pairs over the embeddings table."""
+    from mahout_spark.operators.dedup import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(
+        _load(spark, sf_dir, "embeddings"), threshold=EMB_NEARDUP_THRESHOLD
+    )
+
+
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 to the vec_id=0 query vector."""
+    from mahout_spark.operators.similarity import brute_force_cosine_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return brute_force_cosine_topk(emb, qvec, k=10)
+
+
+def q_media_meta(spark, sf_dir):
+    """Multimodal manifest pass: byte count + sha256 per media payload."""
+    from mahout_spark.operators.multimodal import binary_meta, pack_media
+
+    return binary_meta(pack_media(_load(spark, sf_dir, "documents"), "text"))
+
+
+def q_engine_minhash_neardup(spark, sf_dir):
+    """MinHash+LSH near-dup (Arrow-UDF signatures; rows-only check —
+    blake2b hashing is not SQL-expressible)."""
+    from mahout_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _load(spark, sf_dir, "documents"),
+        threshold=JACCARD_THRESHOLD, k=JACCARD_K,
+    )
+
+
+def q_engine_simhash_neardup(spark, sf_dir):
+    """SimHash hamming≤3 near-dup pairs (rows-only check)."""
+    from mahout_spark.operators.dedup import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(_load(spark, sf_dir, "documents"))
+
+
+def q_engine_ann_topk(spark, sf_dir):
+    """LSH-bucketed approximate NN top-10 (rows-only check; recall vs
+    brute force asserted in tests/)."""
+    from mahout_spark.operators.similarity import lsh_ann_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    # nbits sized for sandbox corpora (2^6 buckets); at 10^9 vectors this
+    # would be 16-20 bits so buckets stay ~10^4-10^5 vectors.
+    return lsh_ann_topk(emb, qvec, k=10, nbits=6, n_probes=7)
+
+
+def q_engine_media_decode(spark, sf_dir):
+    """mapInPandas media decode stage with the deterministic fake decoder
+    (rows-only check; plumbing correctness asserted in tests/)."""
+    from mahout_spark.operators.multimodal import decode_media, pack_media
+
+    return decode_media(pack_media(_load(spark, sf_dir, "documents"), "text"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": q_wordcount,
@@ -243,6 +354,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": q_revenue_by_nation,
         "events_top3_per_user": q_events_top3_per_user,
         "engine_bm25_search": q_engine_bm25_search,
+        "token_stats": q_token_stats,
+        "quality_scores": q_quality_scores,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "jaccard_neardup": q_jaccard_neardup,
+        "embedding_neardup": q_embedding_neardup,
+        "cosine_topk": q_cosine_topk,
+        "media_meta": q_media_meta,
+        "engine_minhash_neardup": q_engine_minhash_neardup,
+        "engine_simhash_neardup": q_engine_simhash_neardup,
+        "engine_ann_topk": q_engine_ann_topk,
+        "engine_media_decode": q_engine_media_decode,
     }
 
 
@@ -292,7 +415,141 @@ _BM25_BASE = _TOK_CTE + f"""
 """
 
 
+def _textstats_sql() -> dict[str, str]:
+    from mahout_spark.operators.textstats import LANG_MARKERS, STOP30
+
+    tok = ("list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+           "t -> t <> '')")
+    stop_in = "('" + "','".join(STOP30) + "')"
+    alpha = ("length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))"
+             "::DOUBLE / length(lower(text))")
+    stopr = (f"CASE WHEN len({tok}) > 0 THEN len(list_filter({tok}, "
+             f"t -> t IN {stop_in}))::DOUBLE / len({tok}) ELSE 0.0 END")
+    lang_unions = "\n UNION ALL ".join(
+        f"SELECT doc_id, '{code}' AS lang, CAST(len(list_intersect(ts, "
+        f"[{', '.join(repr(w) for w in words)}])) AS BIGINT) AS hits FROM toks"
+        for code, words in sorted(LANG_MARKERS.items())
+    )
+    return {
+        "token_stats": f"""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len({tok}) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct({tok})) AS BIGINT) AS n_distinct,
+               coalesce(list_sum(list_transform({tok},
+                   t -> CAST(ceil(length(t)/4.0) AS BIGINT))), 0) AS bpe_est
+        FROM documents
+        """,
+        "quality_scores": f"""
+        SELECT doc_id,
+               CAST(len({tok}) AS BIGINT) AS n_tokens,
+               round({alpha}, 6) AS alpha_ratio,
+               round({stopr}, 6) AS stop_ratio,
+               round(0.4 * ({alpha})
+                   + 0.3 * least(1.0, 5.0 * ({stopr}))
+                   + 0.3 * least(1.0, len({tok}) / 50.0), 6) AS quality
+        FROM documents WHERE length(text) > 0
+        """,
+        "lang_id": f"""
+        WITH toks AS (
+            SELECT doc_id, list_distinct({tok}) AS ts FROM documents
+        ), hits AS ({lang_unions})
+        SELECT doc_id, lang AS pred_lang, hits FROM (
+            SELECT doc_id, lang, hits, row_number() OVER (
+                PARTITION BY doc_id ORDER BY hits DESC, lang ASC
+            ) AS rn FROM hits
+        ) WHERE rn = 1
+        """,
+        "fingerprint": """
+        SELECT doc_id,
+               coalesce(list_sum(list_transform(
+                   generate_series(1, length(substring(text, 1, 256))),
+                   i -> CAST(ascii(substring(substring(text, 1, 256), i, 1))
+                        * (((i - 1) % 64) + 1) AS BIGINT))), 0) AS fp
+        FROM documents
+        """,
+    }
+
+
+def _pipeline_sql() -> dict[str, str]:
+    tok = ("list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+           "t -> t <> '')")
+    kk = JACCARD_K - 1
+    dot = ("list_sum(list_transform(generate_series(1, len(a.embedding)), "
+           "i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))")
+    nrm = ("sqrt(list_sum(list_transform(generate_series(1, len(embedding)), "
+           "i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))")
+    qdot = ("list_sum(list_transform(generate_series(1, len(e.embedding)), "
+            "i -> e.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE))")
+    return {
+        "jaccard_neardup": f"""
+        WITH toks AS (
+            SELECT doc_id, {tok} AS ts FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id, sh FROM (
+                SELECT doc_id, unnest(list_transform(
+                    generate_series(1, greatest(0, len(ts) - {kk})),
+                    i -> array_to_string(ts[i:i+{kk}], ' '))) AS sh
+                FROM toks
+            )
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+        ), rare AS (
+            SELECT sh FROM sh GROUP BY sh
+            HAVING count(*) <= {JACCARD_RARE_DF}
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM sh a JOIN rare USING (sh) JOIN sh b USING (sh)
+            WHERE a.doc_id < b.doc_id
+        ), inter AS (
+            SELECT doc_a, doc_b, count(*) AS i
+            FROM cand
+            JOIN sh sa ON sa.doc_id = doc_a
+            JOIN sh sb ON sb.doc_id = doc_b AND sb.sh = sa.sh
+            GROUP BY doc_a, doc_b
+        )
+        SELECT doc_a, doc_b,
+               round(i::DOUBLE / (na.n_sh + nb.n_sh - i), 6) AS jaccard
+        FROM inter
+        JOIN sizes na ON na.doc_id = doc_a
+        JOIN sizes nb ON nb.doc_id = doc_b
+        WHERE round(i::DOUBLE / (na.n_sh + nb.n_sh - i), 6)
+              >= {JACCARD_THRESHOLD}
+        """,
+        "embedding_neardup": f"""
+        WITH n AS (
+            SELECT vec_id, embedding, {nrm} AS nrm FROM embeddings
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round({dot} / (a.nrm * b.nrm), 6) AS cosine
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE round({dot} / (a.nrm * b.nrm), 6) >= {EMB_NEARDUP_THRESHOLD}
+        """,
+        "cosine_topk": f"""
+        WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+        n AS (
+            SELECT e.vec_id,
+                   round({qdot} / ({nrm.replace('embedding', 'e.embedding')}
+                       * (SELECT {nrm} FROM q)), 6) AS cosine
+            FROM embeddings e CROSS JOIN q
+        )
+        SELECT vec_id, cosine FROM n
+        ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        "media_meta": """
+        SELECT doc_id, 'image' AS media_type,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               sha256(text) AS sha
+        FROM documents
+        """,
+    }
+
+
 def oracle_sql() -> dict[str, str]:
+    return _base_oracle_sql() | _textstats_sql() | _pipeline_sql()
+
+
+def _base_oracle_sql() -> dict[str, str]:
     return {
         "wordcount": _TOK_CTE
         + "SELECT term, sum(tf) AS cnt FROM tf GROUP BY term",

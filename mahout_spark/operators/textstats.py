@@ -1,0 +1,178 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Language-ID, quality scoring, token counting, and document fingerprinting
+over a ``documents(doc_id, text, ...)`` table. These generalize the
+reference's corpus-statistics stage (wordcount / stop-word profiling,
+``shell_simplification/cat_with_filename.sh:16-40`` and ``stopwords.txt``)
+into the per-document quality/identity signals a 100 TB pretraining
+pipeline computes before dedup + filtering.
+
+Every operator here is a **pure Spark column expression** — no Python UDFs
+at all, so the whole thing stays inside whole-stage codegen and scales
+linearly with input splits (narrow, zero shuffles; the scan is the only
+cost). Each has an exactly-equivalent ANSI-SQL form (used as the DuckDB
+oracle in ``__spark_entry__``): expressions are written so both engines
+perform the identical arithmetic in the identical order.
+
+Determinism rules (cross-engine hash equality):
+* counts are exact integers;
+* ratios are computed in double and ``round(x, 6)`` once, at the end;
+* argmax tie-breaks lexicographically on the language code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small inline stopword profile (subset of the reference's 665-word
+# stopwords.txt) — inlined because the oracle SQL must embed the same list.
+STOP30 = [
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "from",
+    "has", "have", "in", "is", "it", "its", "of", "on", "or", "that", "the",
+    "this", "to", "was", "were", "which", "will", "with", "you",
+]
+
+# Marker-word profiles for heuristic language ID (public-knowledge common
+# function words per language). Deterministic: hits = |distinct tokens ∩
+# markers|; argmax with lexicographic tie-break on the code.
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "ich"],
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "it"],
+    "es": ["el", "los", "las", "es", "una", "por", "con", "para", "del", "como"],
+    "fr": ["le", "les", "des", "est", "une", "dans", "pour", "que", "sur", "pas"],
+}
+
+FINGERPRINT_PREFIX = 256  # chars hashed by the positional fingerprint
+FINGERPRINT_CYCLE = 64    # positional weight cycle length
+
+
+def tokens_expr(content: Column) -> Column:
+    """lower + split on ``[^a-z0-9]+`` + drop empties — the SQL-expressible
+    tokenizer (same stream as operators.stats.simple_term_frequencies)."""
+    return F.filter(
+        F.split(F.lower(content), "[^a-z0-9]+"), lambda t: t != ""
+    )
+
+
+def token_counts(
+    docs: DataFrame, content_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc token accounting: whitespace-ish word tokens, distinct terms,
+    and a BPE-ish subword estimate (ceil(len/4) per word — the standard
+    chars/4 rule of thumb applied per token so punctuation-free token
+    boundaries are respected)."""
+    toks = tokens_expr(F.col(content_col))
+    return docs.select(
+        id_col,
+        F.length(F.col(content_col)).cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.aggregate(
+            toks,
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + F.ceil(F.length(t) / F.lit(4.0)),
+        ).alias("bpe_est"),
+    )
+
+
+def quality_scores(
+    docs: DataFrame, content_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style heuristic quality signals + one combined score.
+
+    * ``alpha_ratio`` — fraction of characters that are [a-z0-9 ] after
+      lowercasing (markup/binary junk pushes this down);
+    * ``stop_ratio`` — fraction of tokens in the stopword profile (natural
+      prose has a healthy share of function words; near-zero is a red flag);
+    * ``len_score`` — min(1, n_tokens / 50) (too-short docs score low);
+    * ``quality`` — 0.4·alpha + 0.3·min(1, 5·stop_ratio) + 0.3·len_score.
+
+    All ratios double-precision, rounded once to 6 at the end.
+    """
+    c = F.lower(F.col(content_col))
+    toks = tokens_expr(F.col(content_col))
+    n_tokens = F.size(toks)
+    n_stop = F.size(
+        F.filter(toks, lambda t: t.isin(STOP30))
+    )
+    alpha_chars = F.length(F.regexp_replace(c, "[^a-z0-9 ]", ""))
+    alpha_ratio = alpha_chars / F.length(c)
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0))
+    len_score = F.least(F.lit(1.0), n_tokens / F.lit(50.0))
+    quality = (
+        F.lit(0.4) * alpha_ratio
+        + F.lit(0.3) * F.least(F.lit(1.0), F.lit(5.0) * stop_ratio)
+        + F.lit(0.3) * len_score
+    )
+    return docs.filter(F.length(F.col(content_col)) > 0).select(
+        id_col,
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+def lang_id(
+    docs: DataFrame, content_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Heuristic language ID: per-language marker-word hit count over the
+    distinct token set; prediction = argmax hits with lexicographic
+    tie-break (so zero-evidence docs deterministically predict 'de').
+    Returns (doc_id, pred_lang, hits).
+    """
+    toks = F.array_distinct(tokens_expr(F.col(content_col)))
+    hit_cols = [
+        F.struct(
+            F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+            .alias("hits"),
+            F.lit(code).alias("lang"),
+        )
+        for code, words in sorted(LANG_MARKERS.items())
+    ]
+    # argmax by (hits desc, lang asc): array_max on (hits, negated-lang)
+    # wouldn't order strings; instead sort_array of (hits, rev) — simplest
+    # deterministic form: greatest hits, then first lang in sorted order
+    # achieving it. sort_array ascending on (hits, lang) puts the winner
+    # last only for hits; we need lang ASC among ties, so sort by
+    # (hits asc, lang desc) and take the last element.
+    arr = F.sort_array(
+        F.array(*hit_cols), asc=True
+    )  # sorts by hits asc, then lang asc — ties: larger lang later
+    # last element has max hits but *largest* lang among ties; to tie-break
+    # lang ASC we filter to max hits then take min lang.
+    max_hits = F.array_max(F.transform(arr, lambda s: s["hits"]))
+    winner = F.array_min(
+        F.transform(
+            F.filter(arr, lambda s: s["hits"] == max_hits),
+            lambda s: s["lang"],
+        )
+    )
+    return docs.select(
+        id_col,
+        winner.alias("pred_lang"),
+        max_hits.cast("long").alias("hits"),
+    )
+
+
+def fingerprints(
+    docs: DataFrame, content_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic positional document fingerprint: over the first
+    ``FINGERPRINT_PREFIX`` chars, sum codepoint(c_j) · (((j-1) mod 64) + 1)
+    (j 1-based). Order-sensitive (unlike a bag-of-chars sum), bounded
+    arithmetic (fits bigint), and exactly expressible in ANSI SQL — the
+    cross-engine-checkable stand-in for a rolling Rabin hash, which the
+    pipeline uses for cheap first-pass identity blocking before MinHash.
+    """
+    c = F.substring(F.col(content_col), 1, FINGERPRINT_PREFIX)
+    n = F.length(c)
+    fp = F.when(n > 0, F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.ascii(F.substring(c, i, F.lit(1)))
+        * (F.pmod(i - 1, F.lit(FINGERPRINT_CYCLE)) + 1),
+    )).otherwise(F.lit(0).cast("long"))
+    return docs.select(id_col, fp.alias("fp"))

@@ -1,0 +1,336 @@
+"""Tests for the training-data pipeline operators: textstats, dedup,
+similarity, multimodal. Style mirrors SURVEY.md §5: dual-implementation
+oracles (numpy / pure Python) + invariant assertions on tiny deterministic
+fixtures, so each Spark operator is checked against independently computed
+expected values.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# textstats
+# ---------------------------------------------------------------------------
+
+class TestTextstats:
+    def test_token_counts_exact(self, spark):
+        from mahout_spark.operators.textstats import token_counts
+
+        df = spark.createDataFrame(
+            [(1, "Hello, world! hello HELLO"), (2, ""), (3, "a b3c dd-ee")],
+            ["doc_id", "text"],
+        )
+        rows = {r["doc_id"]: r for r in token_counts(df).collect()}
+        assert rows[1]["n_tokens"] == 4
+        assert rows[1]["n_distinct"] == 2  # hello, world
+        # ceil(5/4)*3 + ceil(5/4) = 2*4 = 8
+        assert rows[1]["bpe_est"] == 8
+        assert rows[2]["n_tokens"] == 0 and rows[2]["bpe_est"] == 0
+        assert rows[3]["n_tokens"] == 4  # a, b3c, dd, ee
+
+    def test_quality_monotone(self, spark):
+        from mahout_spark.operators.textstats import quality_scores
+
+        prose = "the cat sat on the mat and it was a fine day for all of us"
+        junk = "@@@@ #### $$$$ %%%% ^^^^ &&&&"
+        df = spark.createDataFrame(
+            [(1, prose), (2, junk)], ["doc_id", "text"]
+        )
+        rows = {r["doc_id"]: r for r in quality_scores(df).collect()}
+        assert rows[1]["quality"] > rows[2]["quality"]
+        assert rows[2]["alpha_ratio"] < 0.3
+        assert 0.0 <= rows[2]["quality"] <= 1.0
+
+    def test_lang_id_real_samples(self, spark):
+        from mahout_spark.operators.textstats import lang_id
+
+        df = spark.createDataFrame(
+            [
+                (1, "the quick brown fox is one of the animals in the wood"),
+                (2, "der hund und die katze das ist nicht ein problem"),
+                (3, "le chat est dans la maison pour les enfants pas que"),
+                (4, "el perro es una mascota por las calles del pueblo"),
+                (5, "zzz qqq xxx"),  # zero evidence -> tie-break 'de'
+            ],
+            ["doc_id", "text"],
+        )
+        got = {r["doc_id"]: r["pred_lang"] for r in lang_id(df).collect()}
+        assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "de"}
+
+    def test_fingerprint_order_sensitive(self, spark):
+        from mahout_spark.operators.textstats import fingerprints
+
+        df = spark.createDataFrame(
+            [(1, "abc"), (2, "cba"), (3, "abc"), (4, "")],
+            ["doc_id", "text"],
+        )
+        got = {r["doc_id"]: r["fp"] for r in fingerprints(df).collect()}
+        # manual: a*1 + b*2 + c*3
+        assert got[1] == ord("a") + 2 * ord("b") + 3 * ord("c")
+        assert got[1] != got[2]  # order matters
+        assert got[1] == got[3]  # deterministic
+        assert got[4] == 0
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+def _py_jaccard(a: str, b: str, k: int = 3) -> float:
+    import re
+
+    def sh(t):
+        toks = [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+        return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb) if sa | sb else 0.0
+
+
+NEAR_DUP_DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog in the misty morning"),
+    (1, "the quick brown fox jumps over the lazy dog in the misty evening"),
+    (2, "a completely different sentence about spark query engines at scale"),
+    (3, "another unrelated text mentioning posting lists and inverted index"),
+    (4, "the quick brown fox jumps over the lazy dog in the misty morning"),
+]
+
+
+class TestDedup:
+    @pytest.fixture(scope="class")
+    def near_docs(self, spark):
+        return spark.createDataFrame(NEAR_DUP_DOCS, ["doc_id", "text"])
+
+    def test_exact_dedup(self, spark, near_docs):
+        from mahout_spark.operators.dedup import exact_dedup_groups
+
+        rows = exact_dedup_groups(near_docs).collect()
+        assert len(rows) == 1
+        assert rows[0]["keep_id"] == 0 and rows[0]["n_copies"] == 2
+
+    def test_jaccard_pairs_match_python_oracle(self, spark, near_docs):
+        from mahout_spark.operators.dedup import jaccard_neardup_pairs
+
+        got = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in jaccard_neardup_pairs(
+                near_docs, k=3, threshold=0.5, rare_df_max=10
+            ).collect()
+        }
+        texts = dict(NEAR_DUP_DOCS)
+        expected = {}
+        for a in texts:
+            for b in texts:
+                if a < b:
+                    j = _py_jaccard(texts[a], texts[b])
+                    if j >= 0.5:
+                        expected[(a, b)] = round(j, 6)
+        assert got == expected
+        assert (0, 4) in got and got[(0, 4)] == 1.0
+
+    def test_minhash_identical_docs_full_jaccard(self, spark, near_docs):
+        from mahout_spark.operators.dedup import minhash_lsh_pairs
+
+        got = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in minhash_lsh_pairs(near_docs, threshold=0.5).collect()
+        }
+        # identical docs always collide in every band; verified jaccard
+        # values are exact (recomputed), so they match the python oracle
+        assert got[(0, 4)] == 1.0
+        texts = dict(NEAR_DUP_DOCS)
+        for (a, b), j in got.items():
+            assert j == round(_py_jaccard(texts[a], texts[b]), 6)
+
+    def test_minhash_sig_properties(self, spark, near_docs):
+        from mahout_spark.operators.dedup import minhash_signatures
+
+        sigs = {r["doc_id"]: r["sig"]
+                for r in minhash_signatures(near_docs).collect()}
+        assert len(sigs[0]) == 128
+        assert sigs[0] == sigs[4]  # identical content -> identical sig
+        # near-dup docs agree on most components
+        agree = sum(a == b for a, b in zip(sigs[0], sigs[1])) / 128
+        assert agree > 0.5
+        agree_far = sum(a == b for a, b in zip(sigs[0], sigs[2])) / 128
+        assert agree_far < 0.2
+
+    def test_simhash_pairs(self, spark, near_docs):
+        from mahout_spark.operators.dedup import (
+            simhash_neardup_pairs,
+            simhash_signatures,
+        )
+
+        sigs = {r["doc_id"]: r["simhash"]
+                for r in simhash_signatures(near_docs).collect()}
+        assert sigs[0] == sigs[4]
+        pairs = {
+            (r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in simhash_neardup_pairs(near_docs, max_hd=3).collect()
+        }
+        assert pairs[(0, 4)] == 0
+        # exact hamming cross-check in python
+        for (a, b), hd in pairs.items():
+            assert bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1") == hd
+            assert hd <= 3
+
+    def test_embedding_neardup_vs_numpy(self, spark):
+        from mahout_spark.operators.dedup import embedding_neardup_pairs
+
+        rng = np.random.RandomState(0)
+        base = rng.normal(size=(6, 8)).astype(np.float32)
+        base[3] = base[0] + 0.01 * rng.normal(size=8).astype(np.float32)
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in base[i]]) for i in range(6)],
+            ["vec_id", "embedding"],
+        )
+        got = {
+            (r["id_a"], r["id_b"]): r["cosine"]
+            for r in embedding_neardup_pairs(emb, threshold=0.9).collect()
+        }
+        m = base.astype(np.float64)
+        norm = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = norm @ norm.T
+        expected = {
+            (i, j): round(float(sims[i, j]), 6)
+            for i in range(6) for j in range(i + 1, 6)
+            if round(float(sims[i, j]), 6) >= 0.9
+        }
+        assert set(got) == set(expected)
+        for p in got:
+            assert got[p] == pytest.approx(expected[p], abs=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def clustered_emb(self, spark):
+        """200 vectors: 20 planted near-neighbors of the query + 180
+        background — structure LSH can exploit (unlike uniform noise)."""
+        rng = np.random.RandomState(7)
+        q = rng.normal(size=16)
+        q /= np.linalg.norm(q)
+        rows = []
+        for i in range(20):  # planted: small perturbations of q
+            v = q + 0.15 * rng.normal(size=16)
+            rows.append((i, [float(x) for x in v]))
+        for i in range(20, 200):
+            v = rng.normal(size=16)
+            rows.append((i, [float(x) for x in v]))
+        return (
+            spark.createDataFrame(rows, ["vec_id", "embedding"]),
+            [float(x) for x in q],
+        )
+
+    def test_brute_force_matches_numpy(self, spark, clustered_emb):
+        from mahout_spark.operators.similarity import brute_force_cosine_topk
+
+        emb, q = clustered_emb
+        got = brute_force_cosine_topk(emb, q, k=5).collect()
+        data = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+                for r in emb.collect()}
+        qv = np.asarray(q)
+        sims = sorted(
+            (
+                (round(float(v @ qv / (np.linalg.norm(v) * np.linalg.norm(qv))), 6), -i)
+                for i, v in data.items()
+            ),
+            reverse=True,
+        )[:5]
+        expected = [(-i, s) for s, i in sims]
+        assert [(r["vec_id"], r["cosine"]) for r in got] == expected
+
+    def test_ann_recall_on_planted_neighbors(self, spark, clustered_emb):
+        from mahout_spark.operators.similarity import (
+            brute_force_cosine_topk,
+            lsh_ann_topk,
+        )
+
+        emb, q = clustered_emb
+        bf = {r["vec_id"] for r in brute_force_cosine_topk(emb, q, 10).collect()}
+        ann = {r["vec_id"]
+               for r in lsh_ann_topk(emb, q, 10, nbits=8, n_probes=9).collect()}
+        assert len(bf & ann) / 10 >= 0.9
+
+    def test_knn_join_self_nearest(self, spark, clustered_emb):
+        from mahout_spark.operators.similarity import pairwise_topk_join
+
+        emb, _ = clustered_emb
+        knn = pairwise_topk_join(emb.limit(5), emb, k=1).collect()
+        for r in knn:  # rank-1 neighbor of v within the full set is v itself
+            assert r["rid"] == r["lid"]
+            assert r["cosine"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+class TestMultimodal:
+    @pytest.fixture(scope="class")
+    def media(self, spark):
+        from mahout_spark.operators.multimodal import pack_media
+
+        df = spark.createDataFrame(
+            [(1, "some image-ish bytes"), (2, "x"), (3, "")],
+            ["doc_id", "text"],
+        )
+        return pack_media(df, "text")
+
+    def test_schema_contract(self, media):
+        from mahout_spark.operators.multimodal import decode_media
+
+        dec = decode_media(media)
+        assert [f.name for f in dec.schema.fields] == [
+            "doc_id", "media_type", "n_bytes", "width", "height", "features",
+        ]
+
+    def test_fake_decode_deterministic(self, spark, media):
+        from mahout_spark.operators.multimodal import FEATURE_DIM, decode_media
+
+        a = {r["doc_id"]: r for r in decode_media(media).collect()}
+        b = {r["doc_id"]: r for r in decode_media(media).collect()}
+        for d in a:
+            assert a[d]["features"] == b[d]["features"]
+            assert len(a[d]["features"]) == FEATURE_DIM
+        assert a[1]["n_bytes"] == len("some image-ish bytes")
+        assert a[3]["n_bytes"] == 0
+
+    def test_meta_matches_payload(self, spark, media):
+        import hashlib
+
+        from mahout_spark.operators.multimodal import binary_meta
+
+        rows = {r["doc_id"]: r for r in binary_meta(media).collect()}
+        assert rows[1]["sha"] == hashlib.sha256(
+            b"some image-ish bytes"
+        ).hexdigest()
+
+    def test_frame_sampling(self, spark, media):
+        from mahout_spark.operators.multimodal import sample_frames
+
+        frames = sample_frames(media, n_frames=4).collect()
+        by_doc = {}
+        for r in frames:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        assert len(by_doc[1]) == 4
+        # frames cover the payload in order
+        joined = b"".join(
+            bytes(r["frame_bytes"])
+            for r in sorted(by_doc[1], key=lambda r: r["frame_idx"])
+        )
+        assert b"some image-ish bytes".startswith(joined[:5])
+        assert 3 not in by_doc  # empty payload -> no frames
+
+    def test_real_decoder_is_explicit_stub(self, spark, media):
+        from mahout_spark.operators.multimodal import decode_media
+
+        with pytest.raises(Exception, match="NotImplementedError|not available"):
+            decode_media(media, decoder="real").collect()
