@@ -1,0 +1,159 @@
+"""One scaling measurement: index build + query set at a given parallelism.
+
+Invoked as a subprocess (one SparkSession per process — local[N] is fixed
+at session creation) by BENCH/scaling.py:
+
+    python BENCH/scaling_run.py --cpus 8 --replicas 200 --trials 3
+
+Prints ONE JSON line with build/query timings.
+
+Methodology (noise robustness — this sandbox is a microVM whose host has
+other tenants, so single-shot wall-clock numbers vary 2-3×):
+
+* corpus = the sf documents table replicated ``replicas`` times with
+  doc_id offsets — deterministic, and large enough (10^6 docs at the
+  default) that parallel task work dominates fixed job overhead;
+* ``input_partitions`` is FIXED (96) at every parallelism level — the
+  split count is a property of the data, not the core count, and varying
+  it would change file counts/task sizes between levels;
+* the build runs ``trials`` times in one warm session and reports the
+  minimum — steady-state throughput, excluding JIT/Python-worker
+  cold-start and host-noise spikes (all trial times are reported too);
+* a tiny pandas-UDF job runs first so Arrow worker spawn/imports are not
+  charged to trial 1.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+QUERY_TERMS = [
+    ["spark", "query", "data"],
+    ["window", "stream"],
+    ["hash", "join", "merge", "sort"],
+    ["vector"],
+    ["table", "scan", "filter", "group", "agg"],
+]
+
+INPUT_PARTITIONS = 96
+DOCS_PER_SHARD = 8192
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, required=True)
+    ap.add_argument("--replicas", type=int, default=200)
+    ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--query-reps", type=int, default=3)
+    args = ap.parse_args()
+
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from mahout_spark.index.build import build_index
+    from mahout_spark.index.wand import topk
+    from mahout_spark.session import get_spark
+
+    spark = get_spark(
+        cpus=args.cpus,
+        app_name=f"scaling_{args.cpus}",
+        shuffle_partitions=args.cpus,
+    )
+
+    base = spark.read.parquet(f"{args.sf_dir}/documents.parquet")
+    n_base = base.count()  # warms the scan
+    docs = base.select("doc_id", "text")
+    if args.replicas > 1:
+        reps = spark.range(args.replicas).select(F.col("id").alias("rep"))
+        docs = docs.crossJoin(reps).select(
+            (F.col("doc_id") + F.col("rep") * F.lit(n_base)).alias("doc_id"),
+            "text",
+        )
+    # The sf documents share a ~31-word vocabulary, which makes tokenize/
+    # stem/dictionary work trivially memoizable — an unrealistically
+    # I/O-bound build (a real code corpus has 10^5-10^7 identifiers).
+    # Append deterministic per-doc synthetic identifiers so the vocabulary
+    # is ~10^5 and the CPU stages carry real work. Pure JVM expressions —
+    # generation itself adds no Python cost.
+    ident_cols = [
+        F.concat(
+            F.lit(f"tok{j}x"),
+            F.pmod(
+                F.col("doc_id") * F.lit(2654435761 + j), F.lit(100003)
+            ).cast("string"),
+        )
+        for j in range(10)
+    ]
+    docs = docs.select(
+        "doc_id", F.concat_ws(" ", F.col("text"), *ident_cols).alias("text")
+    )
+    n_docs = n_base * args.replicas
+
+    # warm the Arrow python-worker pool before any timed work
+    def _warm_fn(x):
+        return x.astype("int32")
+
+    _warm = F.pandas_udf(_warm_fn, T.IntegerType())
+
+    spark.range(10_000, numPartitions=args.cpus).select(
+        F.sum(_warm(F.col("id")))
+    ).first()
+
+    trials = []
+    cat = None
+    out_dir = tempfile.mkdtemp(prefix=f"scaling_{args.cpus}_")
+    try:
+        for t in range(args.trials):
+            idx_dir = os.path.join(out_dir, f"index_{t}")
+            t0 = time.perf_counter()
+            cat = build_index(
+                spark, docs, out_dir=idx_dir,
+                content_col="text", id_cols=["doc_id"], mode="text",
+                resume=False,
+                input_partitions=INPUT_PARTITIONS,
+                docs_per_shard=DOCS_PER_SHARD,
+            )
+            trials.append(round(time.perf_counter() - t0, 3))
+            if t < args.trials - 1:
+                shutil.rmtree(idx_dir, ignore_errors=True)
+        build_sec = min(trials)
+
+        lat = []
+        for _ in range(args.query_reps):
+            for terms in QUERY_TERMS:
+                q0 = time.perf_counter()
+                topk(spark, cat, terms, k=10).collect()
+                lat.append(time.perf_counter() - q0)
+        lat.sort()
+        p50 = lat[len(lat) // 2]
+        p95 = lat[min(len(lat) - 1, int(len(lat) * 0.95))]
+
+        print(json.dumps({
+            "cpus": args.cpus,
+            "n_docs": n_docs,
+            "build_sec": build_sec,
+            "build_trials_sec": trials,
+            "docs_per_sec": round(n_docs / build_sec, 2),
+            "n_queries": len(lat),
+            "query_p50_sec": round(p50, 4),
+            "query_p95_sec": round(p95, 4),
+            "query_qps": round(len(lat) / sum(lat), 2),
+        }))
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -3,9 +3,12 @@
 ``entry(spark)`` — flagship BM25 search with the real engine (code-aware
 Arrow-UDF tokenizer chain) on sf0.001.
 
-``queries()`` / ``oracle_sql()`` — operator coverage from SURVEY.md §2, each
-Spark implementation paired with an ANSI-SQL oracle DuckDB runs on the same
-parquet. Oracle-checked full-text queries use the SQL-expressible tokenizer
+``queries()`` / ``oracle_sql()`` — operator coverage from SURVEY.md §2
+(core engine) and §2.11 (training-data pipeline extension: textstats,
+dedup, similarity search, multimodal, clustering), each Spark
+implementation paired with an ANSI-SQL oracle DuckDB runs on the same
+parquet where expressible (19 of 24 queries), rows-only otherwise.
+Oracle-checked full-text queries use the SQL-expressible tokenizer
 (lower + split on ``[^a-z0-9]+``, mahout_spark.operators.stats.
 simple_term_frequencies) so both engines compute identical token streams;
 the stemming analyzer-chain pipeline is golden-tested against the
@@ -341,6 +344,20 @@ def q_engine_media_decode(spark, sf_dir):
     return decode_media(pack_media(_load(spark, sf_dir, "documents"), "text"))
 
 
+def q_engine_cluster_docs(spark, sf_dir):
+    """Document clustering (reference Canopy→FKM pipeline re-expressed as
+    TF-IDF vectors + cosine k-means; golden-tested against
+    report_clusters.txt in tests/test_clustering.py). Rows-only check —
+    k-means assignments aren't SQL-expressible."""
+    from mahout_spark.operators.clustering import (
+        cluster_report,
+        kmeans_doc_clusters,
+    )
+
+    docs = _load(spark, sf_dir, "documents").limit(200)
+    return cluster_report(kmeans_doc_clusters(docs, k=8), min_size=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": q_wordcount,
@@ -366,6 +383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_simhash_neardup": q_engine_simhash_neardup,
         "engine_ann_topk": q_engine_ann_topk,
         "engine_media_decode": q_engine_media_decode,
+        "engine_cluster_docs": q_engine_cluster_docs,
     }
 
 

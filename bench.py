@@ -84,6 +84,14 @@ def main() -> None:
         "tpch_pricing_summary",
         "revenue_by_nation",
         "events_top3_per_user",
+        "quality_scores",
+        "lang_id",
+        "fingerprint",
+        "jaccard_neardup",
+        "engine_minhash_neardup",
+        "engine_simhash_neardup",
+        "cosine_topk",
+        "embedding_neardup",
     ]:
         if name in qs:
             timed(name, lambda n=name: qs[n](spark, sf_dir).collect()

@@ -23,8 +23,11 @@ at sandbox scale:
 * **Blocks.** Within (term, shard), postings sort by doc_id and cut into
   ``block_size`` blocks: delta+varint doc_ids / varint tfs / varint doclens
   (exact ints -> exact BM25 at query), with per-block
-  (count, first_docid, block_max_docid, block_max_score) for block-max
-  skipping.
+  (count, first_docid, block_max_docid, block_max_score, block_max_tf,
+  block_min_dl) for block-max skipping. The (max_tf, min_dl) pair yields a
+  stats-independent upper bound idf·f(max_tf, min_dl) — still valid after
+  appends change df/avgdl, which is what makes incremental appends safe
+  without rewriting old blocks (index/append.py).
 
 Shuffle inventory of a full build: tokenize (narrow) -> shuffle 1
 (write tf_raw by bucket) -> shuffle 2 (lexicon groupBy term) -> shuffle 3
@@ -44,55 +47,133 @@ from pyspark.sql import functions as F
 
 from mahout_spark import BM25_B, BM25_K1
 from mahout_spark.functions import dense_ids
-from mahout_spark.index.codec import encode_doc_block
+from mahout_spark.index.codec import varint_encode_offsets
 from mahout_spark.operators import stats
 from mahout_spark.sources.catalog import ParquetCatalog
 
 POSTINGS_SCHEMA = (
     "term string, term_id long, shard long, block_id int, count int, "
     "first_docid long, block_max_docid long, block_max_score double, "
+    "block_max_tf long, block_min_dl long, "
     "doc_ids binary, tfs binary, doclens binary"
 )
 
 
+_POSTINGS_COLS = [
+    "term", "term_id", "shard", "block_id", "count",
+    "first_docid", "block_max_docid", "block_max_score",
+    "block_max_tf", "block_min_dl",
+    "doc_ids", "tfs", "doclens",
+]
+
+
 def _make_encoder(n_docs: int, avgdl: float, k1: float, b: float,
                   block_size: int):
-    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id")
+    """Partition-level posting encoder for ``mapInPandas``.
+
+    Input contract: rows sorted by (term, shard, doc_id) WITHIN the
+    partition and each term confined to one partition (repartition("term") +
+    sortWithinPartitions upstream). One Python invocation per Arrow batch
+    — NOT per (term, shard) group: a realistic code corpus has 10^5-10^7
+    distinct terms, and per-group applyInPandas costs one Arrow round-trip
+    per group, which collapses at exactly the vocabulary sizes the engine
+    targets. Groups spanning Arrow-batch boundaries are handled with a
+    carry buffer (the final group of each batch is only flushed once the
+    next batch proves the group ended).
+
+    The frame kernel is vectorized across EVERY block in the batch: one
+    varint pass per column (byte offsets sliced per block), reduceat for
+    per-block maxima/minima — the only per-block Python is three bytes
+    slices. Rare terms fragment into tiny one-posting blocks under
+    document-range sharding (exactly as in any document-partitioned index,
+    e.g. Lucene shards), so per-block constant cost is the scaling term
+    that matters at real vocabulary sizes.
+    """
+
+    def encode_frame(pdf: pd.DataFrame) -> pd.DataFrame:
+        term_arr = pdf["term"].to_numpy()
+        shard_arr = pdf["shard"].to_numpy(np.int64)
         doc = pdf["doc_id"].to_numpy(np.uint64)
         tf = pdf["tf"].to_numpy(np.uint64)
         dl = pdf["doclen"].to_numpy(np.uint64)
-        term = pdf["term"].iloc[0]
-        term_id = int(pdf["term_id"].iloc[0])
-        shard = int(pdf["shard"].iloc[0])
-        dfv = int(pdf["df"].iloc[0])
+        tid = pdf["term_id"].to_numpy(np.int64)
+        dfv = pdf["df"].to_numpy(np.int64)
+        n = len(pdf)
+        # group boundaries in the (term, shard)-sorted stream
+        change = np.flatnonzero(
+            (term_arr[1:] != term_arr[:-1]) | (shard_arr[1:] != shard_arr[:-1])
+        ) + 1
+        g_s = np.concatenate([[0], change])
+        g_e = np.concatenate([change, [n]])
+        # blocks tile each group (and therefore the whole batch)
+        lens = g_e - g_s
+        nblk = -(-lens // block_size)
+        blk_group = np.repeat(np.arange(len(g_s)), nblk)
+        blk_offs = np.cumsum(nblk) - nblk
+        blk_idx = np.arange(int(nblk.sum())) - np.repeat(blk_offs, nblk)
+        blk_start = g_s[blk_group] + blk_idx * block_size
+        blk_end = np.minimum(blk_start + block_size, g_e[blk_group])
+
         idf = np.log(1.0 + (n_docs - dfv + 0.5) / (dfv + 0.5))
         tff = tf.astype(np.float64)
         contrib = idf * (tff * (k1 + 1.0)) / (
             tff + k1 * (1.0 - b + b * dl.astype(np.float64) / avgdl)
         )
-        rows = []
-        for blk, i0 in enumerate(range(0, len(doc), block_size)):
-            sl = slice(i0, i0 + block_size)
-            d, t, l = doc[sl], tf[sl], dl[sl]
-            db, tb, lb = encode_doc_block(d, t, l)
-            rows.append(
-                (
-                    term, term_id, shard, blk, len(d),
-                    int(d[0]), int(d[-1]), float(contrib[sl].max()),
-                    db, tb, lb,
-                )
-            )
+
+        # delta-gap docids with reset at every block start, then ONE varint
+        # pass per column; per-block payloads are offset slices.
+        gaps = doc.copy()
+        gaps[1:] = doc[1:] - doc[:-1]
+        gaps[blk_start] = doc[blk_start]
+        doc_buf, doc_off = varint_encode_offsets(gaps)
+        tf_buf, tf_off = varint_encode_offsets(tf)
+        dl_buf, dl_off = varint_encode_offsets(dl)
+
+        def cut(buf: bytes, off: np.ndarray) -> list:
+            s = off[blk_start]
+            e = off[blk_end]
+            return [buf[a:z] for a, z in zip(s, e)]
+
         return pd.DataFrame(
-            rows,
-            columns=[
-                "term", "term_id", "shard", "block_id", "count",
-                "first_docid", "block_max_docid", "block_max_score",
-                "doc_ids", "tfs", "doclens",
-            ],
+            {
+                "term": term_arr[blk_start],
+                "term_id": tid[blk_start],
+                "shard": shard_arr[blk_start],
+                "block_id": blk_idx.astype(np.int32),
+                "count": (blk_end - blk_start).astype(np.int32),
+                "first_docid": doc[blk_start].astype(np.int64),
+                "block_max_docid": doc[blk_end - 1].astype(np.int64),
+                "block_max_score": np.maximum.reduceat(contrib, blk_start),
+                "block_max_tf": np.maximum.reduceat(tf, blk_start)
+                .astype(np.int64),
+                "block_min_dl": np.minimum.reduceat(dl, blk_start)
+                .astype(np.int64),
+                "doc_ids": cut(doc_buf, doc_off),
+                "tfs": cut(tf_buf, tf_off),
+                "doclens": cut(dl_buf, dl_off),
+            },
+            columns=_POSTINGS_COLS,
         )
 
-    return encode
+    def encode_partition(batches):
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if len(pdf) == 0:
+                continue
+            k_term = pdf["term"].to_numpy()
+            k_shard = pdf["shard"].to_numpy(np.int64)
+            last_mask = (k_term == k_term[-1]) & (k_shard == k_shard[-1])
+            not_last = np.flatnonzero(~last_mask)
+            cut = int(not_last[-1]) + 1 if len(not_last) else 0
+            head, carry = pdf.iloc[:cut], pdf.iloc[cut:]
+            if len(head):
+                yield encode_frame(head)
+        if carry is not None and len(carry):
+            yield encode_frame(carry)
+
+    return encode_partition
 
 
 def build_index(
@@ -109,6 +190,9 @@ def build_index(
     b: float = BM25_B,
     resume: bool = True,
     build_commit: str = "",
+    input_partitions: int | None = None,
+    lexicon_max_score: bool = False,
+    lang_col: str | None = None,
     **tok_kw,
 ) -> ParquetCatalog:
     """Build (or resume building) the index under ``out_dir``.
@@ -116,6 +200,13 @@ def build_index(
     Tables written: docstats, tf_raw (bucket-partitioned intermediate),
     lexicon, postings (bucket-partitioned), plus _meta.json scalars and
     _lineage.jsonl per-bucket rows.
+
+    ``input_partitions``: tokenization parallelism = input split count; a
+    100 TB corpus arrives in ~10^5 splits naturally, but small/derived
+    inputs (one parquet file, a crossJoin) can collapse to a handful of
+    partitions and serialize the most expensive stage. Set this to
+    ~3×cores to force a deterministic doc_id repartition first. Default
+    None = trust the source's splits (the right call on a real cluster).
     """
     cat = ParquetCatalog(out_dir)
     id_cols = id_cols or ["doc_id"]
@@ -126,6 +217,8 @@ def build_index(
     else:
         # deterministic dense doc_id from the unique natural key
         docs_keyed = dense_ids(docs, id_cols, "doc_id")
+    if input_partitions:
+        docs_keyed = docs_keyed.repartition(input_partitions, "doc_id")
 
     # ---- stage 1: tf_raw + docstats + scalars (resume unit: whole stage) --
     stage1_done = (
@@ -137,17 +230,22 @@ def build_index(
     if not stage1_done:
         t0 = time.time()
         tf = stats.term_frequencies(
-            docs_keyed, content_col, ["doc_id"], mode=mode, **tok_kw
+            docs_keyed, content_col, ["doc_id"], mode=mode,
+            lang_col=lang_col, **tok_kw
         ).withColumn(
             "shard", (F.col("doc_id") / F.lit(docs_per_shard)).cast("long")
         ).withColumn(
             "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
         )
         stage = cat.table_path("tf_raw") + ".__stage"
-        (
-            tf.repartition(F.col("bucket"))
-            .write.mode("overwrite").partitionBy("bucket").parquet(stage)
-        )
+        # NO repartition before the write: hash-repartitioning on bucket
+        # would both (a) shuffle every tf row and (b) collapse the
+        # tokenize+write stage to n_buckets tasks. partitionBy on the
+        # unshuffled stream keeps tokenization at full input parallelism
+        # and skips the shuffle entirely, at the cost of up to
+        # tasks×n_buckets files — bounded via input_partitions (sandbox)
+        # or compaction (cluster).
+        tf.write.mode("overwrite").partitionBy("bucket").parquet(stage)
         import os
         import shutil
 
@@ -167,16 +265,24 @@ def build_index(
             docstats.join(doclens, "doc_id", "left").fillna(0, ["doclen"]),
             "docstats",
         )
-        n_docs = docs_keyed.count()
-        row = doclens.agg(F.avg("doclen")).first()
-        avgdl = float(row[0]) if row[0] is not None else 0.0
+        # n_docs / avgdl from the just-written docstats: the count is a
+        # parquet-metadata-only job and avgdl scans one column — no second
+        # pass over the corpus content.
+        written_stats = cat.read(spark, "docstats")
+        row = written_stats.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.when(F.col("doclen") > 0, F.col("doclen"))).alias("a"),
+        ).first()
+        n_docs = int(row["n"])
+        avgdl = float(row["a"]) if row["a"] is not None else 0.0
         cat.write_meta(
             "postings",
             {
                 "n_docs": n_docs, "avgdl": avgdl, "mode": mode,
+                "lang_col": lang_col,
                 "n_buckets": n_buckets, "docs_per_shard": docs_per_shard,
                 "block_size": block_size, "k1": k1, "b": b,
-                "build_commit": build_commit,
+                "appends": 0, "build_commit": build_commit,
                 "stage1_sec": round(time.time() - t0, 3),
             },
         )
@@ -191,7 +297,7 @@ def build_index(
         )
         cat.overwrite_table(dense_ids(lex, ["term"], "term_id"), "lexicon")
 
-    # ---- stage 3: postings, per-bucket (resume unit: bucket) ---------------
+    # ---- stage 3: postings (resume unit: bucket) ---------------------------
     lexicon = cat.read(spark, "lexicon")
     done = {
         r["partition_id"]
@@ -199,8 +305,25 @@ def build_index(
         if r.get("status") == "complete"
     }
     encoder = _make_encoder(n_docs, avgdl, k1, b, block_size)
+
+    if not (resume and done):
+        # fresh build fast path: encode EVERY bucket in one Spark job
+        # (one shuffle on (term, shard)), stage the partitioned output,
+        # then commit bucket dirs one by one with their lineage rows.
+        # The per-bucket loop below remains the resume path — same
+        # per-bucket checkpoint granularity, without paying n_buckets
+        # sequential jobs on the (overwhelmingly common) clean build.
+        _encode_all_buckets(
+            spark, cat, lexicon, encoder, n_buckets, build_commit
+        )
+        done = {
+            r["partition_id"]
+            for r in cat.lineage_rows("postings")
+            if r.get("status") == "complete"
+        }
+
     for bucket in range(n_buckets):
-        if resume and bucket in done and cat.partition_complete(
+        if bucket in done and cat.partition_complete(
             "postings", "bucket", bucket
         ):
             continue
@@ -221,8 +344,12 @@ def build_index(
             ),
             "term",
         )
-        blocks = enc_in.groupBy("term", "shard").applyInPandas(
-            encoder, POSTINGS_SCHEMA
+        blocks = (
+            enc_in.repartition(
+                max(spark.sparkContext.defaultParallelism, 8), "term"
+            )
+            .sortWithinPartitions("term", "shard", "doc_id")
+            .mapInPandas(encoder, POSTINGS_SCHEMA)
         )
         cat.overwrite_partition(blocks, "postings", "bucket", bucket)
         written = cat.read_partitions(spark, "postings", "bucket", [bucket])
@@ -240,8 +367,12 @@ def build_index(
             },
         )
 
-    # ---- stage 4: lexicon max_score (block-max global bound) ---------------
-    if "max_score" not in cat.read(spark, "lexicon").columns:
+    # ---- stage 4 (optional): lexicon max_score (global per-term bound) -----
+    # The WAND kernel derives its bounds from per-block metadata, so this
+    # lexicon-level bound is informational (term-level pre-pruning for
+    # future multi-shard planning). Off by default: two extra jobs + a
+    # lexicon rewrite on the build's serial path.
+    if lexicon_max_score and "max_score" not in cat.read(spark, "lexicon").columns:
         postings = cat.read(spark, "postings")
         ms = postings.groupBy("term_id").agg(
             F.max("block_max_score").alias("max_score")
@@ -250,6 +381,63 @@ def build_index(
             cat.read(spark, "lexicon").join(ms, "term_id", "left"), "lexicon"
         )
     return cat
+
+
+def _encode_all_buckets(
+    spark, cat, lexicon, encoder, n_buckets: int, build_commit: str
+) -> None:
+    """Encode every bucket's postings in ONE job (single (term, shard)
+    shuffle), stage partitioned by bucket, then commit each bucket dir
+    atomically with its lineage row — per-bucket checkpoint granularity at
+    one-job cost."""
+    import os
+    import shutil
+
+    started = time.time()
+    tf_raw = cat.read(spark, "tf_raw")
+    enc_in = tf_raw.join(lexicon.select("term", "term_id", "df"), "term")
+    enc_parts = max(spark.sparkContext.defaultParallelism, 8)
+    blocks = (
+        enc_in.repartition(enc_parts, "term")
+        .sortWithinPartitions("term", "shard", "doc_id")
+        .mapInPandas(encoder, POSTINGS_SCHEMA)
+        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
+    )
+    final = cat.table_path("postings")
+    stage = final + ".__stage_all"
+    blocks.write.mode("overwrite").partitionBy("bucket").parquet(stage)
+    staged = spark.read.option("basePath", stage).parquet(stage)
+    stats_rows = {
+        int(r["bucket"]): r
+        for r in staged.groupBy("bucket").agg(
+            F.sum("count").alias("rows_in"),
+            F.count(F.lit(1)).alias("rows_out"),
+        ).collect()
+    }
+    os.makedirs(final, exist_ok=True)
+    for bucket in range(n_buckets):
+        src = os.path.join(stage, f"bucket={bucket}")
+        dst = cat.partition_path("postings", "bucket", bucket)
+        if os.path.isdir(src):
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)
+            os.rename(src, dst)
+            open(os.path.join(dst, "_SUCCESS"), "a").close()
+            st = stats_rows.get(bucket)
+            ri = int(st["rows_in"]) if st else 0
+            ro = int(st["rows_out"]) if st else 0
+        else:
+            ri = ro = 0
+        cat.lineage_append(
+            "postings",
+            {
+                "partition_id": bucket, "status": "complete",
+                "rows_in": ri, "rows_out": ro, "sha_ok": True,
+                "build_commit": build_commit,
+                "started": started, "finished": time.time(),
+            },
+        )
+    shutil.rmtree(stage, ignore_errors=True)
 
 
 def _meta_matches(cat, mode, n_buckets, docs_per_shard, block_size) -> bool:

@@ -28,12 +28,16 @@ _SEVEN = np.uint64(7)
 _MASK7 = np.uint64(0x7F)
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode an array of non-negative ints (any integer dtype)."""
+def varint_encode_offsets(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode an array; returns (buffer, byte_offsets[n+1]) where
+    value i occupies buffer[offsets[i]:offsets[i+1]]. The offsets make the
+    single vectorized pass sliceable into arbitrary sub-ranges — the
+    whole-batch encoder (index/build.py) encodes millions of values once
+    and slices per block, instead of one numpy call per tiny block."""
     vals = np.ascontiguousarray(values, dtype=np.uint64)
     n = len(vals)
     if n == 0:
-        return b""
+        return b"", np.zeros(1, dtype=np.int64)
     # bytes needed per value: 1 + floor(bits/7)
     nbytes = np.ones(n, dtype=np.int64)
     rest = vals >> _SEVEN
@@ -47,7 +51,16 @@ def varint_encode(values: np.ndarray) -> bytes:
     payload = (vals[owner] >> (idx_within * _SEVEN)) & _MASK7
     cont = idx_within < (nbytes[owner] - 1).astype(np.uint64)
     out = (payload | (cont.astype(np.uint64) << _SEVEN)).astype(np.uint8)
-    return out.tobytes()
+    offsets = np.empty(n + 1, dtype=np.int64)
+    offsets[:-1] = starts
+    offsets[-1] = total
+    return out.tobytes(), offsets
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode an array of non-negative ints (any integer dtype)."""
+    buf, _ = varint_encode_offsets(values)
+    return buf
 
 
 def varint_decode(buf: bytes) -> np.ndarray:

@@ -57,8 +57,24 @@ def _topk_arrays(docs: np.ndarray, scores: np.ndarray, k: int):
 
 
 def _make_shard_kernel(idf_by_term: dict, k1: float, b: float, avgdl: float,
-                       k: int, mode_all: bool, n_terms: int, prune: bool):
+                       k: int, mode_all: bool, n_terms: int, prune: bool,
+                       use_stored_bounds: bool = True):
     terms_sorted = sorted(idf_by_term)  # deterministic reduction order
+
+    def block_bounds(g: pd.DataFrame, t: str) -> np.ndarray:
+        """Per-block score upper bounds. Stored block_max_score is the
+        tight (exact) bound but is computed with build-time df/avgdl; after
+        appends we recompute a stats-independent bound from (block_max_tf,
+        block_min_dl): contribution is monotone increasing in tf and
+        decreasing in dl, so idf_now·f_now(max_tf, min_dl) dominates every
+        posting in the block under the *current* stats."""
+        if use_stored_bounds:
+            return g["block_max_score"].to_numpy()
+        tfm = g["block_max_tf"].to_numpy(np.float64)
+        dlm = g["block_min_dl"].to_numpy(np.float64)
+        return idf_by_term[t] * (tfm * (k1 + 1.0)) / (
+            tfm + k1 * (1.0 - b + b * dlm / avgdl)
+        )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         groups = {t: g for t, g in pdf.groupby("term")}
@@ -107,15 +123,15 @@ def _make_shard_kernel(idf_by_term: dict, k1: float, b: float, avgdl: float,
                          "score": pd.Series([], dtype="float64")})
             keep_set = cand
         else:
-            shard_max = {t: float(groups[t]["block_max_score"].max())
-                         for t in present}
+            bounds = {t: block_bounds(groups[t], t) for t in present}
+            shard_max = {t: float(bounds[t].max()) for t in present}
             total_max = sum(shard_max.values())
             theta = -np.inf
             if prune and len(present) > 1:
                 # seed θ from the globally best block's exact contributions
                 best_t = max(present, key=lambda t: shard_max[t])
                 g = groups[best_t]
-                top_row = g.iloc[int(g["block_max_score"].to_numpy().argmax())]
+                top_row = g.iloc[int(bounds[best_t].argmax())]
                 d, tf_, dl_ = decode_doc_block(
                     top_row.doc_ids, top_row.tfs, top_row.doclens
                 )
@@ -126,7 +142,7 @@ def _make_shard_kernel(idf_by_term: dict, k1: float, b: float, avgdl: float,
             surviving, pruned = {}, {}
             for t in present:
                 g = groups[t]
-                ub = g["block_max_score"].to_numpy() + (total_max - shard_max[t])
+                ub = bounds[t] + (total_max - shard_max[t])
                 live = ub > theta
                 surviving[t] = g[live]
                 pruned[t] = g[~live]
@@ -196,6 +212,9 @@ def topk(
     meta = cat.read_meta("postings")
     avgdl, n_docs = meta["avgdl"], meta["n_docs"]
     k1, b = meta["k1"], meta["b"]
+    # stored block_max_score was computed with build-time stats; after any
+    # append df/avgdl may have moved, so switch to the append-safe bounds.
+    use_stored_bounds = int(meta.get("appends", 0)) == 0
     qterms = list(dict.fromkeys(terms))
     lex_rows = (
         cat.read(spark, "lexicon")
@@ -217,7 +236,8 @@ def topk(
         F.col("term").isin(list(idf_by_term))
     )
     kernel = _make_shard_kernel(
-        idf_by_term, k1, b, avgdl, k, mode_all, len(qterms), prune
+        idf_by_term, k1, b, avgdl, k, mode_all, len(qterms), prune,
+        use_stored_bounds=use_stored_bounds,
     )
     per_shard = blocks.groupBy("shard").applyInPandas(
         kernel, "doc_id long, score double"

@@ -1,0 +1,164 @@
+"""Document clustering by TF-IDF vector similarity (SURVEY.md §2, A7/A8
+and §3.2 — the reference's Canopy → Fuzzy-k-means pipeline,
+``ClusteringDemo.java:104-110`` and
+``MahoutTermFinderMwkSnptRefactoredCluster.java:892-898``).
+
+Spark-first re-expression:
+
+* TF-IDF doc vectors — the same relational pipeline as the scorer
+  (tf → df → √tf·(1+ln(N/(df+1)))), assembled into ``pyspark.ml``
+  SparseVectors over the dense term-id space (dictionary order, exactly
+  the reference's ``dictionary.file-0`` id scheme).
+* Canopy seeding → **k estimation**: Mahout used Canopy (t1=t2) to choose
+  the initial cluster count; Spark's KMeans has scalable k-means|| init,
+  so canopy's only surviving role is picking k. ``estimate_k_canopy``
+  runs the classic one-pass canopy construction on a driver-side sample
+  (seeding is O(sample²) — on 10^9 docs you sample anyway; Mahout's
+  ``runSequential=true`` did the same single-threaded).
+* Fuzzy-k-means → ``pyspark.ml.clustering.KMeans`` with
+  ``distanceMeasure="cosine"`` (the demo's CosineDistanceMeasure). The
+  reference's fuzziness m=2 softens assignment weights but its *report*
+  hardens them back to top-cluster membership
+  (``…RefactoredCluster.java:907-923``), so hard cosine k-means
+  reproduces the observable output (golden: ``report_clusters.txt:2-8``,
+  docs 6 & 7 together, doc 1 alone).
+* Cluster report — groupBy(cluster) + size>1 filter (F8) + member lists,
+  all DataFrame ops.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Lucene StandardAnalyzer's default English stop set (the analyzer the
+# reference's ClusteringDemo.java:70-72 uses — NOT the 665-word list).
+LUCENE_STOP33 = [
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",
+    "in", "into", "is", "it", "no", "not", "of", "on", "or", "such",
+    "that", "the", "their", "then", "there", "these", "they", "this",
+    "to", "was", "will", "with",
+]
+
+
+def tfidf_doc_terms(
+    docs: DataFrame, content_col: str = "text", id_col: str = "doc_id",
+    stop_words: list[str] | None = None,
+) -> tuple[DataFrame, int]:
+    """(doc_id, term_id, score) rows with the reference TF-IDF formula
+    √tf·(1+ln(N/(df+1))) over dense dictionary term ids; returns
+    (scores_df, dict_size). Pure DataFrame ops (two shuffles:
+    groupBy(doc,term), groupBy(term))."""
+    stop = stop_words if stop_words is not None else LUCENE_STOP33
+    toks = F.filter(
+        F.split(F.lower(F.col(content_col)), "[^a-z0-9]+"),
+        lambda t: (t != "") & ~t.isin(stop),
+    )
+    tf = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    tf = tf.cache()
+    n_docs = docs.count()
+    from mahout_spark.functions import dense_ids
+
+    dictionary = dense_ids(tf.select("term").distinct(), ["term"], "term_id")
+    dim = dictionary.count()
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scores = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(dictionary), "term")
+        .select(
+            "doc_id",
+            "term_id",
+            (
+                F.sqrt(F.col("tf"))
+                * (1.0 + F.log(F.lit(float(n_docs)) / (F.col("df") + 1.0)))
+            ).alias("score"),
+        )
+    )
+    return scores, dim
+
+
+def doc_vectors(scores: DataFrame, dim: int) -> DataFrame:
+    """(doc_id, features SparseVector[dim]) for pyspark.ml consumers.
+
+    Per-doc assembly is a Python UDF over collected (term_id, score)
+    lists — a cold path run once per clustering job on one row per
+    *document* (not per posting), so the per-row overhead is bounded;
+    ml's VectorUDT has no Arrow representation to vectorize against."""
+    from pyspark.ml.linalg import Vectors, VectorUDT
+
+    @F.udf(VectorUDT())
+    def to_vec(pairs):
+        pairs = sorted((int(p["term_id"]), float(p["score"])) for p in pairs)
+        return Vectors.sparse(
+            dim, [i for i, _ in pairs], [v for _, v in pairs]
+        )
+
+    return (
+        scores.groupBy("doc_id")
+        .agg(
+            F.collect_list(F.struct("term_id", "score")).alias("pairs")
+        )
+        .select("doc_id", to_vec("pairs").alias("features"))
+    )
+
+
+def estimate_k_canopy(
+    vectors: DataFrame, t: float = 0.2, max_sample: int = 4096,
+    seed: int = 7,
+) -> int:
+    """Canopy pass (t1=t2=t, cosine distance — ClusteringDemo.java:104-106)
+    over a bounded deterministic sample; returns the canopy count = k."""
+    rows = (
+        vectors.orderBy("doc_id").limit(max_sample).collect()
+    )
+    centers: list[np.ndarray] = []
+    for r in rows:
+        v = r["features"].toArray()
+        n = np.linalg.norm(v)
+        if n == 0:
+            continue
+        v = v / n
+        if all(1.0 - float(c @ v) > t for c in centers):
+            centers.append(v)
+    return max(1, len(centers))
+
+
+def kmeans_doc_clusters(
+    docs: DataFrame, k: int | None = None, content_col: str = "text",
+    id_col: str = "doc_id", stop_words: list[str] | None = None,
+    canopy_t: float = 0.2, seed: int = 1,
+) -> DataFrame:
+    """Full pipeline: TF-IDF vectors → (optional canopy k estimate) →
+    cosine k-means → (doc_id, cluster). Deterministic under a fixed seed."""
+    from pyspark.ml.clustering import KMeans
+
+    scores, dim = tfidf_doc_terms(docs, content_col, id_col, stop_words)
+    vecs = doc_vectors(scores, dim).cache()
+    if k is None:
+        k = estimate_k_canopy(vecs, t=canopy_t)
+    model = KMeans(
+        k=k, seed=seed, distanceMeasure="cosine", featuresCol="features",
+        predictionCol="cluster",
+    ).fit(vecs)
+    return model.transform(vecs).select("doc_id", "cluster")
+
+
+def cluster_report(
+    assignments: DataFrame, min_size: int = 2
+) -> DataFrame:
+    """Reference report shape (…RefactoredCluster.java:907-964): clusters
+    with more than one member, each with its sorted member list."""
+    return (
+        assignments.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sort_array(F.collect_list("doc_id")).alias("members"),
+        )
+        .filter(F.col("n_docs") >= min_size)
+        .select("cluster", "n_docs", "members")
+    )

@@ -26,6 +26,7 @@ def term_frequencies(
     content_col: str = "content",
     id_cols: list[str] | None = None,
     mode: str = "text",
+    lang_col: str | None = None,
     **tok_kw,
 ) -> DataFrame:
     """docs -> one row per (doc, term): id_cols..., term, tf, doclen.
@@ -36,18 +37,39 @@ def term_frequencies(
     into one narrow map: tokenize + doc-local count in a single Arrow UDF,
     then explode the map. doclen = total surviving tokens (sum of tf),
     the BM25 length normalizer.
+
+    ``lang_col``: language-tagged terms (north-star T4) — each doc also
+    posts the synthetic term ``lang:<value>`` (tf=1, EXCLUDED from
+    doclen so BM25 length normalization is unaffected). Language scoping
+    then costs one posting-list intersection instead of a docstats join,
+    and partition-prunes like any other term. The content tokenizer can
+    never emit a ``:`` so the namespace cannot collide.
     """
     if id_cols is None:
         id_cols = ["doc_id"]
     tfm = tf_map_udf(mode=mode, **tok_kw)
-    with_map = docs.withColumn("_tf_map", tfm(F.col(content_col)))
+    with_map = docs.withColumn("_tf_map", tfm(F.col(content_col))).withColumn(
+        "_doclen",
+        F.aggregate(
+            F.map_values("_tf_map"), F.lit(0), lambda acc, x: acc + x
+        ),
+    )
+    if lang_col is not None:
+        tag = F.concat(F.lit("lang:"), F.lower(F.col(lang_col)))
+        tag_map = F.when(
+            F.col(lang_col).isNotNull(),
+            F.map_from_arrays(F.array(tag), F.array(F.lit(1))),
+        ).otherwise(F.map_from_arrays(
+            F.array().cast("array<string>"), F.array().cast("array<int>")
+        ))
+        with_map = with_map.withColumn(
+            "_tf_map", F.map_concat(F.col("_tf_map"), tag_map)
+        )
     return (
         with_map.select(
             *id_cols,
             F.explode_outer("_tf_map").alias("term", "tf"),
-            F.aggregate(
-                F.map_values("_tf_map"), F.lit(0), lambda acc, x: acc + x
-            ).alias("doclen"),
+            F.col("_doclen").alias("doclen"),
         )
         .filter(F.col("term").isNotNull())
     )

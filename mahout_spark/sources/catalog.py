@@ -67,6 +67,49 @@ class ParquetCatalog:
             shutil.rmtree(final)
         os.rename(stage, final)
 
+    def append_partitioned(
+        self, df: DataFrame, table: str, part_col: str
+    ) -> list:
+        """Append rows into an existing hive-partitioned table: one staged
+        partitioned write, then per-file renames into the live partition
+        dirs (unique names — concurrent readers never see partial files;
+        Iceberg's snapshot append is the transactional version of this).
+        Returns the partition values appended to."""
+        final = self.table_path(table)
+        stage = final + f".__append_{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").partitionBy(part_col).parquet(stage)
+        tag = uuid.uuid4().hex[:8]
+        touched = []
+        for d in sorted(os.listdir(stage)):
+            if not d.startswith(f"{part_col}="):
+                continue
+            src = os.path.join(stage, d)
+            dst = os.path.join(final, d)
+            os.makedirs(dst, exist_ok=True)
+            for fn in os.listdir(src):
+                if fn.startswith("part-"):
+                    os.rename(
+                        os.path.join(src, fn), os.path.join(dst, f"a{tag}-{fn}")
+                    )
+            open(os.path.join(dst, "_SUCCESS"), "a").close()
+            touched.append(d.split("=", 1)[1])
+        shutil.rmtree(stage, ignore_errors=True)
+        return touched
+
+    def append_table(self, df: DataFrame, table: str) -> None:
+        """Append rows to an unpartitioned table (staged write + renames)."""
+        final = self.table_path(table)
+        stage = final + f".__append_{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").parquet(stage)
+        tag = uuid.uuid4().hex[:8]
+        os.makedirs(final, exist_ok=True)
+        for fn in os.listdir(stage):
+            if fn.startswith("part-"):
+                os.rename(
+                    os.path.join(stage, fn), os.path.join(final, f"a{tag}-{fn}")
+                )
+        shutil.rmtree(stage, ignore_errors=True)
+
     def partition_complete(self, table: str, part_col: str, value) -> bool:
         p = self.partition_path(table, part_col, value)
         return os.path.isdir(p) and os.path.exists(os.path.join(p, "_SUCCESS"))

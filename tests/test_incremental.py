@@ -1,0 +1,188 @@
+"""Incremental append + streaming build tests.
+
+Gate (SURVEY.md §5.2): an index built as initial-build + appends must
+answer every query with results rank-identical (and score-identical) to a
+single full build over the union — under the append-safe block bounds.
+Plus exactly-once idempotency and the uniqueness guard.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+QUERIES = [
+    (["spark", "query", "data"], False),
+    (["spark", "query", "data"], True),
+    (["window", "stream"], False),
+    (["vector"], False),
+    (["table", "scan", "filter"], True),
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .select("doc_id", "text")
+    )
+
+
+def _results(spark, cat, k=10):
+    from mahout_spark.index.wand import topk
+
+    out = {}
+    for terms, mode_all in QUERIES:
+        rows = topk(spark, cat, terms, k=k, mode_all=mode_all).collect()
+        out[(tuple(terms), mode_all)] = [
+            (r["doc_id"], r["score"]) for r in rows
+        ]
+    return out
+
+
+class TestAppend:
+    def test_append_equals_full_build(self, spark, corpus, tmp_path_factory):
+        from mahout_spark.index.append import append_to_index
+        from mahout_spark.index.build import build_index
+        from mahout_spark.sources.catalog import ParquetCatalog
+
+        half_a = corpus.filter(F.col("doc_id") < 250)
+        half_b = corpus.filter(F.col("doc_id") >= 250)
+
+        full_dir = str(tmp_path_factory.mktemp("full"))
+        inc_dir = str(tmp_path_factory.mktemp("inc"))
+
+        full_cat = build_index(
+            spark, corpus, out_dir=full_dir, content_col="text",
+            id_cols=["doc_id"], mode="text", resume=False,
+        )
+        inc_cat = build_index(
+            spark, half_a, out_dir=inc_dir, content_col="text",
+            id_cols=["doc_id"], mode="text", resume=False,
+        )
+        append_to_index(
+            spark, inc_cat, half_b, content_col="text", batch_id="b1"
+        )
+
+        # corpus stats converge exactly
+        fm = full_cat.read_meta("postings")
+        im = inc_cat.read_meta("postings")
+        assert im["n_docs"] == fm["n_docs"]
+        assert im["avgdl"] == pytest.approx(fm["avgdl"], rel=1e-12)
+        assert im["appends"] == 1
+
+        # every query rank- and score-identical
+        full = _results(spark, full_cat)
+        inc = _results(spark, inc_cat)
+        for q in full:
+            assert [d for d, _ in inc[q]] == [d for d, _ in full[q]], q
+            for (_, s1), (_, s2) in zip(inc[q], full[q]):
+                assert s1 == pytest.approx(s2, rel=1e-12)
+
+        # lexicon df agrees with a direct aggregation
+        from mahout_spark.operators.stats import simple_term_frequencies
+
+        ParquetCatalog(inc_dir)  # smoke: reopen by path works
+        lex = inc_cat.read(spark, "lexicon")
+        got_df = {
+            r["term"]: r["df"]
+            for r in lex.filter(F.col("term").isin(["spark", "vector"]))
+            .collect()
+        }
+        tf = simple_term_frequencies(
+            corpus.withColumnRenamed("text", "text"), "text", "doc_id"
+        )
+        exp_df = {
+            r["term"]: r["cnt"]
+            for r in tf.filter(F.col("term").isin(["spark", "vector"]))
+            .groupBy("term").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        }
+        assert got_df == exp_df
+
+    def test_append_idempotent_by_batch_id(self, spark, corpus, tmp_path_factory):
+        from mahout_spark.index.append import append_to_index
+        from mahout_spark.index.build import build_index
+
+        d = str(tmp_path_factory.mktemp("idem"))
+        half_a = corpus.filter(F.col("doc_id") < 250)
+        half_b = corpus.filter(
+            (F.col("doc_id") >= 250) & (F.col("doc_id") < 300)
+        )
+        cat = build_index(
+            spark, half_a, out_dir=d, content_col="text", resume=False
+        )
+        append_to_index(spark, cat, half_b, content_col="text", batch_id="x")
+        n1 = cat.read_meta("postings")["n_docs"]
+        r1 = _results(spark, cat)
+        # replay the same batch — must be a no-op
+        append_to_index(spark, cat, half_b, content_col="text", batch_id="x")
+        assert cat.read_meta("postings")["n_docs"] == n1
+        assert _results(spark, cat) == r1
+
+    def test_append_rejects_duplicate_ids(self, spark, corpus, tmp_path_factory):
+        from mahout_spark.index.append import append_to_index
+        from mahout_spark.index.build import build_index
+
+        d = str(tmp_path_factory.mktemp("dup"))
+        half_a = corpus.filter(F.col("doc_id") < 100)
+        cat = build_index(
+            spark, half_a, out_dir=d, content_col="text", resume=False
+        )
+        with pytest.raises(ValueError, match="already present"):
+            append_to_index(
+                spark, cat, half_a.limit(5), content_col="text"
+            )
+
+
+class TestStreaming:
+    def test_stream_equals_full_build(self, spark, corpus, tmp_path_factory):
+        from mahout_spark.index.build import build_index
+        from mahout_spark.sources.catalog import ParquetCatalog
+        from mahout_spark.streaming.incremental import index_document_stream
+
+        landing = str(tmp_path_factory.mktemp("landing"))
+        index_dir = str(tmp_path_factory.mktemp("stream_idx"))
+        ckpt = str(tmp_path_factory.mktemp("ckpt"))
+        full_dir = str(tmp_path_factory.mktemp("stream_full"))
+
+        sub = corpus.filter(F.col("doc_id") < 200)
+        # two landing files -> two (or more) micro-batches
+        sub.filter(F.col("doc_id") < 100).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+        sub.filter(F.col("doc_id") >= 100).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+
+        q = index_document_stream(
+            spark, landing, "doc_id long, text string", index_dir, ckpt,
+            content_col="text", mode="text",
+        )
+        q.awaitTermination(120)
+
+        full_cat = build_index(
+            spark, sub, out_dir=full_dir, content_col="text", resume=False
+        )
+        stream_cat = ParquetCatalog(index_dir)
+        assert (
+            stream_cat.read_meta("postings")["n_docs"]
+            == full_cat.read_meta("postings")["n_docs"]
+        )
+        assert _results_equal(
+            _results(spark, stream_cat), _results(spark, full_cat)
+        )
+        assert os.path.isdir(os.path.join(index_dir, "postings"))
+
+
+def _results_equal(a, b):
+    if set(a) != set(b):
+        return False
+    for q in a:
+        if [d for d, _ in a[q]] != [d for d, _ in b[q]]:
+            return False
+        for (_, s1), (_, s2) in zip(a[q], b[q]):
+            if abs(s1 - s2) > 1e-9 * max(1.0, abs(s2)):
+                return False
+    return True

@@ -29,6 +29,7 @@ def built(spark, corpus, tmp_path_factory):
     cat = build_index(
         spark, corpus, out, content_col="content", id_cols=["doc_id"],
         mode="text", n_buckets=4, docs_per_shard=64, block_size=16,
+        lexicon_max_score=True,
     )
     return cat
 

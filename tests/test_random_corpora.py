@@ -1,0 +1,100 @@
+"""Property-style randomized equivalence (SURVEY.md §5.2): on seeded
+random corpora with planted skew (Zipf vocab, duplicated docs, empty docs),
+the indexed block-max path must answer every random query rank- and
+score-identically to the pure-Python oracle and the full-scan scorer."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.oracle import OracleIndex
+
+VOCAB = (
+    [f"w{i}" for i in range(40)]
+    + ["spark"] * 0  # names only; skew comes from Zipf sampling below
+)
+
+
+def _random_corpus(seed: int, n_docs: int):
+    rng = random.Random(seed)
+    docs = {}
+    for d in range(n_docs):
+        if rng.random() < 0.05:
+            docs[d] = ""  # empty docs must not break stats
+            continue
+        length = rng.randint(3, 60)
+        # Zipf-ish: low word ids much likelier -> hot terms exist
+        words = [
+            VOCAB[min(int(rng.expovariate(0.12)), len(VOCAB) - 1)]
+            for _ in range(length)
+        ]
+        docs[d] = " ".join(words)
+    # planted exact duplicates
+    docs[n_docs] = docs[0]
+    docs[n_docs + 1] = docs[0]
+    return docs
+
+
+@pytest.mark.parametrize("seed", [11, 29, 83])
+def test_indexed_equals_oracle_on_random_corpus(
+    spark, tmp_path_factory, seed
+):
+    from mahout_spark.index.build import build_index
+    from mahout_spark.index.wand import topk
+
+    docs = _random_corpus(seed, 120)
+    oracle = OracleIndex(docs, mode="text")
+    sdf = spark.createDataFrame(
+        [(k, v) for k, v in docs.items()], ["doc_id", "content"]
+    )
+    out = str(tmp_path_factory.mktemp(f"rand{seed}"))
+    cat = build_index(
+        spark, sdf, out, content_col="content", mode="text",
+        n_buckets=4, docs_per_shard=32, block_size=8, resume=False,
+    )
+
+    rng = random.Random(seed * 7)
+    for _ in range(8):
+        n_terms = rng.randint(1, 4)
+        terms = [
+            oracle.df and rng.choice(list(oracle.df)) or "w0"
+            for _ in range(n_terms)
+        ]
+        mode_all = rng.random() < 0.4
+        k = rng.choice([3, 10, 25])
+        exp = oracle.search(terms, k=k, mode_all=mode_all)
+        got = [
+            (r["doc_id"], r["score"])
+            for r in topk(spark, cat, terms, k=k, mode_all=mode_all).collect()
+        ]
+        assert [d for d, _ in got] == [d for d, _ in exp], (terms, mode_all)
+        for (_, s1), (_, s2) in zip(got, exp):
+            assert s1 == pytest.approx(s2, rel=1e-9)
+
+
+def test_skewed_hot_term_shards(spark, tmp_path_factory):
+    """A term present in EVERY doc (the pathological hot term) must still
+    produce docid-sorted, shard-split blocks and exact results."""
+    from mahout_spark.index.build import build_index
+    from mahout_spark.index.wand import topk
+
+    docs = {i: f"hot filler{i % 7} hot hot" for i in range(300)}
+    oracle = OracleIndex(docs, mode="text")
+    sdf = spark.createDataFrame(list(docs.items()), ["doc_id", "content"])
+    out = str(tmp_path_factory.mktemp("hot"))
+    cat = build_index(
+        spark, sdf, out, content_col="content", mode="text",
+        n_buckets=4, docs_per_shard=64, block_size=16, resume=False,
+    )
+    post = cat.read(spark, "postings").filter(F.col("term") == "hot")
+    # skew defused structurally: the hot term spans every shard
+    assert post.select("shard").distinct().count() == 300 // 64 + 1
+    exp = oracle.search(["hot", "filler3"], k=20)
+    got = [
+        (r["doc_id"], r["score"])
+        for r in topk(spark, cat, ["hot", "filler3"], k=20).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in exp]
