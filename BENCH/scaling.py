@@ -3,15 +3,15 @@
 The rule's criterion — throughput scaling efficiency ≥ 0.8 from N to 4N
 executors — cannot use a real cluster in this sandbox, so per the task
 protocol we run the SAME job on the SAME input at two parallelism levels
-(local[8] vs local[32]) and report throughput at both plus
+(local[N] vs local[4N], --n picks N) and report throughput at both plus
 
-    efficiency = throughput_32 / (4 · throughput_8)
+    efficiency = throughput_4N / (4 · throughput_N)
 
 Each level runs in its own subprocess (a SparkSession's master is fixed at
 creation). Results go to stdout as JSON and are appended to
 BENCH/BASELINE.md by --write-md.
 
-Usage: python BENCH/scaling.py [--replicas 20] [--write-md]
+Usage: python BENCH/scaling.py [--n 2] [--replicas 200] [--write-md]
 """
 
 from __future__ import annotations
@@ -42,10 +42,15 @@ def main() -> None:
     ap.add_argument("--trials", type=int, default=3)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--write-md", action="store_true")
+    ap.add_argument(
+        "--n", type=int, default=8,
+        help="small cluster size; the large level is 4n (criterion is "
+        "N->4N, any N)",
+    )
     args = ap.parse_args()
 
-    r8 = run_level(8, args.replicas, args.sf_dir, args.trials)
-    r32 = run_level(32, args.replicas, args.sf_dir, args.trials)
+    r8 = run_level(args.n, args.replicas, args.sf_dir, args.trials)
+    r32 = run_level(4 * args.n, args.replicas, args.sf_dir, args.trials)
 
     eff_build = r32["docs_per_sec"] / (4.0 * r8["docs_per_sec"])
     eff_query = r32["query_qps"] / (4.0 * r8["query_qps"])
@@ -66,19 +71,19 @@ def main() -> None:
         md = os.path.join(HERE, "BASELINE.md")
         with open(md, "a") as f:
             f.write(
-                f"\n## Scaling run (local[8] vs local[32], "
+                f"\n## Scaling run (local[{r8['cpus']}] vs local[{r32['cpus']}], "
                 f"{r8['n_docs']} docs, best of {len(r8['build_trials_sec'])} "
                 f"warm trials per level)\n\n"
                 f"| level | build sec (best) | all trials | docs/sec "
                 f"| query p50 | query p95 | qps |\n"
                 f"|---|---|---|---|---|---|---|\n"
-                f"| local[8] | {r8['build_sec']} | {r8['build_trials_sec']} "
+                f"| local[{r8['cpus']}] | {r8['build_sec']} | {r8['build_trials_sec']} "
                 f"| {r8['docs_per_sec']} | {r8['query_p50_sec']} "
                 f"| {r8['query_p95_sec']} | {r8['query_qps']} |\n"
-                f"| local[32] | {r32['build_sec']} | {r32['build_trials_sec']} "
+                f"| local[{r32['cpus']}] | {r32['build_sec']} | {r32['build_trials_sec']} "
                 f"| {r32['docs_per_sec']} | {r32['query_p50_sec']} "
                 f"| {r32['query_p95_sec']} | {r32['query_qps']} |\n\n"
-                f"Build speedup 8→32 cores: "
+                f"Build speedup {r8['cpus']}→{r32['cpus']} cores: "
                 f"{result['build_speedup_8_to_32']}× "
                 f"(ideal 4×); **scaling efficiency "
                 f"{result['build_scaling_efficiency']}** "

@@ -76,8 +76,16 @@ def main() -> None:
     n_base = base.count()  # warms the scan
     docs = base.select("doc_id", "text")
     if args.replicas > 1:
-        reps = spark.range(args.replicas).select(F.col("id").alias("rep"))
-        docs = docs.crossJoin(reps).select(
+        # range is the STREAMED side (INPUT_PARTITIONS partitions) and the
+        # small base table is broadcast — corpus generation parallelizes
+        # across tasks. The naive base.crossJoin(range) inherits the base
+        # scan's single partition and serializes 10^6-doc generation into
+        # one task inside the timed build (measured: ~25 s of the "serial"
+        # fraction was this harness artifact, not engine cost).
+        reps = spark.range(
+            0, args.replicas, 1, INPUT_PARTITIONS
+        ).select(F.col("id").alias("rep"))
+        docs = reps.join(F.broadcast(docs)).select(
             (F.col("doc_id") + F.col("rep") * F.lit(n_base)).alias("doc_id"),
             "text",
         )

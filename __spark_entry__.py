@@ -344,6 +344,63 @@ def q_engine_media_decode(spark, sf_dir):
     return decode_media(pack_media(_load(spark, sf_dir, "documents"), "text"))
 
 
+def q_report_lines(spark, sf_dir):
+    """Reference report format (MahoutTermFinderMwk.java:114-116):
+    '<doc>: <int(score*10) lpad 3> <term>' over the per-doc top-5 TF-IDF
+    terms, globally sorted like run.sh's `| sort`."""
+    from mahout_spark.report import report_lines
+
+    scored = q_tfidf_top5_per_doc(spark, sf_dir).select(
+        "doc_id", "term", "score"
+    )
+    return report_lines(scored)
+
+
+def q_tpch_q3_topk(spark, sf_dir):
+    """TPC-H Q3-style: top-10 open orders by pre-discount revenue (exact
+    cents), broadcast customer filter."""
+    cust = _load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15")
+    )
+    li = _load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15")
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(cents * (100 - disc)).alias("revenue_c4"))
+        .orderBy(F.col("revenue_c4").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q_tpch_promo_share(spark, sf_dir):
+    """TPC-H Q14-style: per part type prefix, lineitem revenue share
+    (exact cents numerator/denominator as integers)."""
+    part = _load(spark, sf_dir, "part")
+    li = _load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01"))
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    rev = cents * (100 - disc)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.split(F.col("p_type"), " ").getItem(0).alias("type_prefix"))
+        .agg(
+            F.sum(rev).alias("revenue_c4"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 def q_engine_cluster_docs(spark, sf_dir):
     """Document clustering (reference Canopy→FKM pipeline re-expressed as
     TF-IDF vectors + cosine k-means; golden-tested against
@@ -384,6 +441,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_ann_topk": q_engine_ann_topk,
         "engine_media_decode": q_engine_media_decode,
         "engine_cluster_docs": q_engine_cluster_docs,
+        "report_lines": q_report_lines,
+        "tpch_q3_topk": q_tpch_q3_topk,
+        "tpch_promo_share": q_tpch_promo_share,
     }
 
 
@@ -559,6 +619,49 @@ def _pipeline_sql() -> dict[str, str]:
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                sha256(text) AS sha
         FROM documents
+        """,
+        "report_lines": _TOK_CTE + """
+        , scored AS (
+            SELECT tf.doc_id, tf.term,
+                   round(sqrt(tf.tf) * (1.0 + ln(scal.n_docs / (dfreq.df + 1.0))), 6) AS score
+            FROM tf JOIN dfreq USING (term) CROSS JOIN scal
+        ), ranked AS (
+            SELECT doc_id, term, score,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY score DESC, term ASC
+                   ) AS rank
+            FROM scored
+        )
+        SELECT CAST(doc_id AS VARCHAR) || ': '
+               || lpad(CAST(CAST(trunc(score * 10) AS INTEGER) AS VARCHAR), 3, ' ')
+               || ' ' || term AS line
+        FROM ranked WHERE rank <= 5
+        """,
+        "tpch_q3_topk": """
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                   AS revenue_c4
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue_c4 DESC, l_orderkey ASC LIMIT 10
+        """,
+        "tpch_promo_share": """
+        SELECT string_split(p_type, ' ')[1] AS type_prefix,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                   AS revenue_c4,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'
+        GROUP BY 1
         """,
     }
 

@@ -133,15 +133,19 @@ def append_to_index(
             )
         )
         kept = merged.filter(F.col("term_id").isNotNull())
-        cat.overwrite_table(kept.unionByName(fresh), "lexicon")
+        cat.overwrite_table_partitioned(
+            kept.unionByName(fresh), "lexicon", "bucket"
+        )
 
         # -- encode + append new postings blocks --------------------------
         lexicon = cat.read(spark, "lexicon")
         encoder = _make_encoder(
             n_docs, avgdl, meta["k1"], meta["b"], meta["block_size"]
         )
+        from mahout_spark.index.build import _maybe_broadcast
+
         enc_in = tf.join(
-            lexicon.select("term", "term_id", "df"), "term"
+            _maybe_broadcast(lexicon.select("term", "term_id", "df")), "term"
         )
         blocks = (
             enc_in.repartition(

@@ -29,11 +29,12 @@ at sandbox scale:
   appends change df/avgdl, which is what makes incremental appends safe
   without rewriting old blocks (index/append.py).
 
-Shuffle inventory of a full build: tokenize (narrow) -> shuffle 1
-(write tf_raw by bucket) -> shuffle 2 (lexicon groupBy term) -> shuffle 3
-(per-bucket groupBy (term, shard) for encoding). No driver-side corpus
-state anywhere; the only collects are tiny (per-partition offset table,
-lexicon rows for query terms).
+Shuffle inventory of a full build: tokenize + tf (narrow, partitionBy
+write without repartition) -> shuffle 1 (lexicon groupBy term) ->
+shuffle 2 (repartition("term") + sortWithinPartitions for the
+partition-level block encoder). No driver-side corpus state anywhere;
+the only collects are tiny (per-partition offset table, per-bucket
+lineage stats, lexicon rows for query terms).
 """
 
 from __future__ import annotations
@@ -295,7 +296,12 @@ def build_index(
         lex = tf_raw.groupBy("term", "bucket").agg(
             F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
         )
-        cat.overwrite_table(dense_ids(lex, ["term"], "term_id"), "lexicon")
+        # bucket-partitioned on disk: a query's lexicon lookup reads only
+        # its terms' bucket dirs (same pruning story as postings) instead
+        # of scanning the full vocabulary — material at 10^6+ terms.
+        cat.overwrite_table_partitioned(
+            dense_ids(lex, ["term"], "term_id"), "lexicon", "bucket"
+        )
 
     # ---- stage 3: postings (resume unit: bucket) ---------------------------
     lexicon = cat.read(spark, "lexicon")
@@ -339,8 +345,10 @@ def build_index(
             )
             continue
         enc_in = part.join(
-            lexicon.filter(F.col("bucket") == bucket).select(
-                "term", "term_id", "df"
+            _maybe_broadcast(
+                lexicon.filter(F.col("bucket") == bucket).select(
+                    "term", "term_id", "df"
+                )
             ),
             "term",
         )
@@ -377,8 +385,9 @@ def build_index(
         ms = postings.groupBy("term_id").agg(
             F.max("block_max_score").alias("max_score")
         )
-        cat.overwrite_table(
-            cat.read(spark, "lexicon").join(ms, "term_id", "left"), "lexicon"
+        cat.overwrite_table_partitioned(
+            cat.read(spark, "lexicon").join(ms, "term_id", "left"),
+            "lexicon", "bucket",
         )
     return cat
 
@@ -395,7 +404,9 @@ def _encode_all_buckets(
 
     started = time.time()
     tf_raw = cat.read(spark, "tf_raw")
-    enc_in = tf_raw.join(lexicon.select("term", "term_id", "df"), "term")
+    enc_in = tf_raw.join(
+        _maybe_broadcast(lexicon.select("term", "term_id", "df")), "term"
+    )
     enc_parts = max(spark.sparkContext.defaultParallelism, 8)
     blocks = (
         enc_in.repartition(enc_parts, "term")
@@ -438,6 +449,17 @@ def _encode_all_buckets(
             },
         )
     shutil.rmtree(stage, ignore_errors=True)
+
+
+def _maybe_broadcast(lex_slice: DataFrame, max_rows: int = 5_000_000) -> DataFrame:
+    """Broadcast the lexicon side of the encode join when it is small
+    enough (metadata-only row count). A partitioned parquet read loses the
+    size stats Catalyst's auto-broadcast relies on, silently degrading the
+    tf⋈lexicon join to a full sort-merge shuffle of every posting row; at
+    vocabularies beyond ``max_rows`` fall back to Spark's choice (AQE)."""
+    if lex_slice.count() <= max_rows:
+        return F.broadcast(lex_slice)
+    return lex_slice
 
 
 def _meta_matches(cat, mode, n_buckets, docs_per_shard, block_size) -> bool:

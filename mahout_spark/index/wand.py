@@ -216,11 +216,29 @@ def topk(
     # append df/avgdl may have moved, so switch to the append-safe bounds.
     use_stored_bounds = int(meta.get("appends", 0)) == 0
     qterms = list(dict.fromkeys(terms))
+    # term -> bucket is pure hash math (pmod(xxhash64)), computed on a
+    # literal one-row-per-term frame — no scan. Lexicon lookup then reads
+    # ONLY those bucket dirs (partition pruning over the vocabulary, the
+    # same story as the postings scan below).
+    n_buckets = int(meta["n_buckets"])
+    tb_rows = (
+        spark.createDataFrame([(t,) for t in qterms], "term string")
+        .select(
+            "term", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("bucket")
+        )
+        .collect()
+    )
+    qbuckets = sorted({int(r["bucket"]) for r in tb_rows})
+    try:
+        lex = cat.read_partitions(spark, "lexicon", "bucket", qbuckets)
+    except FileNotFoundError:
+        lex = None
     lex_rows = (
-        cat.read(spark, "lexicon")
-        .filter(F.col("term").isin(qterms))
+        lex.filter(F.col("term").isin(qterms))
         .select("term", "bucket", "df")
         .collect()
+        if lex is not None
+        else []
     )
     empty = spark.createDataFrame([], "doc_id long, score double")
     if not lex_rows:

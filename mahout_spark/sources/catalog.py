@@ -54,6 +54,20 @@ class ParquetCatalog:
         os.rename(stage, final)
         shutil.rmtree(old, ignore_errors=True)
 
+    def overwrite_table_partitioned(
+        self, df: DataFrame, table: str, part_col: str
+    ) -> None:
+        """Atomic full replace of a hive-partitioned table (stage + swap).
+        Readers via read_partitions() then prune to the named dirs."""
+        final = self.table_path(table)
+        stage = final + f".__stage_{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").partitionBy(part_col).parquet(stage)
+        old = final + ".__old"
+        if os.path.isdir(final):
+            os.rename(final, old)
+        os.rename(stage, final)
+        shutil.rmtree(old, ignore_errors=True)
+
     def overwrite_partition(
         self, df: DataFrame, table: str, part_col: str, value
     ) -> None:
