@@ -1,0 +1,105 @@
+"""Physical-plan assertions (PLANS.md): the optimizations the 100 TB
+design depends on must actually appear in the compiled plans — predicate
+pushdown to the scans, broadcast joins for dims, column pruning, and
+partition-pruned index scans. Plan regressions (a lost filter, a join
+degrading to sort-merge-with-shuffle) fail here before they cost anything."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestRelationalPlans:
+    def test_q3_filters_pushed_and_broadcast(self, spark):
+        import __spark_entry__ as e
+
+        p = _plan(e.q_tpch_q3_topk(spark, SF))
+        assert "GreaterThan(l_shipdate" in p
+        assert "LessThan(o_orderdate" in p
+        assert "EqualTo(c_mktsegment,BUILDING)" in p
+        assert "BroadcastHashJoin" in p
+        assert "SortMergeJoin" not in p
+        assert "TakeOrderedAndProject" in p
+
+    def test_revenue_join_broadcasts_dims(self, spark):
+        import __spark_entry__ as e
+
+        p = _plan(e.q_revenue_by_nation(spark, SF))
+        assert p.count("BroadcastHashJoin") >= 2
+        assert "SortMergeJoin" not in p
+
+    def test_textstats_single_narrow_scan(self, spark):
+        import __spark_entry__ as e
+
+        p = _plan(e.q_quality_scores(spark, SF))
+        assert "Exchange" not in p  # zero shuffles
+        import re
+
+        # formatted explain prints each scan in the tree AND the details
+        assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+
+    def test_column_pruning_on_tf_scan(self, spark):
+        import __spark_entry__ as e
+
+        p = _plan(e.q_wordcount(spark, SF))
+        # documents has (doc_id, text, lang, source, n_chars); the token
+        # pipeline needs only doc_id+text
+        assert "ReadSchema" in p
+        import re
+
+        schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+        assert schemas and all(
+            "lang" not in s and "source" not in s for s in schemas
+        )
+
+
+class TestIndexPlans:
+    @pytest.fixture(scope="class")
+    def built(self, spark, tmp_path_factory):
+        from mahout_spark.index.build import build_index
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        return build_index(
+            spark, docs, str(tmp_path_factory.mktemp("planidx")),
+            content_col="text", mode="text", n_buckets=8, resume=False,
+        )
+
+    def test_postings_scan_partition_pruned(self, spark, built):
+        from pyspark.sql import functions as F
+
+        from mahout_spark.index.wand import topk
+
+        p = _plan(topk(spark, built, ["spark", "data"], k=10))
+        # driver-side pruning: the scan's file index lists only the query
+        # terms' bucket dirs, and the residual term filter is pushed down
+        assert "In(term, [data,spark])" in p
+        n_buckets_seen = p.count("bucket=")
+        qbuckets = (
+            spark.createDataFrame([("spark",), ("data",)], "term string")
+            .select(F.pmod(F.xxhash64("term"), F.lit(8)).alias("b"))
+            .distinct()
+            .count()
+        )
+        assert 1 <= n_buckets_seen <= qbuckets + 1  # "... N entries" elision
+        assert "TakeOrderedAndProject" in p
+
+    def test_postings_scan_skips_payload_until_needed(self, spark, built):
+        from mahout_spark.index.wand import topk
+
+        p = _plan(topk(spark, built, ["spark"], k=10))
+        # the binary payload columns ride to the kernel, but the doc text
+        # never appears anywhere in the indexed plan
+        assert "text" not in p.split("ReadSchema")[1][:400]
