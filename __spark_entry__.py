@@ -401,6 +401,19 @@ def q_tpch_promo_share(spark, sf_dir):
     )
 
 
+def q_engine_embedding_neardup_lsh(spark, sf_dir):
+    """LSH-bucketed embedding near-dup: candidate pairs from hyperplane
+    buckets, exact-cosine verified — the scale path whose exact-pairwise
+    counterpart is the oracle-checked embedding_neardup. Rows-only check;
+    precision asserted in tests (every emitted pair is exact-verified)."""
+    from mahout_spark.operators.similarity import lsh_neardup_pairs
+
+    return lsh_neardup_pairs(
+        _load(spark, sf_dir, "embeddings"),
+        threshold=EMB_NEARDUP_THRESHOLD, nbits=8,
+    )
+
+
 def q_engine_cluster_docs(spark, sf_dir):
     """Document clustering (reference Canopy→FKM pipeline re-expressed as
     TF-IDF vectors + cosine k-means; golden-tested against
@@ -441,6 +454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_ann_topk": q_engine_ann_topk,
         "engine_media_decode": q_engine_media_decode,
         "engine_cluster_docs": q_engine_cluster_docs,
+        "engine_embedding_neardup_lsh": q_engine_embedding_neardup_lsh,
         "report_lines": q_report_lines,
         "tpch_q3_topk": q_tpch_q3_topk,
         "tpch_promo_share": q_tpch_promo_share,

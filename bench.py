@@ -91,7 +91,7 @@ def main() -> None:
         "engine_minhash_neardup",
         "engine_simhash_neardup",
         "cosine_topk",
-        "embedding_neardup",
+        "engine_embedding_neardup_lsh",
     ]:
         if name in qs:
             timed(name, lambda n=name: qs[n](spark, sf_dir).collect()

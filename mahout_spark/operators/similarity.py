@@ -121,6 +121,56 @@ def lsh_ann_topk(
     )
 
 
+def lsh_neardup_pairs(
+    emb: DataFrame, threshold: float = 0.4, nbits: int = 8, seed: int = 7,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs via LSH bucket blocking + exact cosine verification.
+
+    Candidates = pairs sharing a random-hyperplane bucket; each candidate
+    is verified with the exact double-precision cosine (same fixed
+    accumulation order as dedup.embedding_neardup_pairs), so precision is
+    exact and only recall depends on the LSH parameters. Expected
+    candidate volume ~ n²/2^nbits instead of n²/2 — the quadratic exact
+    baseline's scale path.
+    """
+    if dim is None:
+        first = emb.select(vec_col).first()
+        dim = len(first[0])
+    bucketed = add_lsh_buckets(emb, dim, nbits, seed, vec_col).select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("v"), "bucket"
+    )
+    def norm2(c):
+        return F.aggregate(
+            F.zip_with(c, c, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+
+    withn = bucketed.withColumn("nrm", F.sqrt(norm2(F.col("v"))))
+    a, b = withn.alias("a"), withn.alias("b")
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("a.v"), F.col("b.v"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(
+            F.col("a.vid").alias("id_a"),
+            F.col("b.vid").alias("id_b"),
+            F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def pairwise_topk_join(
     left: DataFrame, right: DataFrame, k: int = 5,
     vec_col: str = "embedding", left_id: str = "vec_id",

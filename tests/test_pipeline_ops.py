@@ -259,6 +259,26 @@ class TestSimilarity:
                for r in lsh_ann_topk(emb, q, 10, nbits=8, n_probes=9).collect()}
         assert len(bf & ann) / 10 >= 0.9
 
+    def test_lsh_neardup_precision_exact(self, spark, clustered_emb):
+        """Every pair the LSH-blocked near-dup emits must be a true pair
+        (exact cosines identical to the quadratic baseline); recall on the
+        planted near-neighbor cluster must be high."""
+        from mahout_spark.operators.dedup import embedding_neardup_pairs
+        from mahout_spark.operators.similarity import lsh_neardup_pairs
+
+        emb, _ = clustered_emb
+        exact = {
+            (r["id_a"], r["id_b"]): r["cosine"]
+            for r in embedding_neardup_pairs(emb, threshold=0.9).collect()
+        }
+        lsh = {
+            (r["id_a"], r["id_b"]): r["cosine"]
+            for r in lsh_neardup_pairs(emb, threshold=0.9, nbits=6).collect()
+        }
+        for pair, c in lsh.items():  # precision: exact subset, same values
+            assert pair in exact and exact[pair] == c
+        assert len(lsh) / max(1, len(exact)) >= 0.5  # recall at 6 bits
+
     def test_knn_join_self_nearest(self, spark, clustered_emb):
         from mahout_spark.operators.similarity import pairwise_topk_join
 
