@@ -216,19 +216,15 @@ def topk(
     # append df/avgdl may have moved, so switch to the append-safe bounds.
     use_stored_bounds = int(meta.get("appends", 0)) == 0
     qterms = list(dict.fromkeys(terms))
-    # term -> bucket is pure hash math (pmod(xxhash64)), computed on a
-    # literal one-row-per-term frame — no scan. Lexicon lookup then reads
-    # ONLY those bucket dirs (partition pruning over the vocabulary, the
-    # same story as the postings scan below).
+    # term -> bucket is pure hash math (pmod(xxhash64)), replicated driver-
+    # side by the bit-compatible pure-Python XXH64 (functions/xxhash.py,
+    # equality locked by tests) — no Spark job at all for the routing step.
+    # Lexicon lookup then reads ONLY those bucket dirs (partition pruning
+    # over the vocabulary, the same story as the postings scan below).
     n_buckets = int(meta["n_buckets"])
-    tb_rows = (
-        spark.createDataFrame([(t,) for t in qterms], "term string")
-        .select(
-            "term", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("bucket")
-        )
-        .collect()
-    )
-    qbuckets = sorted({int(r["bucket"]) for r in tb_rows})
+    from mahout_spark.functions.xxhash import term_bucket
+
+    qbuckets = sorted({term_bucket(t, n_buckets) for t in qterms})
     try:
         lex = cat.read_partitions(spark, "lexicon", "bucket", qbuckets)
     except FileNotFoundError:

@@ -143,33 +143,7 @@ def jaccard_neardup_pairs(
         )
         .distinct()
     )
-    sa = sh.alias("sa")
-    sb = sh.alias("sb")
-    inter = (
-        cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(
-            sb,
-            (F.col("sb.doc_id") == F.col("doc_b"))
-            & (F.col("sb.shingle") == F.col("sa.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
-    return (
-        inter.join(na, "doc_a").join(nb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("inter")),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    return _pair_jaccard(cand, sh, sizes, threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -292,9 +266,19 @@ def _verify_jaccard(
     """Exact Jaccard over full shingle sets, restricted to candidate pairs."""
     sh = shingle_sets(docs, k, content_col, id_col)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    return _pair_jaccard(cand, sh, sizes, threshold)
+
+
+def _pair_jaccard(
+    cand: DataFrame, sh: DataFrame, sizes: DataFrame, threshold: float
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard >= threshold) for candidate pairs, exact over
+    the full shingle sets. The candidate table and the per-doc size table
+    are tiny relative to the shingle rows (pairs << docs << shingles), so
+    both broadcast — the only shuffle left is the intersection groupBy."""
     sa, sb = sh.alias("sa"), sh.alias("sb")
     inter = (
-        cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        F.broadcast(cand).join(sa, F.col("sa.doc_id") == F.col("doc_a"))
         .join(
             sb,
             (F.col("sb.doc_id") == F.col("doc_b"))
@@ -306,7 +290,7 @@ def _verify_jaccard(
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     return (
-        inter.join(na, "doc_a").join(nb, "doc_b")
+        inter.join(F.broadcast(na), "doc_a").join(F.broadcast(nb), "doc_b")
         .withColumn(
             "jaccard",
             F.round(
