@@ -401,6 +401,34 @@ def q_tpch_promo_share(spark, sf_dir):
     )
 
 
+CHUNK_TOKENS, CHUNK_OVERLAP = 24, 8
+
+
+def q_chunk_documents(spark, sf_dir):
+    """Training-data chunking: overlapping token windows per document."""
+    from mahout_spark.operators.textstats import chunk_documents
+
+    return chunk_documents(
+        _load(spark, sf_dir, "documents"),
+        chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP,
+    )
+
+
+def q_engine_dedup_groups(spark, sf_dir):
+    """Near-dup pairs → canonical dedup groups via iterative connected
+    components (rows-only: the fixpoint loop is not one SQL statement)."""
+    from mahout_spark.operators.dedup import (
+        dedup_groups_from_pairs,
+        jaccard_neardup_pairs,
+    )
+
+    pairs = jaccard_neardup_pairs(
+        _load(spark, sf_dir, "documents"),
+        k=JACCARD_K, threshold=JACCARD_THRESHOLD, rare_df_max=JACCARD_RARE_DF,
+    )
+    return dedup_groups_from_pairs(pairs)
+
+
 def q_engine_embedding_neardup_lsh(spark, sf_dir):
     """LSH-bucketed embedding near-dup: candidate pairs from hyperplane
     buckets, exact-cosine verified — the scale path whose exact-pairwise
@@ -455,6 +483,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_media_decode": q_engine_media_decode,
         "engine_cluster_docs": q_engine_cluster_docs,
         "engine_embedding_neardup_lsh": q_engine_embedding_neardup_lsh,
+        "engine_dedup_groups": q_engine_dedup_groups,
+        "chunk_documents": q_chunk_documents,
         "report_lines": q_report_lines,
         "tpch_q3_topk": q_tpch_q3_topk,
         "tpch_promo_share": q_tpch_promo_share,
@@ -627,6 +657,39 @@ def _pipeline_sql() -> dict[str, str]:
         )
         SELECT vec_id, cosine FROM n
         ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        "chunk_documents": f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                               t -> t <> '') AS ts
+            FROM documents
+        ), counted AS (
+            SELECT doc_id, ts, len(ts) AS n,
+                   CASE WHEN len(ts) <= 0 THEN 0
+                        ELSE CAST(floor(greatest(len(ts) - {CHUNK_TOKENS}, 0)
+                                        / {CHUNK_TOKENS - CHUNK_OVERLAP}) AS BIGINT)
+                             + 1
+                             + CASE WHEN len(ts) > {CHUNK_TOKENS}
+                                     AND (len(ts) - {CHUNK_TOKENS})
+                                         % {CHUNK_TOKENS - CHUNK_OVERLAP} > 0
+                                    THEN 1 ELSE 0 END
+                   END AS n_chunks
+            FROM toks
+        ), exploded AS (
+            SELECT doc_id, ts,
+                   unnest(generate_series(0, CAST(n_chunks AS INTEGER) - 1))
+                       AS chunk_id
+            FROM counted WHERE n_chunks > 0
+        )
+        SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+               CAST(len(ts[chunk_id * {CHUNK_TOKENS - CHUNK_OVERLAP} + 1
+                         : chunk_id * {CHUNK_TOKENS - CHUNK_OVERLAP}
+                           + {CHUNK_TOKENS}]) AS BIGINT) AS n_chunk_tokens,
+               array_to_string(ts[chunk_id * {CHUNK_TOKENS - CHUNK_OVERLAP} + 1
+                         : chunk_id * {CHUNK_TOKENS - CHUNK_OVERLAP}
+                           + {CHUNK_TOKENS}], ' ') AS chunk_text
+        FROM exploded
         """,
         "media_meta": """
         SELECT doc_id, 'image' AS media_type,

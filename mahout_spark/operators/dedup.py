@@ -401,6 +401,67 @@ def simhash_neardup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# pair lists -> dedup groups (connected components)
+# ---------------------------------------------------------------------------
+
+def dedup_groups_from_pairs(
+    pairs: DataFrame, max_iters: int = 20,
+    a_col: str = "doc_a", b_col: str = "doc_b",
+) -> DataFrame:
+    """Near-dup pairs → duplicate groups: connected components by
+    iterative min-label propagation, returning (doc_id, keep_id) where
+    keep_id = the component's minimum doc id (the canonical survivor —
+    the same keep-min rule as exact_dedup_groups).
+
+    Each iteration joins every node's current label against its
+    neighbors' and takes the min; converges in O(diameter) ≤ O(log n)
+    iterations for near-dup graphs (components are near-cliques, so
+    usually 2-3). All DataFrame ops — the driver only checks the
+    convergence counter, never the data. At 10^9 edges this is the
+    standard large-small-star-style label propagation; ``max_iters``
+    bounds pathological chains.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .union(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select("u").distinct()
+        .withColumn("label", F.col("u"))
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("u", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "u", "left")
+            .select(
+                "u",
+                F.least(
+                    F.col("label"), F.coalesce("nlabel", "label")
+                ).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels.cache()
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("u").alias("doc_id"), F.col("label").alias("keep_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # embedding cosine near-dup (exact baseline; LSH path in similarity.py)
 # ---------------------------------------------------------------------------
 

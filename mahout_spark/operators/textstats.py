@@ -156,6 +156,59 @@ def lang_id(
     )
 
 
+def chunk_documents(
+    docs: DataFrame, chunk_tokens: int = 64, overlap: int = 16,
+    content_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping token windows — the training-data
+    prep step that turns long documents into model-sized samples.
+
+    Chunk i covers tokens [i·stride, i·stride + chunk_tokens) with
+    stride = chunk_tokens − overlap; the last window is emitted iff it
+    contains new tokens. Pure JVM (split / sequence / transform /
+    posexplode-shaped) — a narrow map, no shuffle, no Python.
+
+    Returns (doc_id, chunk_id, n_chunk_tokens, chunk_text).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens_expr(F.col(content_col))
+    n = F.size(toks)
+    n_chunks = F.when(
+        n <= 0, F.lit(0)
+    ).otherwise(
+        F.floor((F.greatest(n - F.lit(chunk_tokens), F.lit(0)))
+                / F.lit(stride)) + 1
+        + F.when(
+            (n > chunk_tokens)
+            & (F.pmod(n - F.lit(chunk_tokens), F.lit(stride)) > 0),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+    )
+    # guard: Spark's sequence(0, -1) yields a DESCENDING sequence, so the
+    # empty-doc case must short-circuit before it
+    chunks = F.when(
+        n_chunks > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.cast("int").alias("chunk_id"),
+                F.slice(toks, i * stride + 1, chunk_tokens).alias("ctoks"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<chunk_id:int,ctoks:array<string>>>"))
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(chunks).alias("c")
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.size("c.ctoks").cast("long").alias("n_chunk_tokens"),
+        F.concat_ws(" ", F.col("c.ctoks")).alias("chunk_text"),
+    )
+
+
 def fingerprints(
     docs: DataFrame, content_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

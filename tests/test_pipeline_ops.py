@@ -61,6 +61,30 @@ class TestTextstats:
         got = {r["doc_id"]: r["pred_lang"] for r in lang_id(df).collect()}
         assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "de"}
 
+    def test_chunking_covers_and_overlaps(self, spark):
+        from mahout_spark.operators.textstats import chunk_documents
+
+        text = " ".join(f"w{i}" for i in range(25))
+        df = spark.createDataFrame(
+            [(1, text), (2, "short doc"), (3, "")], ["doc_id", "text"]
+        )
+        rows = chunk_documents(df, chunk_tokens=10, overlap=4).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        # 25 tokens, window 10, stride 6 -> starts 0,6,12,18 (18+10 > 25,
+        # last window partial) => ceil((25-10)/6)+1 = 4 chunks
+        c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+        assert [r["chunk_id"] for r in c1] == [0, 1, 2, 3]
+        assert c1[0]["chunk_text"].split()[:2] == ["w0", "w1"]
+        assert c1[1]["chunk_text"].split()[0] == "w6"  # stride 6
+        # overlap: chunk 1 repeats the last 4 tokens of chunk 0
+        assert c1[0]["chunk_text"].split()[-4:] == c1[1]["chunk_text"].split()[:4]
+        # full coverage, last token present exactly once per final window
+        assert c1[3]["chunk_text"].split()[-1] == "w24"
+        assert len(by_doc[2]) == 1 and by_doc[2][0]["n_chunk_tokens"] == 2
+        assert 3 not in by_doc  # empty doc -> no chunks
+
     def test_fingerprint_order_sensitive(self, spark):
         from mahout_spark.operators.textstats import fingerprints
 
@@ -177,6 +201,39 @@ class TestDedup:
         for (a, b), hd in pairs.items():
             assert bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1") == hd
             assert hd <= 3
+
+    def test_dedup_groups_connected_components(self, spark):
+        """Label propagation must match a python union-find on a graph
+        with a chain (worst case for propagation), a triangle, and an
+        isolated pair."""
+        from mahout_spark.operators.dedup import dedup_groups_from_pairs
+
+        edges = [
+            (1, 2), (2, 3), (3, 4), (4, 5),       # chain -> keep 1
+            (10, 11), (11, 12), (10, 12),         # triangle -> keep 10
+            (20, 21),                             # pair -> keep 20
+        ]
+        pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+        got = {
+            r["doc_id"]: r["keep_id"]
+            for r in dedup_groups_from_pairs(pairs).collect()
+        }
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {x: find(x) for x in parent}
+        assert got == expected
+        assert got[5] == 1 and got[12] == 10 and got[21] == 20
 
     def test_embedding_neardup_vs_numpy(self, spark):
         from mahout_spark.operators.dedup import embedding_neardup_pairs
