@@ -7,7 +7,7 @@ Arrow-UDF tokenizer chain) on sf0.001.
 (core engine) and §2.11 (training-data pipeline extension: textstats,
 dedup, similarity search, multimodal, clustering), each Spark
 implementation paired with an ANSI-SQL oracle DuckDB runs on the same
-parquet where expressible (19 of 24 queries), rows-only otherwise.
+parquet where expressible (24 of 32 queries), rows-only otherwise.
 Oracle-checked full-text queries use the SQL-expressible tokenizer
 (lower + split on ``[^a-z0-9]+``, mahout_spark.operators.stats.
 simple_term_frequencies) so both engines compute identical token streams;
@@ -402,6 +402,44 @@ def q_tpch_promo_share(spark, sf_dir):
 
 
 CHUNK_TOKENS, CHUNK_OVERLAP = 24, 8
+# PII patterns (emails, bare IPv4s, 10+-digit runs) — same regexes inlined
+# in the oracle SQL; fullmatch-free so both engines substitute all hits.
+PII_EMAIL = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+PII_IPV4 = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+PII_LONGNUM = "[0-9]{10,}"
+# identical patterns on the DuckDB side (RE2 accepts this syntax as-is)
+PII_EMAIL_SQL, PII_IPV4_SQL, PII_LONGNUM_SQL = PII_EMAIL, PII_IPV4, PII_LONGNUM
+SAMPLE_PCT_HEX = "0d"  # keep docs whose md5 first byte < 0x0d (~5%)
+
+
+def q_pii_redact(spark, sf_dir):
+    """Training-data PII scrub: replace emails, IPv4s and long digit runs
+    with typed placeholders; reports docs whose text changed. Pure JVM
+    regexp_replace chain."""
+    docs = _load(spark, sf_dir, "documents")
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"),
+            PII_IPV4, "<IP>",
+        ),
+        PII_LONGNUM, "<NUM>",
+    )
+    return (
+        docs.select("doc_id", red.alias("redacted"),
+                    (red != F.col("text")).alias("changed"))
+        .select("doc_id", "redacted", "changed")
+    )
+
+
+def q_hash_sample(spark, sf_dir):
+    """Deterministic content-hash sampling (~5%): keep docs whose
+    md5(text) first hex byte < 0x0d. Reproducible across engines, runs
+    and cluster sizes — the sampling primitive for eval-split carving
+    where row-position sampling is nondeterministic."""
+    docs = _load(spark, sf_dir, "documents")
+    return docs.filter(
+        F.substring(F.md5(F.col("text")), 1, 2) < SAMPLE_PCT_HEX
+    ).select("doc_id", "n_chars")
 
 
 def q_chunk_documents(spark, sf_dir):
@@ -485,6 +523,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_embedding_neardup_lsh": q_engine_embedding_neardup_lsh,
         "engine_dedup_groups": q_engine_dedup_groups,
         "chunk_documents": q_chunk_documents,
+        "pii_redact": q_pii_redact,
+        "hash_sample": q_hash_sample,
         "report_lines": q_report_lines,
         "tpch_q3_topk": q_tpch_q3_topk,
         "tpch_promo_share": q_tpch_promo_share,
@@ -657,6 +697,22 @@ def _pipeline_sql() -> dict[str, str]:
         )
         SELECT vec_id, cosine FROM n
         ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        "pii_redact": f"""
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   '{PII_EMAIL_SQL}', '<EMAIL>', 'g'),
+                   '{PII_IPV4_SQL}', '<IP>', 'g'),
+                   '{PII_LONGNUM_SQL}', '<NUM>', 'g') AS redacted,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   '{PII_EMAIL_SQL}', '<EMAIL>', 'g'),
+                   '{PII_IPV4_SQL}', '<IP>', 'g'),
+                   '{PII_LONGNUM_SQL}', '<NUM>', 'g') <> text AS changed
+        FROM documents
+        """,
+        "hash_sample": f"""
+        SELECT doc_id, n_chars FROM documents
+        WHERE substring(md5(text), 1, 2) < '{SAMPLE_PCT_HEX}'
         """,
         "chunk_documents": f"""
         WITH toks AS (

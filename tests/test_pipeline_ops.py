@@ -85,6 +85,30 @@ class TestTextstats:
         assert len(by_doc[2]) == 1 and by_doc[2][0]["n_chunk_tokens"] == 2
         assert 3 not in by_doc  # empty doc -> no chunks
 
+    def test_pii_redaction_patterns(self, spark, tmp_path):
+        """The entry's PII scrub must actually hit emails/IPs/long digit
+        runs (the sf corpora contain none, so parity alone can't prove
+        the substitutions fire)."""
+        import __spark_entry__ as e
+
+        docs = spark.createDataFrame(
+            [
+                (1, "contact alice@example.com or 10.0.0.1 now"),
+                (2, "card 4111111111111111 leaked"),
+                (3, "clean text with no pii at all"),
+            ],
+            ["doc_id", "text"],
+        ).withColumn("n_chars", F.length("text"))
+        import tempfile
+
+        d = tempfile.mkdtemp(dir=str(tmp_path))
+        docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        rows = {r["doc_id"]: r for r in e.q_pii_redact(spark, d).collect()}
+        assert rows[1]["redacted"] == "contact <EMAIL> or <IP> now"
+        assert rows[2]["redacted"] == "card <NUM> leaked"
+        assert rows[1]["changed"] and rows[2]["changed"]
+        assert not rows[3]["changed"]
+
     def test_fingerprint_order_sensitive(self, spark):
         from mahout_spark.operators.textstats import fingerprints
 
