@@ -109,6 +109,23 @@ def main() -> None:
             wand_topk(spark, cat, entry.BM25_QUERY_TERMS, k=10).collect()
 
         timed("indexed_bm25_topk", run_wand)
+
+        # batch retrieval: 100 queries in ONE job (offline-workload shape);
+        # timing under the same key budget as single-query -> amortized qps
+        from mahout_spark.index.wand import topk_batch
+
+        vocab = ["spark", "query", "data", "window", "stream", "hash",
+                 "join", "merge", "sort", "vector", "table", "scan",
+                 "filter", "group", "agg", "batch", "row", "key", "value"]
+        batch_queries = {
+            f"q{i}": [vocab[(i + j) % len(vocab)] for j in range(1 + i % 4)]
+            for i in range(100)
+        }
+
+        def run_batch():
+            topk_batch(spark, cat, batch_queries, k=10).collect()
+
+        timed("indexed_bm25_batch100", run_batch)
     except Exception:
         pass
 

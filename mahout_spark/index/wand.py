@@ -257,3 +257,142 @@ def topk(
         kernel, "doc_id long, score double"
     )
     return per_shard.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+
+def topk_batch(
+    spark: SparkSession,
+    cat: ParquetCatalog,
+    queries: dict[str, list[str]],
+    k: int = 10,
+    mode_all: bool = False,
+) -> DataFrame:
+    """Answer MANY queries in ONE job: (query_id, doc_id, score, rank).
+
+    The per-query ``topk`` pays a fixed ~0.5 s of job-launch/scan setup —
+    fine interactively, hopeless for offline workloads (hard-negative
+    mining, eval sweeps) that run 10^4-10^6 queries. Here the union of
+    all query terms prunes one postings scan, every term's blocks are
+    decoded ONCE per shard, and each query aggregates its own terms'
+    contributions from the shared decode — cost scales with distinct
+    terms touched, not with query count. Exactness contract identical to
+    ``topk`` (same deterministic reduction order, same tie-break);
+    equality with per-query retrieval is test-gated.
+    """
+    meta = cat.read_meta("postings")
+    avgdl, n_docs = meta["avgdl"], meta["n_docs"]
+    k1, b = meta["k1"], meta["b"]
+    n_buckets = int(meta["n_buckets"])
+    from mahout_spark.functions.xxhash import term_bucket
+
+    qmap = {qid: list(dict.fromkeys(ts)) for qid, ts in queries.items()}
+    all_terms = sorted({t for ts in qmap.values() for t in ts})
+    out_schema = "query_id string, doc_id long, score double"
+    empty = spark.createDataFrame([], out_schema + ", rank int")
+    if not all_terms:
+        return empty
+    qbuckets = sorted({term_bucket(t, n_buckets) for t in all_terms})
+    try:
+        lex = cat.read_partitions(spark, "lexicon", "bucket", qbuckets)
+    except FileNotFoundError:
+        return empty
+    lex_rows = (
+        lex.filter(F.col("term").isin(all_terms))
+        .select("term", "bucket", "df")
+        .collect()
+    )
+    if not lex_rows:
+        return empty
+    idf_by_term = {
+        r["term"]: float(np.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5)))
+        for r in lex_rows
+    }
+    present_terms = set(idf_by_term)
+    live_queries = {
+        qid: ts for qid, ts in qmap.items()
+        if (all(t in present_terms for t in ts) if mode_all
+            else any(t in present_terms for t in ts))
+    }
+    if not live_queries:
+        return empty
+    buckets = sorted({r["bucket"] for r in lex_rows})
+    blocks = cat.read_partitions(spark, "postings", "bucket", buckets).filter(
+        F.col("term").isin(sorted(present_terms))
+    )
+    kernel = _make_batch_shard_kernel(
+        live_queries, idf_by_term, k1, b, avgdl, k, mode_all
+    )
+    per_shard = blocks.groupBy("shard").applyInPandas(kernel, out_schema)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        per_shard.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _make_batch_shard_kernel(
+    queries: dict[str, list[str]], idf_by_term: dict, k1: float, b: float,
+    avgdl: float, k: int, mode_all: bool,
+):
+    """Shared-decode multi-query kernel: decode each term's blocks once per
+    shard, then answer every query from the cached per-term arrays with
+    the same deterministic reduction as the single-query kernel."""
+    qitems = sorted(queries.items())
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        groups = {t: g for t, g in pdf.groupby("term")}
+        decoded: dict[str, tuple] = {}
+
+        def decode_term(t):
+            if t not in decoded:
+                g = groups[t]
+                parts = [
+                    decode_doc_block(r.doc_ids, r.tfs, r.doclens)
+                    for r in g.itertuples(index=False)
+                ]
+                d = np.concatenate([p[0] for p in parts])
+                tf_ = np.concatenate([p[1] for p in parts])
+                dl_ = np.concatenate([p[2] for p in parts])
+                decoded[t] = (
+                    d,
+                    _score_arrays(d, tf_, dl_, idf_by_term[t], k1, b, avgdl),
+                )
+            return decoded[t]
+
+        out_q, out_d, out_s = [], [], []
+        for qid, terms in qitems:
+            present = [t for t in sorted(set(terms)) if t in groups]
+            if not present or (mode_all and len(present) < len(set(terms))):
+                continue
+            doc_parts, contrib_parts = [], []
+            for t in present:
+                d, c = decode_term(t)
+                doc_parts.append(d)
+                contrib_parts.append(c)
+            docs = np.concatenate(doc_parts)
+            contribs = np.concatenate(contrib_parts)
+            order = np.argsort(docs, kind="stable")
+            docs, contribs = docs[order], contribs[order]
+            bounds = np.concatenate(
+                [[0], np.flatnonzero(docs[1:] != docs[:-1]) + 1]
+            )
+            uniq = docs[bounds]
+            sums = np.add.reduceat(contribs, bounds)
+            if mode_all:
+                counts = np.diff(np.concatenate([bounds, [len(docs)]]))
+                keep = counts == len(present)
+                uniq, sums = uniq[keep], sums[keep]
+                if len(uniq) == 0:
+                    continue
+            d_out, s_out = _topk_arrays(uniq.astype(np.int64), sums, k)
+            out_q.extend([qid] * len(d_out))
+            out_d.extend(d_out.tolist())
+            out_s.extend(s_out.tolist())
+        return pd.DataFrame(
+            {"query_id": out_q, "doc_id": out_d, "score": out_s}
+        )
+
+    return kernel
