@@ -452,6 +452,29 @@ def q_chunk_documents(spark, sf_dir):
     )
 
 
+DIST_DOC_LIMIT = 50
+
+
+def q_doc_distances(spark, sf_dir):
+    """Reference distance-measure probe as relational algebra: pairwise
+    Tanimoto distance over simple-tokenizer TF-IDF weights (docs with
+    doc_id < 50 — all-pairs output bounded)."""
+    from mahout_spark.functions import tfidf_expr
+    from mahout_spark.operators.clustering import pairwise_doc_distances
+    from mahout_spark.operators.stats import document_frequency
+
+    tf = _simple_tf(spark, sf_dir)
+    n_docs = _load(spark, sf_dir, "documents").count()
+    weights = (
+        tf.join(document_frequency(tf), "term")
+        .withColumn("score", tfidf_expr(F.col("tf"), F.col("df"), n_docs))
+        .filter(F.col("doc_id") < DIST_DOC_LIMIT)
+    )
+    return pairwise_doc_distances(
+        weights, "tanimoto", term_col="term"
+    )
+
+
 def q_engine_dedup_groups(spark, sf_dir):
     """Near-dup pairs → canonical dedup groups via iterative connected
     components (rows-only: the fixpoint loop is not one SQL statement)."""
@@ -524,6 +547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_dedup_groups": q_engine_dedup_groups,
         "chunk_documents": q_chunk_documents,
         "pii_redact": q_pii_redact,
+        "doc_distances": q_doc_distances,
         "hash_sample": q_hash_sample,
         "report_lines": q_report_lines,
         "tpch_q3_topk": q_tpch_q3_topk,
@@ -697,6 +721,26 @@ def _pipeline_sql() -> dict[str, str]:
         )
         SELECT vec_id, cosine FROM n
         ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        "doc_distances": _TOK_CTE + f"""
+        , w AS (
+            SELECT tf.doc_id, tf.term,
+                   sqrt(tf.tf) * (1.0 + ln(scal.n_docs / (dfreq.df + 1.0))) AS w
+            FROM tf JOIN dfreq USING (term) CROSS JOIN scal
+            WHERE tf.doc_id < {DIST_DOC_LIMIT}
+        ), norms AS (
+            SELECT doc_id, sum(w * w) AS n2 FROM w GROUP BY doc_id
+        ), dots AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS dot
+            FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT na.doc_id AS doc_a, nb.doc_id AS doc_b,
+               round(1.0 - coalesce(dot, 0.0)
+                     / (na.n2 + nb.n2 - coalesce(dot, 0.0)), 6) AS distance
+        FROM norms na
+        JOIN norms nb ON na.doc_id < nb.doc_id
+        LEFT JOIN dots ON doc_a = na.doc_id AND doc_b = nb.doc_id
         """,
         "pii_redact": f"""
         SELECT doc_id,

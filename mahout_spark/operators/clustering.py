@@ -148,6 +148,64 @@ def kmeans_doc_clusters(
     return model.transform(vecs).select("doc_id", "cluster")
 
 
+def pairwise_doc_distances(
+    weights: DataFrame, measure: str = "tanimoto",
+    id_col: str = "doc_id", term_col: str = "term_id", w_col: str = "score",
+) -> DataFrame:
+    """All-pairs document distances over sparse weight rows — the
+    reference's DistanceMeasure sanity probe
+    (``…RefactoredCluster.java:843-882``, CosineDistanceMeasure /
+    TanimotoDistanceMeasure / EuclideanDistanceMeasure at
+    ``DistanceMeasureMain.java:23``) as pure relational algebra:
+
+        dot(a,b)   = Σ w_a·w_b   (self-join on the term key)
+        cosine     = 1 − dot/(‖a‖‖b‖)
+        tanimoto   = 1 − dot/(‖a‖² + ‖b‖² − dot)
+        euclidean  = √(‖a‖² + ‖b‖² − 2·dot)
+
+    Disjoint pairs (no shared term → no join row) get dot = 0 via the
+    left join, reproducing the reference's golden "distance = 1.0" for
+    non-overlapping snippets (report_snpts.txt:12). Returns
+    (doc_a, doc_b, distance), doc_a < doc_b, rounded to 6.
+    """
+    if measure not in ("cosine", "tanimoto", "euclidean"):
+        raise ValueError(f"unknown measure {measure!r}")
+    w = weights.select(
+        F.col(id_col).alias("doc"), F.col(term_col).alias("t"),
+        F.col(w_col).cast("double").alias("w"),
+    )
+    norms = w.groupBy("doc").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(b, (F.col("a.t") == F.col("b.t"))
+               & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+    )
+    na = norms.select(F.col("doc").alias("doc_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("doc").alias("doc_b"), F.col("n2").alias("nb2"))
+    pairs = (
+        na.join(nb, F.col("doc_a") < F.col("doc_b"))
+        .join(dots, ["doc_a", "doc_b"], "left")
+        .fillna(0.0, ["dot"])
+    )
+    if measure == "cosine":
+        dist = 1.0 - F.col("dot") / (F.sqrt("na2") * F.sqrt("nb2"))
+    elif measure == "tanimoto":
+        dist = 1.0 - F.col("dot") / (
+            F.col("na2") + F.col("nb2") - F.col("dot")
+        )
+    else:
+        dist = F.sqrt(
+            F.greatest(
+                F.col("na2") + F.col("nb2") - 2.0 * F.col("dot"), F.lit(0.0)
+            )
+        )
+    return pairs.select(
+        "doc_a", "doc_b", F.round(dist, 6).alias("distance")
+    )
+
+
 def cluster_report(
     assignments: DataFrame, min_size: int = 2
 ) -> DataFrame:

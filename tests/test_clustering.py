@@ -62,6 +62,55 @@ class TestClusteringDemo:
         assert len(rep) == 1
         assert rep[0]["members"] == [6, 7]
 
+    def test_distance_probe_matches_reference(self, spark, demo):
+        """The reference's pre-clustering distance sanity probe: disjoint
+        docs at Tanimoto distance 1.0 (report_snpts.txt:12,
+        report_clusters_snippets.txt:25-27); identical-vector docs 6/7 at
+        distance 0."""
+        from mahout_spark.operators.clustering import (
+            pairwise_doc_distances,
+            tfidf_doc_terms,
+        )
+
+        scores, _ = tfidf_doc_terms(demo)
+        got = {
+            (r["doc_a"], r["doc_b"]): r["distance"]
+            for r in pairwise_doc_distances(scores, "tanimoto").collect()
+        }
+        assert got[(1, 6)] == 1.0 and got[(1, 7)] == 1.0  # disjoint
+        assert got[(6, 7)] == 0.0                         # identical
+
+    def test_distances_match_numpy(self, spark):
+        import numpy as np
+
+        from mahout_spark.operators.clustering import pairwise_doc_distances
+
+        rng = np.random.RandomState(3)
+        dense = rng.rand(4, 6)
+        dense[dense < 0.3] = 0.0  # sparsity incl. a fully-disjoint chance
+        rows = [
+            (d, t, float(dense[d, t]))
+            for d in range(4) for t in range(6) if dense[d, t] > 0
+        ]
+        w = spark.createDataFrame(rows, ["doc_id", "term_id", "score"])
+        for measure in ["cosine", "tanimoto", "euclidean"]:
+            got = {
+                (r["doc_a"], r["doc_b"]): r["distance"]
+                for r in pairwise_doc_distances(w, measure).collect()
+            }
+            for i in range(4):
+                for j in range(i + 1, 4):
+                    va, vb = dense[i], dense[j]
+                    dot = float(va @ vb)
+                    na2, nb2 = float(va @ va), float(vb @ vb)
+                    if measure == "cosine":
+                        exp = 1 - dot / (na2 ** 0.5 * nb2 ** 0.5)
+                    elif measure == "tanimoto":
+                        exp = 1 - dot / (na2 + nb2 - dot)
+                    else:
+                        exp = max(na2 + nb2 - 2 * dot, 0.0) ** 0.5
+                    assert got[(i, j)] == pytest.approx(exp, abs=2e-6)
+
     def test_clusters_on_corpus_table(self, spark):
         """Smoke at corpus scale: sf0.001 documents, fixed k."""
         from mahout_spark.operators.clustering import kmeans_doc_clusters
