@@ -33,8 +33,16 @@ def dense_ids(
     key_cols: list[str],
     id_col: str,
     num_partitions: int | None = None,
+    cleanup: list | None = None,
 ) -> DataFrame:
-    """Add ``id_col`` = dense global rank (0-based) of the unique key."""
+    """Add ``id_col`` = dense global rank (0-based) of the unique key.
+
+    The range-partitioned intermediate is persisted (the offsets collected
+    in step 2 must describe the same partitioning step 3 reads). Callers
+    that materialize the result promptly should pass a ``cleanup`` list
+    and unpersist its entries afterwards — otherwise the cache lives until
+    session end (acceptable for one-shot spark-submit jobs, a leak in
+    long-lived sessions)."""
     if num_partitions is None:
         num_partitions = df.sparkSession.sparkContext.defaultParallelism
     part = (
@@ -43,6 +51,8 @@ def dense_ids(
         .withColumn(_PID, F.spark_partition_id())
         .persist()
     )
+    if cleanup is not None:
+        cleanup.append(part)
     counts = sorted(
         part.groupBy(_PID).count().collect(), key=lambda r: r[_PID]
     )

@@ -22,7 +22,12 @@ pruning, identical exact results. Rebuild (build_index, resume=False)
 restores tight bounds when drift warrants it.
 
 Exactly-once: each append carries a ``batch_id``; a batch whose lineage
-row is complete is skipped entirely (the foreachBatch replay contract).
+row is complete is skipped entirely, and a batch found *started* but not
+complete is first rolled back via its file tag before re-applying
+(crash-safe replay). Mutation ordering is chosen so every pre-complete
+crash is tag-reversible: file APPENDS (tf_raw, docstats, postings) happen
+first and the lexicon — the only overwrite — is written last, from a
+lazily-merged frame the encoder also reads.
 """
 
 from __future__ import annotations
@@ -47,13 +52,36 @@ def append_to_index(
     **tok_kw,
 ) -> ParquetCatalog:
     """Append ``new_docs`` (must carry unique, previously unseen doc_id)
-    to an existing index. Idempotent per batch_id."""
+    to an existing index. Idempotent per batch_id — INCLUDING across a
+    crash mid-append: an intent lineage row is written before any table
+    mutation and every appended file carries the batch's tag, so a replay
+    that finds a started-but-incomplete row first rolls the partial
+    append back (remove_tagged across tf_raw/docstats/postings, meta
+    recomputed from the restored docstats) and then re-applies cleanly.
+    This is what makes the streaming foreachBatch replay contract
+    (streaming/incremental.py) actually exactly-once."""
+    import uuid as _uuid
+
     meta = cat.read_meta("postings")
-    if batch_id is not None and any(
-        r.get("batch_id") == batch_id and r.get("status") == "complete"
-        for r in cat.lineage_rows("appends")
-    ):
-        return cat  # replayed batch — already applied
+    rows = cat.lineage_rows("appends")
+    if batch_id is not None:
+        if any(
+            r.get("batch_id") == batch_id and r.get("status") == "complete"
+            for r in rows
+        ):
+            return cat  # replayed batch — already applied
+        # crash recovery: roll back any partial application of this batch
+        for r in rows:
+            if r.get("batch_id") == batch_id and r.get("status") == "started":
+                _rollback_partial_append(spark, cat, r.get("tag"), meta)
+        meta = cat.read_meta("postings")
+
+    tag = _uuid.uuid4().hex[:8]
+    cat.lineage_append(
+        "appends",
+        {"batch_id": batch_id, "status": "started", "tag": tag,
+         "started": time.time()},
+    )
 
     started = time.time()
     mode = meta["mode"]
@@ -82,7 +110,7 @@ def append_to_index(
     )
     tf.cache()
     try:
-        cat.append_partitioned(tf, "tf_raw", "bucket")
+        cat.append_partitioned(tf, "tf_raw", "bucket", tag=tag)
 
         # -- docstats + scalars -------------------------------------------
         doclens = tf.groupBy("doc_id").agg(F.max("doclen").alias("doclen"))
@@ -95,11 +123,18 @@ def append_to_index(
             .join(doclens, "doc_id", "left")
             .fillna(0, ["doclen"])
         )
-        old_cols = cat.read(spark, "docstats").columns
-        for c in old_cols:
-            if c not in new_stats.columns:
-                new_stats = new_stats.withColumn(c, F.lit(None).cast("string"))
-        cat.append_table(new_stats.select(*old_cols), "docstats")
+        old_schema = cat.read(spark, "docstats").schema
+        for field in old_schema.fields:
+            if field.name not in new_stats.columns:
+                # typed null — a string-cast null would fork the parquet
+                # schema for non-string id columns and break later reads
+                new_stats = new_stats.withColumn(
+                    field.name, F.lit(None).cast(field.dataType)
+                )
+        cat.append_table(
+            new_stats.select(*[f.name for f in old_schema.fields]), "docstats",
+            tag=tag,
+        )
 
         docstats = cat.read(spark, "docstats")
         n_docs = docstats.count()
@@ -133,19 +168,20 @@ def append_to_index(
             )
         )
         kept = merged.filter(F.col("term_id").isNotNull())
-        cat.overwrite_table_partitioned(
-            kept.unionByName(fresh), "lexicon", "bucket"
-        )
+        new_lexicon = kept.unionByName(fresh).cache()
 
-        # -- encode + append new postings blocks --------------------------
-        lexicon = cat.read(spark, "lexicon")
+        # -- encode + append new postings blocks (lexicon still LAZY: its
+        # table write is deferred until after the postings append so that
+        # every pre-"complete" crash leaves the on-disk lexicon untouched
+        # and tag-rollback of the file appends fully undoes the batch) ----
         encoder = _make_encoder(
             n_docs, avgdl, meta["k1"], meta["b"], meta["block_size"]
         )
         from mahout_spark.index.build import _maybe_broadcast
 
         enc_in = tf.join(
-            _maybe_broadcast(lexicon.select("term", "term_id", "df")), "term"
+            _maybe_broadcast(new_lexicon.select("term", "term_id", "df")),
+            "term",
         )
         blocks = (
             enc_in.repartition(
@@ -157,7 +193,11 @@ def append_to_index(
                 "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
             )
         )
-        cat.append_partitioned(blocks, "postings", "bucket")
+        cat.append_partitioned(blocks, "postings", "bucket", tag=tag)
+
+        # -- lexicon write (the one overwrite, deferred to last) -----------
+        cat.overwrite_table_partitioned(new_lexicon, "lexicon", "bucket")
+        new_lexicon.unpersist()
 
         # -- meta + lineage ------------------------------------------------
         meta.update(
@@ -173,6 +213,7 @@ def append_to_index(
             {
                 "batch_id": batch_id,
                 "status": "complete",
+                "tag": tag,
                 "rows_in": int(new_docs.count()),
                 "started": started,
                 "finished": time.time(),
@@ -181,3 +222,38 @@ def append_to_index(
     finally:
         tf.unpersist()
     return cat
+
+
+def _rollback_partial_append(spark, cat, tag, meta) -> None:
+    """Undo a crashed append: remove its tagged files everywhere, restore
+    meta's corpus scalars from the surviving docstats, and rebuild the
+    lexicon's df/cf from the restored tf_raw (covering the narrow window
+    where the lexicon overwrite landed but the batch never completed).
+    Existing term_ids are preserved via join; terms introduced only by
+    the rolled-back batch drop out (their ids are simply retired — ids
+    are engine-internal and never reused for a different term). The
+    ``appends`` counter is NOT decremented — it only gates the
+    conservative (stats-independent) query bounds, so overcounting is
+    always safe."""
+    if not tag:
+        return
+    removed = 0
+    for table in ("tf_raw", "docstats", "postings"):
+        removed += cat.remove_tagged(table, tag)
+    if removed:
+        docstats = cat.read(spark, "docstats")
+        row = docstats.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.when(F.col("doclen") > 0, F.col("doclen"))).alias("a"),
+        ).first()
+        meta = dict(meta)
+        meta["n_docs"] = int(row["n"])
+        meta["avgdl"] = float(row["a"]) if row["a"] is not None else 0.0
+        cat.write_meta("postings", meta)
+        true_stats = cat.read(spark, "tf_raw").groupBy("term", "bucket").agg(
+            F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
+        )
+        ids = cat.read(spark, "lexicon").select("term", "term_id")
+        cat.overwrite_table_partitioned(
+            true_stats.join(ids, "term"), "lexicon", "bucket"
+        )

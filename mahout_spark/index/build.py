@@ -226,7 +226,9 @@ def build_index(
         resume
         and cat.exists("tf_raw")
         and cat.exists("docstats")
-        and _meta_matches(cat, mode, n_buckets, docs_per_shard, block_size)
+        and _meta_matches(
+            cat, mode, n_buckets, docs_per_shard, block_size, k1, b, lang_col
+        )
     )
     if not stage1_done:
         t0 = time.time()
@@ -299,9 +301,13 @@ def build_index(
         # bucket-partitioned on disk: a query's lexicon lookup reads only
         # its terms' bucket dirs (same pruning story as postings) instead
         # of scanning the full vocabulary — material at 10^6+ terms.
+        _cleanup: list = []
         cat.overwrite_table_partitioned(
-            dense_ids(lex, ["term"], "term_id"), "lexicon", "bucket"
+            dense_ids(lex, ["term"], "term_id", cleanup=_cleanup),
+            "lexicon", "bucket",
         )
+        for _c in _cleanup:
+            _c.unpersist()
 
     # ---- stage 3: postings (resume unit: bucket) ---------------------------
     lexicon = cat.read(spark, "lexicon")
@@ -344,11 +350,11 @@ def build_index(
                  "started": started, "finished": time.time()},
             )
             continue
+        # resume path (rare): skip the broadcast-probe count job per
+        # bucket and let AQE pick the join strategy
         enc_in = part.join(
-            _maybe_broadcast(
-                lexicon.filter(F.col("bucket") == bucket).select(
-                    "term", "term_id", "df"
-                )
+            lexicon.filter(F.col("bucket") == bucket).select(
+                "term", "term_id", "df"
             ),
             "term",
         )
@@ -462,7 +468,13 @@ def _maybe_broadcast(lex_slice: DataFrame, max_rows: int = 5_000_000) -> DataFra
     return lex_slice
 
 
-def _meta_matches(cat, mode, n_buckets, docs_per_shard, block_size) -> bool:
+def _meta_matches(cat, mode, n_buckets, docs_per_shard, block_size,
+                  k1, b, lang_col) -> bool:
+    """Resume is only safe when EVERY parameter that shaped the persisted
+    artifacts matches — including k1/b (baked into block_max_score) and
+    lang_col (baked into the token stream). A k1 changed between the
+    interrupted and resumed run would otherwise score with one value and
+    prune with bounds computed under the other, silently over-pruning."""
     try:
         m = cat.read_meta("postings")
     except FileNotFoundError:
@@ -472,6 +484,9 @@ def _meta_matches(cat, mode, n_buckets, docs_per_shard, block_size) -> bool:
         and m.get("n_buckets") == n_buckets
         and m.get("docs_per_shard") == docs_per_shard
         and m.get("block_size") == block_size
+        and m.get("k1") == k1
+        and m.get("b") == b
+        and m.get("lang_col") == lang_col
     )
 
 

@@ -48,11 +48,13 @@ def _score_arrays(doc, tf, dl, idf, k1, b, avgdl):
 
 
 def _topk_arrays(docs: np.ndarray, scores: np.ndarray, k: int):
-    if len(docs) > k:
-        # partial select then deterministic (score desc, doc asc) order
-        idx = np.argpartition(-scores, k - 1)[:k]
-        docs, scores = docs[idx], scores[idx]
-    order = np.lexsort((docs, -scores))
+    """Top-k by (score desc, doc_id asc). A plain argpartition cut would
+    break score TIES arbitrarily at the k boundary (e.g. duplicate
+    documents): the kept member of a tie must be the lowest doc_id, or the
+    shard's answer diverges from the oracle's total order. lexsort is the
+    tie-aware selection; candidate counts per shard are block-pruned, so
+    the full sort is cheap."""
+    order = np.lexsort((docs, -scores))[:k]
     return docs[order], scores[order]
 
 
@@ -143,15 +145,20 @@ def _make_shard_kernel(idf_by_term: dict, k1: float, b: float, avgdl: float,
             for t in present:
                 g = groups[t]
                 ub = bounds[t] + (total_max - shard_max[t])
-                live = ub > theta
+                # >= not >: for a top-k doc d in block b, ub(b) >= total(d)
+                # >= θ with EQUALITY possible when >=k tied copies of the
+                # best doc exist — strict pruning would drop them all
+                live = ub >= theta
                 surviving[t] = g[live]
                 pruned[t] = g[~live]
-            cand_parts = [decode_rows(surviving[t])[0] for t in present]
+            # decode each term's surviving blocks ONCE; reuse for both the
+            # candidate set and the scoring pass (decode is the hot cost)
+            surv_decoded = {t: decode_rows(surviving[t]) for t in present}
+            cand_parts = [surv_decoded[t][0] for t in present]
             cand = np.unique(np.concatenate(cand_parts)) if cand_parts else (
                 np.empty(0, np.uint64))
             for t in present:
-                g_s = surviving[t]
-                d, tf_, dl_ = decode_rows(g_s)
+                d, tf_, dl_ = surv_decoded[t]
                 gp = pruned[t]
                 if len(gp) and len(cand):
                     lo = np.searchsorted(cand, gp["first_docid"].to_numpy(np.uint64))

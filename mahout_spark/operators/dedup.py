@@ -446,13 +446,15 @@ def dedup_groups_from_pairs(
                 ).alias("label"),
             )
         )
+        new_labels = new_labels.cache()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "u")
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels = new_labels.cache()
+        labels.unpersist()  # superseded generation — don't accumulate
+        labels = new_labels
         if changed == 0:
             break
     edges.unpersist()

@@ -48,7 +48,7 @@ class ParquetCatalog:
         final = self.table_path(table)
         stage = final + f".__stage_{uuid.uuid4().hex[:8]}"
         df.write.mode("overwrite").parquet(stage)
-        old = final + ".__old"
+        old = final + f".__old_{uuid.uuid4().hex[:8]}"
         if os.path.isdir(final):
             os.rename(final, old)
         os.rename(stage, final)
@@ -62,7 +62,7 @@ class ParquetCatalog:
         final = self.table_path(table)
         stage = final + f".__stage_{uuid.uuid4().hex[:8]}"
         df.write.mode("overwrite").partitionBy(part_col).parquet(stage)
-        old = final + ".__old"
+        old = final + f".__old_{uuid.uuid4().hex[:8]}"
         if os.path.isdir(final):
             os.rename(final, old)
         os.rename(stage, final)
@@ -82,17 +82,19 @@ class ParquetCatalog:
         os.rename(stage, final)
 
     def append_partitioned(
-        self, df: DataFrame, table: str, part_col: str
+        self, df: DataFrame, table: str, part_col: str, tag: str | None = None
     ) -> list:
         """Append rows into an existing hive-partitioned table: one staged
         partitioned write, then per-file renames into the live partition
         dirs (unique names — concurrent readers never see partial files;
         Iceberg's snapshot append is the transactional version of this).
-        Returns the partition values appended to."""
+        ``tag`` marks every appended file so a failed multi-table append
+        can be rolled back file-by-file (remove_tagged). Returns the
+        partition values appended to."""
         final = self.table_path(table)
         stage = final + f".__append_{uuid.uuid4().hex[:8]}"
         df.write.mode("overwrite").partitionBy(part_col).parquet(stage)
-        tag = uuid.uuid4().hex[:8]
+        tag = tag or uuid.uuid4().hex[:8]
         touched = []
         for d in sorted(os.listdir(stage)):
             if not d.startswith(f"{part_col}="):
@@ -110,12 +112,14 @@ class ParquetCatalog:
         shutil.rmtree(stage, ignore_errors=True)
         return touched
 
-    def append_table(self, df: DataFrame, table: str) -> None:
+    def append_table(
+        self, df: DataFrame, table: str, tag: str | None = None
+    ) -> None:
         """Append rows to an unpartitioned table (staged write + renames)."""
         final = self.table_path(table)
         stage = final + f".__append_{uuid.uuid4().hex[:8]}"
         df.write.mode("overwrite").parquet(stage)
-        tag = uuid.uuid4().hex[:8]
+        tag = tag or uuid.uuid4().hex[:8]
         os.makedirs(final, exist_ok=True)
         for fn in os.listdir(stage):
             if fn.startswith("part-"):
@@ -123,6 +127,21 @@ class ParquetCatalog:
                     os.path.join(stage, fn), os.path.join(final, f"a{tag}-{fn}")
                 )
         shutil.rmtree(stage, ignore_errors=True)
+
+    def remove_tagged(self, table: str, tag: str) -> int:
+        """Roll back a tagged append: delete every ``a{tag}-*`` file under
+        the table (including partition subdirs). Returns files removed."""
+        root = self.table_path(table)
+        if not os.path.isdir(root):
+            return 0
+        prefix = f"a{tag}-"
+        removed = 0
+        for dirpath, _dirnames, filenames in os.walk(root):
+            for fn in filenames:
+                if fn.startswith(prefix):
+                    os.remove(os.path.join(dirpath, fn))
+                    removed += 1
+        return removed
 
     def partition_complete(self, table: str, part_col: str, value) -> bool:
         p = self.partition_path(table, part_col, value)

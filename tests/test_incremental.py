@@ -136,6 +136,81 @@ class TestAppend:
             )
 
 
+class TestCrashReplay:
+    def test_replay_after_midpoint_crash_is_exactly_once(
+        self, spark, corpus, tmp_path_factory, monkeypatch
+    ):
+        """Kill the append after the tf_raw/docstats appends but before
+        the postings append and lexicon write; the replay with the same
+        batch_id must roll the partial state back and converge to the
+        same index as a clean build+append (df not double-counted)."""
+        from mahout_spark.index import append as append_mod
+        from mahout_spark.index.append import append_to_index
+        from mahout_spark.index.build import build_index
+        from mahout_spark.sources.catalog import ParquetCatalog
+
+        half_a = corpus.filter(F.col("doc_id") < 250)
+        half_b = corpus.filter(F.col("doc_id") >= 250)
+        d = str(tmp_path_factory.mktemp("crash"))
+        cat = build_index(
+            spark, half_a, out_dir=d, content_col="text", resume=False
+        )
+
+        # crash injection: the first postings append dies mid-flight
+        real_append = ParquetCatalog.append_partitioned
+        calls = {"n": 0}
+
+        def exploding(self, df, table, part_col, tag=None):
+            out = real_append(self, df, table, part_col, tag=tag)
+            if table == "tf_raw":
+                calls["n"] += 1
+            if table == "postings" and calls["n"] == 1:
+                raise RuntimeError("simulated executor loss")
+            return out
+
+        monkeypatch.setattr(
+            ParquetCatalog, "append_partitioned", exploding
+        )
+        with pytest.raises(RuntimeError, match="simulated"):
+            append_to_index(
+                spark, cat, half_b, content_col="text", batch_id="crashy"
+            )
+        monkeypatch.setattr(
+            ParquetCatalog, "append_partitioned", real_append
+        )
+
+        # replay with the same batch_id: rollback + clean re-apply
+        append_to_index(
+            spark, cat, half_b, content_col="text", batch_id="crashy"
+        )
+        # third call is a complete no-op
+        append_to_index(
+            spark, cat, half_b, content_col="text", batch_id="crashy"
+        )
+
+        ref_dir = str(tmp_path_factory.mktemp("crash_ref"))
+        ref = build_index(
+            spark, corpus, out_dir=ref_dir, content_col="text", resume=False
+        )
+        assert (
+            cat.read_meta("postings")["n_docs"]
+            == ref.read_meta("postings")["n_docs"]
+        )
+        # df must not be double-counted anywhere
+        got_df = {
+            r["term"]: r["df"]
+            for r in cat.read(spark, "lexicon").collect()
+        }
+        exp_df = {
+            r["term"]: r["df"]
+            for r in ref.read(spark, "lexicon").collect()
+        }
+        assert got_df == exp_df
+        inc, full = _results(spark, cat), _results(spark, ref)
+        for q in full:
+            assert [d for d, _ in inc[q]] == [d for d, _ in full[q]], q
+
+
 class TestStreaming:
     def test_stream_equals_full_build(self, spark, corpus, tmp_path_factory):
         from mahout_spark.index.build import build_index
