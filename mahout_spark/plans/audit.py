@@ -1,0 +1,69 @@
+"""Plan-audit helpers (PLANS.md is generated from these).
+
+``capture_plan`` returns the formatted physical plan as a string;
+``assert_plan`` turns the load-bearing optimizations into checkable
+predicates — the same assertions tests/test_plans.py gates on, exposed as
+a library so pipelines can self-audit (e.g. fail a deploy when a filter
+stopped reaching the scan after a refactor).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+from pyspark.sql import DataFrame
+
+
+def capture_plan(df: DataFrame, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def scan_count(plan: str) -> int:
+    return len(re.findall(r"\(\d+\) Scan parquet", plan))
+
+
+def pushed_filters(plan: str) -> list[str]:
+    return re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+
+
+def read_schemas(plan: str) -> list[str]:
+    return re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+
+
+def assert_plan(
+    df: DataFrame,
+    *,
+    broadcast_joins: int | None = None,
+    no_sort_merge_join: bool = False,
+    no_exchange: bool = False,
+    pushed: list[str] | None = None,
+    absent_columns: list[str] | None = None,
+) -> str:
+    """Raise AssertionError (with the plan attached) unless the compiled
+    plan has the requested shape. Returns the plan text on success."""
+    plan = capture_plan(df)
+    problems = []
+    if broadcast_joins is not None:
+        got = plan.count("BroadcastHashJoin")
+        if got < broadcast_joins:
+            problems.append(
+                f"expected >= {broadcast_joins} BroadcastHashJoin, got {got}"
+            )
+    if no_sort_merge_join and "SortMergeJoin" in plan:
+        problems.append("unexpected SortMergeJoin")
+    if no_exchange and "Exchange" in plan:
+        problems.append("unexpected Exchange (shuffle)")
+    for frag in pushed or []:
+        if frag not in plan:
+            problems.append(f"filter not pushed: {frag!r}")
+    for col in absent_columns or []:
+        if any(col in sch for sch in read_schemas(plan)):
+            problems.append(f"column not pruned from scan: {col!r}")
+    if problems:
+        raise AssertionError("; ".join(problems) + "\n---- plan ----\n" + plan)
+    return plan

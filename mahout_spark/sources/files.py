@@ -1,0 +1,106 @@
+"""Raw-file ingestion (SURVEY.md §2.1 S1-S3) — the reference's
+document-ingestion stage, Spark-first.
+
+The reference walked directories / read stdin path lists and wrote
+``SequenceFile<Text docId, Text content>`` pairs
+(``MahoutTermFinderMwk.java:183-196``, directory scan
+``MahoutTermFinderMwkSnpt.java:73-112``, stdin feed
+``MahoutTermFinderMwkSnptPiped.java:83-104``). Here the same three intake
+shapes produce one ``docs(repo, path, commit, lang, content)`` DataFrame
+— the engine's canonical input (BASELINE input_hint) — using
+``spark.read.text(wholetext=True)`` + ``input_file_name()``: the listing
+and the reads are distributed (one task per file group), never
+driver-side loops.
+
+Key-uniqueness is part of the contract: the reference's category-key
+variant silently overwrote documents sharing a key (acknowledged bug,
+``MahoutTermFinderMwkSnptRefactored.java:728-732``); ``ingest_files``
+asserts path uniqueness instead.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# naive extension -> language tag for the code-aware pipeline
+EXT_LANG = {
+    ".py": "python", ".java": "java", ".scala": "scala", ".go": "go",
+    ".rs": "rust", ".c": "c", ".h": "c", ".cpp": "cpp", ".js": "javascript",
+    ".ts": "typescript", ".rb": "ruby", ".sh": "shell", ".sql": "sql",
+    ".md": "markdown", ".txt": "text", ".mwk": "text",
+}
+
+
+def ingest_files(
+    spark: SparkSession,
+    paths: str | list[str],
+    repo: str = "",
+    commit: str = "",
+    assert_unique: bool = True,
+) -> DataFrame:
+    """Whole-file ingestion: path glob(s) / explicit path list →
+    ``(repo, path, commit, lang, content)``.
+
+    * S1 (named file list): pass the list;
+    * S2 (directory scan): pass a glob like ``dir/**`` — Spark's
+      FileIndex does the distributed listing, no driver walk;
+    * S3 (sampled path feed): sample the *list* first (``df.sample`` on a
+      path DataFrame or shell ``shuf`` upstream), then pass it here.
+    """
+    if isinstance(paths, str):
+        paths = [paths]
+    df = (
+        spark.read.text(paths, wholetext=True)
+        .select(
+            F.input_file_name().alias("uri"),
+            F.col("value").alias("content"),
+        )
+        .select(
+            F.lit(repo).alias("repo"),
+            F.regexp_replace(F.col("uri"), "^file:", "").alias("path"),
+            F.lit(commit).alias("commit"),
+            F.col("content"),
+        )
+    )
+    ext = F.lower(F.regexp_extract(F.col("path"), r"(\.[A-Za-z0-9]+)$", 1))
+    lang = F.coalesce(
+        *[
+            F.when(ext == e, F.lit(tag))
+            for e, tag in sorted(EXT_LANG.items())
+        ],
+        F.lit("unknown"),
+    )
+    df = df.select("repo", "path", "commit", lang.alias("lang"), "content")
+    if assert_unique:
+        dups = df.groupBy("path").count().filter(F.col("count") > 1).count()
+        if dups:
+            raise ValueError(
+                f"{dups} duplicate paths in ingest — doc keys must be "
+                "unique (the reference's category-key overwrite bug is "
+                "rejected, not reproduced)"
+            )
+    return df
+
+
+def list_files(
+    spark: SparkSession, root: str, suffix: str | None = None,
+    sample_fraction: float | None = None, seed: int = 7,
+) -> DataFrame:
+    """S3's path-feed as a DataFrame: distributed-ish listing via a
+    driver walk kept to PATH STRINGS only (no content I/O), returned as a
+    DataFrame so sampling/limits compose relationally before any file is
+    read — the Spark analog of ``find | shuf | head`` (run.sh:25)."""
+    out = []
+    for dirpath, _dirs, files in os.walk(root):
+        for fn in files:
+            if suffix is None or fn.endswith(suffix):
+                out.append((os.path.join(dirpath, fn),))
+    df = spark.createDataFrame(out or [("",)], "path string").filter(
+        F.col("path") != ""
+    )
+    if sample_fraction is not None:
+        df = df.sample(fraction=sample_fraction, seed=seed)
+    return df

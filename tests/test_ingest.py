@@ -1,0 +1,88 @@
+"""File-ingestion sources (SURVEY.md §2.1 S1-S3): whole-file reads into
+the canonical docs table, language tagging by extension, key-uniqueness
+enforcement, and the sampled path feed."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def tree(tmp_path_factory):
+    root = tmp_path_factory.mktemp("corpus_files")
+    (root / "a").mkdir()
+    (root / "b").mkdir()
+    (root / "a" / "Service.java").write_text(
+        "class Service { int getPort() { return 8080; } }"
+    )
+    (root / "a" / "util.py").write_text("def helper():\n    return 42\n")
+    (root / "b" / "notes.mwk").write_text("false wisdom of the hollow")
+    (root / "b" / "README.md").write_text("# readme\nusage notes")
+    return str(root)
+
+
+def test_glob_ingest_shapes_and_langs(spark, tree):
+    from mahout_spark.sources.files import ingest_files
+
+    docs = ingest_files(
+        spark, [f"{tree}/a", f"{tree}/b"], repo="r1", commit="c1"
+    )
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in docs.collect()}
+    assert set(rows) == {"Service.java", "util.py", "notes.mwk", "README.md"}
+    assert rows["Service.java"]["lang"] == "java"
+    assert rows["util.py"]["lang"] == "python"
+    assert rows["notes.mwk"]["lang"] == "text"
+    assert rows["README.md"]["lang"] == "markdown"
+    assert rows["util.py"]["content"].startswith("def helper")
+    assert rows["Service.java"]["repo"] == "r1"
+    assert [f.name for f in docs.schema.fields] == [
+        "repo", "path", "commit", "lang", "content",
+    ]
+
+
+def test_ingest_feeds_the_index(spark, tree, tmp_path_factory):
+    """End-to-end S2→index: the reference's whole pipeline entry."""
+    from mahout_spark.index.build import build_index
+    from mahout_spark.index.wand import topk
+    from mahout_spark.sources.files import ingest_files
+
+    docs = ingest_files(spark, [f"{tree}/a", f"{tree}/b"])
+    cat = build_index(
+        spark, docs, str(tmp_path_factory.mktemp("ing_idx")),
+        content_col="content", id_cols=["repo", "path", "commit"],
+        mode="code", lang_col="lang", n_buckets=4, resume=False,
+    )
+    hits = topk(spark, cat, ["getport"], k=5).collect()
+    assert len(hits) == 1
+    java_docs = topk(
+        spark, cat, ["lang:java"], k=10, mode_all=True
+    ).collect()
+    assert len(java_docs) == 1
+
+
+def test_path_feed_sampling(spark, tree):
+    from mahout_spark.sources.files import list_files
+
+    all_paths = list_files(spark, tree)
+    assert all_paths.count() == 4
+    only_py = list_files(spark, tree, suffix=".py")
+    assert only_py.count() == 1
+    sampled = list_files(spark, tree, sample_fraction=0.5, seed=3)
+    assert 0 <= sampled.count() <= 4
+
+
+def test_plan_audit_helpers(spark):
+    import __spark_entry__ as e
+    from mahout_spark.plans.audit import assert_plan, capture_plan, scan_count
+
+    df = e.q_quality_scores(spark, "/root/testdata/sf0.001")
+    plan = assert_plan(df, no_exchange=True, absent_columns=["source"])
+    assert scan_count(plan) == 1
+    q3 = e.q_tpch_q3_topk(spark, "/root/testdata/sf0.001")
+    assert_plan(
+        q3, broadcast_joins=1, no_sort_merge_join=True,
+        pushed=["EqualTo(c_mktsegment,BUILDING)"],
+    )
+    with pytest.raises(AssertionError, match="unexpected Exchange"):
+        assert_plan(q3, no_exchange=True)
+    assert "Physical Plan" in capture_plan(df, "simple")
