@@ -56,13 +56,27 @@ def assert_plan(
             )
     if no_sort_merge_join and "SortMergeJoin" in plan:
         problems.append("unexpected SortMergeJoin")
-    if no_exchange and "Exchange" in plan:
-        problems.append("unexpected Exchange (shuffle)")
+    if no_exchange:
+        # only SHUFFLE exchanges count: BroadcastExchange/ReusedExchange
+        # move no partitioned data and would false-fail any broadcast plan
+        shuffles = [
+            m for m in re.findall(r"[A-Za-z]*Exchange", plan)
+            if m == "Exchange"
+        ]
+        if shuffles:
+            problems.append("unexpected Exchange (shuffle)")
+    pf = " ; ".join(pushed_filters(plan))
     for frag in pushed or []:
-        if frag not in plan:
+        if frag not in pf:
             problems.append(f"filter not pushed: {frag!r}")
+    scan_cols = {
+        f.split(":")[0].strip()
+        for sch in read_schemas(plan)
+        for f in sch.split(",")
+        if f.strip()
+    }
     for col in absent_columns or []:
-        if any(col in sch for sch in read_schemas(plan)):
+        if col in scan_cols:
             problems.append(f"column not pruned from scan: {col!r}")
     if problems:
         raise AssertionError("; ".join(problems) + "\n---- plan ----\n" + plan)

@@ -39,28 +39,36 @@ def ingest_files(
     paths: str | list[str],
     repo: str = "",
     commit: str = "",
-    assert_unique: bool = True,
+    assert_unique: bool = False,
 ) -> DataFrame:
     """Whole-file ingestion: path glob(s) / explicit path list →
     ``(repo, path, commit, lang, content)``.
 
     * S1 (named file list): pass the list;
-    * S2 (directory scan): pass a glob like ``dir/**`` — Spark's
-      FileIndex does the distributed listing, no driver walk;
+    * S2 (directory scan): pass the directory — recursiveFileLookup
+      walks it to ANY depth distributedly (Hadoop globs treat ``**``
+      like ``*``, so globs alone silently miss deep files);
     * S3 (sampled path feed): sample the *list* first (``df.sample`` on a
       path DataFrame or shell ``shuf`` upstream), then pass it here.
     """
     if isinstance(paths, str):
         paths = [paths]
     df = (
-        spark.read.text(paths, wholetext=True)
+        spark.read.option("recursiveFileLookup", "true")
+        .text(paths, wholetext=True)
         .select(
             F.input_file_name().alias("uri"),
             F.col("value").alias("content"),
         )
         .select(
             F.lit(repo).alias("repo"),
-            F.regexp_replace(F.col("uri"), "^file:", "").alias("path"),
+            # input_file_name() is a URI: strip the file:// scheme and
+            # percent-decode so doc keys are real filesystem paths that
+            # join against list_files / git metadata ("my file.py", not
+            # "///my%20file.py")
+            F.url_decode(
+                F.regexp_replace(F.col("uri"), "^file:(//)?", "")
+            ).alias("path"),
             F.lit(commit).alias("commit"),
             F.col("content"),
         )
@@ -75,6 +83,10 @@ def ingest_files(
     )
     df = df.select("repo", "path", "commit", lang.alias("lang"), "content")
     if assert_unique:
+        # NOTE: this check is an extra full pass over the corpus (text
+        # rows can't be produced without reading content) — enable for
+        # small/one-off ingests; at scale keep input path lists disjoint
+        # upstream and rely on the index build's key handling instead.
         dups = df.groupBy("path").count().filter(F.col("count") > 1).count()
         if dups:
             raise ValueError(
@@ -98,9 +110,7 @@ def list_files(
         for fn in files:
             if suffix is None or fn.endswith(suffix):
                 out.append((os.path.join(dirpath, fn),))
-    df = spark.createDataFrame(out or [("",)], "path string").filter(
-        F.col("path") != ""
-    )
+    df = spark.createDataFrame(out, "path string")
     if sample_fraction is not None:
         df = df.sample(fraction=sample_fraction, seed=seed)
     return df

@@ -12,10 +12,14 @@ def tree(tmp_path_factory):
     root = tmp_path_factory.mktemp("corpus_files")
     (root / "a").mkdir()
     (root / "b").mkdir()
+    (root / "a" / "src" / "main").mkdir(parents=True)
     (root / "a" / "Service.java").write_text(
         "class Service { int getPort() { return 8080; } }"
     )
     (root / "a" / "util.py").write_text("def helper():\n    return 42\n")
+    (root / "a" / "src" / "main" / "Deep File.java").write_text(
+        "class DeepFile { }"
+    )
     (root / "b" / "notes.mwk").write_text("false wisdom of the hollow")
     (root / "b" / "README.md").write_text("# readme\nusage notes")
     return str(root)
@@ -28,8 +32,16 @@ def test_glob_ingest_shapes_and_langs(spark, tree):
         spark, [f"{tree}/a", f"{tree}/b"], repo="r1", commit="c1"
     )
     rows = {r["path"].rsplit("/", 1)[-1]: r for r in docs.collect()}
-    assert set(rows) == {"Service.java", "util.py", "notes.mwk", "README.md"}
+    # recursion reaches src/main/, spaces survive URI decoding, and the
+    # path column is a clean absolute filesystem path (no file:///, no %20)
+    assert set(rows) == {
+        "Service.java", "util.py", "notes.mwk", "README.md", "Deep File.java",
+    }
+    deep = rows["Deep File.java"]["path"]
+    assert deep == f"{tree}/a/src/main/Deep File.java"
+    assert "%" not in deep and not deep.startswith("//")
     assert rows["Service.java"]["lang"] == "java"
+    assert rows["Deep File.java"]["lang"] == "java"
     assert rows["util.py"]["lang"] == "python"
     assert rows["notes.mwk"]["lang"] == "text"
     assert rows["README.md"]["lang"] == "markdown"
@@ -57,18 +69,33 @@ def test_ingest_feeds_the_index(spark, tree, tmp_path_factory):
     java_docs = topk(
         spark, cat, ["lang:java"], k=10, mode_all=True
     ).collect()
-    assert len(java_docs) == 1
+    assert len(java_docs) == 2  # Service.java + the deep-nested file
 
 
-def test_path_feed_sampling(spark, tree):
+def test_path_feed_sampling(spark, tree, tmp_path_factory):
     from mahout_spark.sources.files import list_files
 
     all_paths = list_files(spark, tree)
-    assert all_paths.count() == 4
+    assert all_paths.count() == 5
     only_py = list_files(spark, tree, suffix=".py")
     assert only_py.count() == 1
-    sampled = list_files(spark, tree, sample_fraction=0.5, seed=3)
-    assert 0 <= sampled.count() <= 4
+    # deterministic sampling over a large synthetic listing: fixed seed,
+    # the fraction must actually apply (not be a no-op)
+    big = tmp_path_factory.mktemp("many")
+    for i in range(40):
+        (big / f"f{i:02d}.txt").write_text("x")
+    n1 = list_files(spark, str(big), sample_fraction=0.5, seed=3).count()
+    n2 = list_files(spark, str(big), sample_fraction=0.5, seed=3).count()
+    assert n1 == n2  # seed-deterministic
+    assert 0 < n1 < 40  # fraction applied
+    # ingest of paths matches the listing's path values exactly (the
+    # join-key contract between S3 listing and ingestion)
+    from mahout_spark.sources.files import ingest_files
+
+    ing = ingest_files(spark, [r["path"] for r in only_py.collect()])
+    assert [r["path"] for r in ing.collect()] == [
+        r["path"] for r in only_py.collect()
+    ]
 
 
 def test_plan_audit_helpers(spark):

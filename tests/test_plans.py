@@ -6,17 +6,9 @@ degrading to sort-merge-with-shuffle) fail here before they cost anything."""
 
 from __future__ import annotations
 
-import contextlib
-import io
-
 import pytest
 
-
-def _plan(df) -> str:
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
+from mahout_spark.plans.audit import capture_plan as _plan
 
 
 SF = "/root/testdata/sf0.001"
