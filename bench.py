@@ -35,9 +35,15 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
+    errors: dict[str, str] = {}
+
     def timed(name: str, fn) -> None:
         t0 = time.perf_counter()
-        fn()
+        try:
+            fn()
+        except Exception as exc:  # one broken query must not kill the run
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+            return
         timings[name] = round(time.perf_counter() - t0, 4)
 
     # index build throughput: full stats pipeline + posting-block index
@@ -144,6 +150,7 @@ def main() -> None:
                 "cpus": cpus,
                 "docs_per_sec_build": round(n_docs / build_sec, 2),
                 "n_docs": n_docs,
+                **({"errors": errors} if errors else {}),
             }
         )
     )
