@@ -338,10 +338,25 @@ def q_engine_ann_topk(spark, sf_dir):
 
 def q_engine_media_decode(spark, sf_dir):
     """mapInPandas media decode stage with the deterministic fake decoder
-    (rows-only check; plumbing correctness asserted in tests/)."""
+    (rows-only check; plumbing correctness asserted in tests/). The
+    ``features array<float>`` column is serialized to a CSV string for the
+    driver (its canonicalizer sorts rows — arrays aren't hashable there);
+    library callers get the typed array from decode_media directly."""
     from mahout_spark.operators.multimodal import decode_media, pack_media
 
-    return decode_media(pack_media(_load(spark, sf_dir, "documents"), "text"))
+    decoded = decode_media(
+        pack_media(_load(spark, sf_dir, "documents"), "text")
+    )
+    return decoded.select(
+        "doc_id", "media_type", "n_bytes", "width", "height",
+        F.concat_ws(
+            ",",
+            F.transform(
+                "features",
+                lambda x: F.format_string("%.6f", x.cast("double")),
+            ),
+        ).alias("features_csv"),
+    )
 
 
 def q_report_lines(spark, sf_dir):
@@ -514,7 +529,14 @@ def q_engine_cluster_docs(spark, sf_dir):
     )
 
     docs = _load(spark, sf_dir, "documents").limit(200)
-    return cluster_report(kmeans_doc_clusters(docs, k=8), min_size=2)
+    report = cluster_report(kmeans_doc_clusters(docs, k=8), min_size=2)
+    # members array<bigint> -> CSV string: the driver canonicalizer sorts
+    # rows and can't hash list cells; library callers use cluster_report.
+    return report.select(
+        "cluster", "n_docs",
+        F.concat_ws(",", F.col("members").cast("array<string>"))
+        .alias("members_csv"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -622,8 +644,9 @@ def _textstats_sql() -> dict[str, str]:
                CAST(length(text) AS BIGINT) AS n_chars,
                CAST(len({tok}) AS BIGINT) AS n_tokens,
                CAST(len(list_distinct({tok})) AS BIGINT) AS n_distinct,
-               coalesce(list_sum(list_transform({tok},
-                   t -> CAST(ceil(length(t)/4.0) AS BIGINT))), 0) AS bpe_est
+               CAST(coalesce(list_sum(list_transform({tok},
+                   t -> CAST(ceil(length(t)/4.0) AS BIGINT))), 0)
+                   AS BIGINT) AS bpe_est
         FROM documents
         """,
         "quality_scores": f"""
@@ -648,10 +671,11 @@ def _textstats_sql() -> dict[str, str]:
         """,
         "fingerprint": """
         SELECT doc_id,
-               coalesce(list_sum(list_transform(
+               CAST(coalesce(list_sum(list_transform(
                    generate_series(1, length(substring(text, 1, 256))),
                    i -> CAST(ascii(substring(substring(text, 1, 256), i, 1))
-                        * (((i - 1) % 64) + 1) AS BIGINT))), 0) AS fp
+                        * (((i - 1) % 64) + 1) AS BIGINT))), 0)
+                   AS BIGINT) AS fp
         FROM documents
         """,
     }
@@ -816,9 +840,9 @@ def _pipeline_sql() -> dict[str, str]:
         """,
         "tpch_q3_topk": """
         SELECT l_orderkey, o_orderdate, o_orderpriority,
-               sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
                    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
-                   AS revenue_c4
+                   AS BIGINT) AS revenue_c4
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -830,9 +854,9 @@ def _pipeline_sql() -> dict[str, str]:
         """,
         "tpch_promo_share": """
         SELECT string_split(p_type, ' ')[1] AS type_prefix,
-               sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
                    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
-                   AS revenue_c4,
+                   AS BIGINT) AS revenue_c4,
                count(*) AS n_items
         FROM lineitem
         JOIN part ON l_partkey = p_partkey
@@ -849,11 +873,17 @@ def oracle_sql() -> dict[str, str]:
 
 def _base_oracle_sql() -> dict[str, str]:
     return {
+        # NOTE on CASTs: DuckDB's sum(BIGINT)/list_sum returns HUGEINT,
+        # which pandas (the driver's canonicalization path) renders as
+        # float64 — breaking hash equality with Spark's int64 (and losing
+        # integer precision above 2^53). Every aggregate sum is therefore
+        # CAST back to BIGINT; all results fit int64 by construction.
         "wordcount": _TOK_CTE
-        + "SELECT term, sum(tf) AS cnt FROM tf GROUP BY term",
+        + "SELECT term, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY term",
         "document_frequency": _TOK_CTE
         + "SELECT term, df FROM dfreq",
-        "doclen": _TOK_CTE + "SELECT doc_id, doclen FROM dl",
+        "doclen": _TOK_CTE
+        + "SELECT doc_id, CAST(doclen AS BIGINT) AS doclen FROM dl",
         "tfidf_top5_per_doc": _TOK_CTE + """
         , scored AS (
             SELECT tf.doc_id, tf.term,
@@ -882,13 +912,16 @@ def _base_oracle_sql() -> dict[str, str]:
         """,
         "tpch_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
-               sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-               sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
-               sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                   * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS sum_disc_c4,
-               sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                   AS BIGINT) AS sum_base_cents,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                   AS BIGINT) AS sum_disc_c4,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
                    * (100 - CAST(round(l_discount * 100) AS BIGINT))
-                   * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS sum_charge_c6,
+                   * (100 + CAST(round(l_tax * 100) AS BIGINT)))
+                   AS BIGINT) AS sum_charge_c6,
                count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1997-06-30 00:00:00'
@@ -896,7 +929,8 @@ def _base_oracle_sql() -> dict[str, str]:
         """,
         "revenue_by_nation": """
         SELECT n_name,
-               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                   AS BIGINT) AS revenue_cents,
                count(*) AS n_orders
         FROM orders
         JOIN customer ON o_custkey = c_custkey

@@ -2,8 +2,16 @@
 
 Runs every __spark_entry__.queries() entry on Spark and its oracle_sql()
 on DuckDB at sf0.01, then compares row count, column names, and an
-order-insensitive value multiset (columns sorted by name, rows sorted).
-Floats compared by repr of the exact double — i.e. as strict as any hash.
+order-insensitive value multiset.
+
+Faithful to the DRIVER's canonicalization path (round-1 lesson): both
+sides go through **pandas** — DuckDB via ``cur.df()`` (HUGEINT becomes
+float64 there, which is exactly the dtype mismatch that broke 8 hashes in
+round 1) and Spark via ``toPandas()`` — then columns sorted by name, rows
+sorted with ``sort_values`` (which throws on unhashable list cells, the
+round-1 ``err`` mechanism), and cells rendered dtype-sensitively (int64
+``840`` != float64 ``840.0``). A query that passes here passes the
+driver's hash gate.
 
 Usage: python tests/driver_parity.py [sf_dir]
 """
@@ -23,22 +31,36 @@ TABLES = [
 
 
 def _norm_cell(v):
+    import numpy as np
+
     if v is None:
         return "<null>"
-    if isinstance(v, float):
-        if math.isnan(v):
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v)).lower()
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
             return "nan"
-        return repr(v)
-    if isinstance(v, bool):
-        return str(v).lower()
+        return repr(f)  # float64 840.0 -> '840.0', distinct from int '840'
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
     return str(v)
 
 
-def _norm_rows(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
-    out.sort()
-    return sorted(c for c in cols), out
+def _canon(pdf):
+    """Driver-shaped canonicalization: name-sorted columns, sort_values
+    over all columns (raises TypeError on list cells, like the driver),
+    dtype-sensitive cell rendering."""
+    pdf = pdf[sorted(pdf.columns)]
+    if len(pdf):
+        pdf = pdf.sort_values(by=list(pdf.columns)).reset_index(drop=True)
+    cols = list(pdf.columns)
+    rows = [
+        tuple(_norm_cell(v) for v in row)
+        for row in pdf.itertuples(index=False, name=None)
+    ]
+    rows.sort()
+    return cols, rows
 
 
 def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
@@ -58,17 +80,24 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
     oracles = entry.oracle_sql()
     failures = 0
     for name, fn in qs.items():
-        sdf = fn(spark, sf_dir)
-        srows = sdf.collect()
-        scols = sdf.columns
-        if name not in oracles:
-            print(f"{name:28s} ROWS-ONLY  rows={len(srows)}")
+        try:
+            sdf = fn(spark, sf_dir)
+            spdf = sdf.toPandas()
+            sc, sr = _canon(spdf)
+        except Exception as e:  # the driver records this as err
+            print(f"{name:28s} SPARK/CANON ERR {type(e).__name__}: {e}")
+            failures += 1
             continue
-        cur = con.execute(oracles[name])
-        dcols = [d[0] for d in cur.description]
-        drows = cur.fetchall()
-        sc, sr = _norm_rows(scols, [tuple(r) for r in srows])
-        dc, dr = _norm_rows(dcols, drows)
+        if name not in oracles:
+            print(f"{name:28s} ROWS-ONLY  rows={len(sr)}")
+            continue
+        try:
+            dpdf = con.execute(oracles[name]).df()
+            dc, dr = _canon(dpdf)
+        except Exception as e:
+            print(f"{name:28s} ORACLE/CANON ERR {type(e).__name__}: {e}")
+            failures += 1
+            continue
         ok = True
         if sc != dc:
             print(f"{name:28s} SCHEMA MISMATCH spark={sc} duck={dc}")
@@ -77,15 +106,15 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
             print(f"{name:28s} ROWCOUNT MISMATCH spark={len(sr)} duck={len(dr)}")
             ok = False
         elif sr != dr:
-            diffs = [
-                (a, b) for a, b in zip(sr, dr) if a != b
-            ][:3]
-            print(f"{name:28s} VALUE MISMATCH ({len([1 for a,b in zip(sr,dr) if a!=b])} rows) e.g. {diffs}")
+            diffs = [(a, b) for a, b in zip(sr, dr) if a != b][:3]
+            n_bad = len([1 for a, b in zip(sr, dr) if a != b])
+            print(f"{name:28s} VALUE MISMATCH ({n_bad} rows) e.g. {diffs}")
             ok = False
         if ok:
             print(f"{name:28s} MATCH      rows={len(sr)}")
         else:
             failures += 1
+    print(f"\n{failures} failures")
     return failures
 
 
