@@ -40,6 +40,34 @@ from mahout_spark.index.codec import decode_doc_block
 from mahout_spark.sources.catalog import ParquetCatalog
 
 
+def _read_query_lexicon(
+    spark: SparkSession, cat: ParquetCatalog, qbuckets: list[int]
+):
+    """Bucket-pruned lexicon read that fails LOUDLY on format mismatch.
+
+    Missing bucket dirs mean "terms absent" ONLY when the lexicon table is
+    actually bucket-partitioned; a lexicon in the old unpartitioned layout
+    (or a missing table) must raise, not silently answer every query with
+    zero hits. Returns None when the requested buckets are genuinely
+    absent from a bucketed lexicon."""
+    import os
+
+    try:
+        return cat.read_partitions(spark, "lexicon", "bucket", qbuckets)
+    except FileNotFoundError:
+        lex_path = cat.table_path("lexicon")
+        if not os.path.isdir(lex_path):
+            raise FileNotFoundError(
+                f"index at {cat.root} has no lexicon table — not a built "
+                "index (or the build did not complete)"
+            ) from None
+        if any(d.startswith("bucket=") for d in os.listdir(lex_path)):
+            return None  # bucketed lexicon; these terms' buckets are empty
+        # legacy unpartitioned lexicon: fall back to the full read (loses
+        # bucket pruning but stays correct across index format versions)
+        return cat.read(spark, "lexicon")
+
+
 def _score_arrays(doc, tf, dl, idf, k1, b, avgdl):
     tff = tf.astype(np.float64)
     return idf * (tff * (k1 + 1.0)) / (
@@ -232,10 +260,7 @@ def topk(
     from mahout_spark.functions.xxhash import term_bucket
 
     qbuckets = sorted({term_bucket(t, n_buckets) for t in qterms})
-    try:
-        lex = cat.read_partitions(spark, "lexicon", "bucket", qbuckets)
-    except FileNotFoundError:
-        lex = None
+    lex = _read_query_lexicon(spark, cat, qbuckets)
     lex_rows = (
         lex.filter(F.col("term").isin(qterms))
         .select("term", "bucket", "df")
@@ -298,9 +323,8 @@ def topk_batch(
     if not all_terms:
         return empty
     qbuckets = sorted({term_bucket(t, n_buckets) for t in all_terms})
-    try:
-        lex = cat.read_partitions(spark, "lexicon", "bucket", qbuckets)
-    except FileNotFoundError:
+    lex = _read_query_lexicon(spark, cat, qbuckets)
+    if lex is None:
         return empty
     lex_rows = (
         lex.filter(F.col("term").isin(all_terms))

@@ -45,11 +45,17 @@ LUCENE_STOP33 = [
 def tfidf_doc_terms(
     docs: DataFrame, content_col: str = "text", id_col: str = "doc_id",
     stop_words: list[str] | None = None,
+    cleanup: list | None = None,
 ) -> tuple[DataFrame, int]:
     """(doc_id, term_id, score) rows with the reference TF-IDF formula
     √tf·(1+ln(N/(df+1))) over dense dictionary term ids; returns
     (scores_df, dict_size). Pure DataFrame ops (two shuffles:
-    groupBy(doc,term), groupBy(term))."""
+    groupBy(doc,term), groupBy(term)).
+
+    The tf intermediate (and dense_ids' internal partitioning) must stay
+    persisted while the returned frame is consumed; pass ``cleanup`` and
+    unpersist its entries once the scores are materialized (long-lived
+    sessions leak cached blocks otherwise)."""
     stop = stop_words if stop_words is not None else LUCENE_STOP33
     toks = F.filter(
         F.split(F.lower(F.col(content_col)), "[^a-z0-9]+"),
@@ -61,10 +67,14 @@ def tfidf_doc_terms(
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     tf = tf.cache()
+    if cleanup is not None:
+        cleanup.append(tf)
     n_docs = docs.count()
     from mahout_spark.functions import dense_ids
 
-    dictionary = dense_ids(tf.select("term").distinct(), ["term"], "term_id")
+    dictionary = dense_ids(
+        tf.select("term").distinct(), ["term"], "term_id", cleanup=cleanup
+    )
     dim = dictionary.count()
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scores = (
@@ -131,13 +141,28 @@ def estimate_k_canopy(
 def kmeans_doc_clusters(
     docs: DataFrame, k: int | None = None, content_col: str = "text",
     id_col: str = "doc_id", stop_words: list[str] | None = None,
-    canopy_t: float = 0.2, seed: int = 1,
+    canopy_t: float = 0.2, seed: int = 1, soft_weights: bool = False,
 ) -> DataFrame:
     """Full pipeline: TF-IDF vectors → (optional canopy k estimate) →
-    cosine k-means → (doc_id, cluster). Deterministic under a fixed seed."""
+    cosine k-means → (doc_id, cluster). Deterministic under a fixed seed.
+
+    ``soft_weights=True`` adds a ``weights array<double>`` column — the
+    fuzzy-k-means m=2 membership (u_c = (1/d_c²)/Σ(1/d_j²) over cosine
+    distances to the final centroids), the observable analog of the
+    reference's FuzzyKMeansDriver.run(..., m=2, ...)
+    (…RefactoredCluster.java:896-898) whose WeightedPropertyVectorWritable
+    weights (:907-923) the reference computes but never prints. Weights
+    sum to 1; argmax(weights) equals the hard ``cluster`` assignment.
+
+    The result is materialized before returning so every intermediate
+    cache (tf, dense-id partitioning, vectors) is dropped — back-to-back
+    operator runs in one session don't accumulate cached blocks."""
     from pyspark.ml.clustering import KMeans
 
-    scores, dim = tfidf_doc_terms(docs, content_col, id_col, stop_words)
+    cleanup: list = []
+    scores, dim = tfidf_doc_terms(
+        docs, content_col, id_col, stop_words, cleanup=cleanup
+    )
     vecs = doc_vectors(scores, dim).cache()
     if k is None:
         k = estimate_k_canopy(vecs, t=canopy_t)
@@ -145,7 +170,39 @@ def kmeans_doc_clusters(
         k=k, seed=seed, distanceMeasure="cosine", featuresCol="features",
         predictionCol="cluster",
     ).fit(vecs)
-    return model.transform(vecs).select("doc_id", "cluster")
+    out = model.transform(vecs).select("doc_id", "cluster")
+    if soft_weights:
+        from pyspark.sql import types as T
+
+        centers = np.asarray(
+            [c.toArray() for c in model.clusterCenters()], dtype=np.float64
+        )
+        cn = np.linalg.norm(centers, axis=1)
+        cn[cn == 0] = 1.0
+        centers_n = centers / cn[:, None]
+
+        # plain UDF by necessity: features is a VectorUDT (no Arrow form);
+        # one row per DOCUMENT and a cold path, same budget as doc_vectors
+        @F.udf(T.ArrayType(T.DoubleType()))
+        def weights_udf(v):
+            x = v.toArray()
+            n = np.linalg.norm(x)
+            if n == 0:
+                return [1.0 / len(centers_n)] * len(centers_n)
+            d = np.maximum(1.0 - centers_n @ (x / n), 0.0)
+            hit = d < 1e-12
+            w = hit.astype(np.float64) if hit.any() else 1.0 / (d * d)
+            w = w / w.sum()
+            return [float(x) for x in w]
+
+        out = model.transform(vecs).select(
+            "doc_id", "cluster", weights_udf("features").alias("weights")
+        )
+    out = out.localCheckpoint(eager=True)
+    vecs.unpersist()
+    for c in cleanup:
+        c.unpersist()
+    return out
 
 
 def pairwise_doc_distances(

@@ -35,6 +35,7 @@ fixed accumulation order and rounded once to 6.
 from __future__ import annotations
 
 import hashlib
+import warnings
 
 import numpy as np
 import pandas as pd
@@ -43,6 +44,54 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 MERSENNE61 = (1 << 61) - 1
+
+# Per-python-worker memo for content hashes: corpora are Zipfian, so the
+# same shingles/terms recur across documents and batches — hashing each
+# DISTINCT string once per worker turns the dominant per-row Python cost
+# into a dict hit (same trick the tokenizer uses for stemming). Bounded so
+# a pathological vocabulary can't OOM the worker.
+_HASH_MEMO_MAX = 4_000_000
+_HASH32_MEMO: dict[str, int] = {}
+_HASH64_MEMO: dict[str, int] = {}
+
+
+def _spread_input(docs: DataFrame) -> DataFrame:
+    """Repartition a FEW-SPLIT input up to cluster parallelism.
+
+    The signature/shingle stages below materialize at input parallelism;
+    a small corpus arriving as one parquet file would run them as one
+    task. A real 100 TB corpus arrives in >=10^5 splits, so this is a
+    no-op there (never repartitions downward — that would add a shuffle
+    of the corpus for nothing)."""
+    sc = docs.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    if docs.rdd.getNumPartitions() < p:
+        return docs.repartition(p)
+    return docs
+
+
+def _hash_uniques(uniq: np.ndarray, digest_size: int,
+                  memo: dict[str, int]) -> np.ndarray:
+    """blake2b of each string in ``uniq`` (array of distinct strings) as
+    unsigned ints, memoized across batches. The only remaining per-string
+    Python loop runs over memo MISSES, not over every shingle occurrence."""
+    out = np.empty(len(uniq), dtype=np.int64)
+    bounded = len(memo) < _HASH_MEMO_MAX
+    for i, s in enumerate(uniq):
+        v = memo.get(s)
+        if v is None:
+            v = int.from_bytes(
+                hashlib.blake2b(
+                    s.encode("utf-8"), digest_size=digest_size
+                ).digest(),
+                "big",
+            )
+            if digest_size == 8:
+                v -= 1 << 64 if v >= 1 << 63 else 0  # signed-64 bit pattern
+            if bounded:
+                memo[s] = v
+        out[i] = v
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -123,19 +172,38 @@ def jaccard_neardup_pairs(
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ threshold,
     jaccard rounded to 6.
     """
-    sh = shingle_sets(docs, k, content_col, id_col).cache()
+    # localCheckpoint (not cache): the shingle expression is a nested
+    # higher-order-function tree (split->transform->slice->concat_ws) that
+    # every downstream branch (sizes, rare, both self-join sides, the
+    # verification joins) would otherwise REPLICATE into its logical plan —
+    # measured: Catalyst analysis/optimization of the replicated trees cost
+    # ~10x the actual job execution at sandbox scale, and planning cost
+    # grows with plan size at any scale. Checkpointing collapses the
+    # common subtree to one flat scan of materialized rows.
+    sh = shingle_sets(
+        _spread_input(docs), k, content_col, id_col
+    ).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # Candidate generation runs on xxhash64(shingle): the df-count shuffle
+    # and the (quadratic-prone) self-join then carry 8-byte keys instead
+    # of multi-word shingle strings — the dominant shuffle volume of this
+    # operator at corpus scale. A 64-bit collision can only merge two
+    # shingles' df counts or create an extra candidate; extra candidates
+    # are removed by the exact string-level verification below, and the
+    # 2^-64 df-merge risk is the same class the engine already accepts
+    # for sha256 exact dedup.
+    shh = sh.select("doc_id", F.xxhash64("shingle").alias("sh_h"))
     rare = (
-        sh.groupBy("shingle")
+        shh.groupBy("sh_h")
         .agg(F.count(F.lit(1)).alias("sdf"))
         .filter(F.col("sdf") <= rare_df_max)
-        .select("shingle")
+        .select("sh_h")
     )
-    rare_sh = sh.join(rare, "shingle")
+    rare_sh = shh.join(rare, "sh_h")
     a = rare_sh.alias("a")
     b = rare_sh.alias("b")
     cand = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+        a.join(b, (F.col("a.sh_h") == F.col("b.sh_h"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -150,16 +218,6 @@ def jaccard_neardup_pairs(
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def _hash32_batch(strings: list[str]) -> np.ndarray:
-    """Deterministic 32-bit hashes (blake2b/4B) of a list of strings."""
-    out = np.empty(len(strings), dtype=np.uint64)
-    for i, s in enumerate(strings):
-        out[i] = int.from_bytes(
-            hashlib.blake2b(s.encode("utf-8"), digest_size=4).digest(), "big"
-        )
-    return out
-
-
 def _minhash_params(n_hashes: int, seed: int):
     rng = np.random.RandomState(seed)
     a = rng.randint(1, 1 << 31, size=n_hashes).astype(np.int64)
@@ -172,33 +230,58 @@ def minhash_signatures(
     content_col: str = "text", id_col: str = "doc_id",
 ) -> DataFrame:
     """(doc_id, sig array<long>[n_hashes]) MinHash signatures over word
-    k-shingles, computed in one vectorized Arrow UDF: shingle → 32-bit
-    blake2b → n_hashes universal hashes (a·x+b mod 2^61−1) → column mins.
-    Empty shingle set → empty sig array (excluded from LSH)."""
+    k-shingles, computed batch-vectorized in one Arrow UDF:
+
+    1. shingle lists per doc (multiset — duplicates never change a min, so
+       no per-doc set building);
+    2. ``np.unique`` over the WHOLE batch's shingles → each distinct
+       shingle is blake2b-hashed once per batch (and once per worker
+       lifetime via the Zipf memo), not once per occurrence;
+    3. one (n_unique × n_hashes) universal-hash matrix
+       (a·x+b mod 2^61−1), then per-doc column mins via the inverse index.
+
+    Empty shingle set → empty sig array (excluded from LSH). Signatures
+    are bit-identical to the per-doc formulation (same hash family, same
+    seeds)."""
     a_p, b_p = _minhash_params(n_hashes, seed)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig_udf(texts: pd.Series) -> pd.Series:
-        out = []
+        import re
+
+        split = re.compile(r"[^a-z0-9]+")
+        sh_lists: list[list[str]] = []
         for t in texts:
             if t is None:
-                out.append([])
+                sh_lists.append([])
                 continue
-            import re
-
-            toks = [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
-            sh = list({" ".join(toks[i:i + k])
-                       for i in range(len(toks) - k + 1)})
-            if not sh:
+            toks = [w for w in split.split(t.lower()) if w]
+            sh_lists.append(
+                [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+            )
+        total = sum(len(s) for s in sh_lists)
+        if total == 0:
+            return pd.Series([[] for _ in sh_lists])
+        all_sh = np.empty(total, dtype=object)
+        pos = 0
+        for s in sh_lists:
+            all_sh[pos:pos + len(s)] = s
+            pos += len(s)
+        uniq, inv = np.unique(all_sh, return_inverse=True)
+        x = _hash_uniques(uniq, 4, _HASH32_MEMO)  # < 2^32, in int64
+        # (n_uniq, n_hashes): a < 2^31, x < 2^32 -> a*x < 2^63, no overflow
+        hv = (x[:, None] * a_p[None, :] + b_p[None, :]) % MERSENNE61
+        out, pos = [], 0
+        for s in sh_lists:
+            n = len(s)
+            if n == 0:
                 out.append([])
-                continue
-            x = _hash32_batch(sh).astype(np.int64)  # < 2^32
-            # (n_sh, n_hashes): a*x < 2^63 — no overflow
-            hv = (x[:, None] * a_p[None, :] + b_p[None, :]) % MERSENNE61
-            out.append(hv.min(axis=0).tolist())
+            else:
+                out.append(hv[inv[pos:pos + n]].min(axis=0).tolist())
+            pos += n
         return pd.Series(out)
 
-    return docs.select(
+    return _spread_input(docs).select(
         F.col(id_col).alias("doc_id"), sig_udf(F.col(content_col)).alias("sig")
     )
 
@@ -222,6 +305,10 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(
         docs, n_hashes, k, seed, content_col, id_col
     ).filter(F.size("sig") > 0)
+    # checkpointed below: the self-join references banded TWICE and
+    # verification's candidate materialization once more — without it the
+    # signature UDF (the expensive stage) runs 3-4x per call and the UDF
+    # plan subtree is replicated into every branch
     banded = sigs.select(
         "doc_id",
         F.explode(
@@ -239,7 +326,7 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.key")
+    ).select("doc_id", "bk.band", "bk.key").localCheckpoint(eager=True)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -254,17 +341,37 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    return _verify_jaccard(
-        cand, docs, k, threshold, content_col, id_col
-    )
+    return _verify_jaccard(cand, docs, k, threshold, content_col, id_col)
 
 
 def _verify_jaccard(
     cand: DataFrame, docs: DataFrame, k: int, threshold: float,
     content_col: str, id_col: str,
 ) -> DataFrame:
-    """Exact Jaccard over full shingle sets, restricted to candidate pairs."""
-    sh = shingle_sets(docs, k, content_col, id_col)
+    """Exact Jaccard over full shingle sets, restricted to candidate pairs.
+
+    The corpus is semi-joined down to the docs that actually appear in a
+    candidate pair BEFORE shingling — verification cost is proportional
+    to candidates (LSH's output), never to corpus size. ``cand`` is
+    cached (it feeds both the id set and the pair join) and the result
+    is materialized so the cache can be dropped before returning."""
+    # checkpointed, not cached: candidate generation (LSH banding) and
+    # the shingle expression are both heavy PLAN subtrees that would be
+    # replicated into every downstream branch — see jaccard_neardup_pairs
+    cand = cand.localCheckpoint(eager=True)
+    ids = (
+        cand.select(F.col("doc_a").alias(id_col))
+        .union(cand.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    # candidates are a tiny fraction of the corpus by construction —
+    # broadcast the id set so the semi-join adds no corpus shuffle
+    cand_docs = docs.join(F.broadcast(ids), id_col, "left_semi")
+    # _pair_jaccard reads the shingle rows four times (both join sides +
+    # the two size broadcasts) — materialize them once
+    sh = shingle_sets(cand_docs, k, content_col, id_col).localCheckpoint(
+        eager=True
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     return _pair_jaccard(cand, sh, sizes, threshold)
 
@@ -311,41 +418,58 @@ def _pair_jaccard(
 def simhash_signatures(
     docs: DataFrame, content_col: str = "text", id_col: str = "doc_id",
 ) -> DataFrame:
-    """64-bit tf-weighted SimHash per doc (Arrow UDF): each distinct term's
-    64-bit blake2b hash votes ±tf on every bit; sign → bit. Returned as
-    signed long (bit pattern; JVM bit ops work directly on it)."""
+    """64-bit tf-weighted SimHash per doc: each term's 64-bit blake2b hash
+    votes ±tf on every bit; sign → bit. Returned as signed long (bit
+    pattern; JVM bit ops work directly on it).
+
+    Batch-vectorized like ``minhash_signatures``: distinct terms of the
+    whole Arrow batch are hashed once (memoized across batches), their
+    ±1 bit-sign rows form one (n_unique × 64) int matrix, and each doc's
+    vote vector is the sum of its tokens' rows (token repetition IS the
+    tf weighting — no per-doc Counter). Integer votes, so the sign
+    decision is exact and the signatures are bit-identical to the per-doc
+    formulation."""
 
     @F.pandas_udf(T.LongType())
     def simhash_udf(texts: pd.Series) -> pd.Series:
         import re
-        from collections import Counter
 
+        split = re.compile(r"[^a-z0-9]+")
+        tok_lists: list[list[str]] = []
+        for t in texts:
+            tok_lists.append(
+                [w for w in split.split(t.lower()) if w] if t else []
+            )
+        out = np.zeros(len(tok_lists), dtype=np.int64)
+        total = sum(len(s) for s in tok_lists)
+        if total == 0:
+            return pd.Series(out)
+        all_tok = np.empty(total, dtype=object)
+        pos = 0
+        for s in tok_lists:
+            all_tok[pos:pos + len(s)] = s
+            pos += len(s)
+        uniq, inv = np.unique(all_tok, return_inverse=True)
+        h64 = _hash_uniques(uniq, 8, _HASH64_MEMO).view(np.uint64)
         bit_idx = np.arange(64, dtype=np.uint64)
-        out = np.zeros(len(texts), dtype=np.int64)
-        for row, t in enumerate(texts):
-            if not t:
-                continue
-            tf = Counter(w for w in re.split(r"[^a-z0-9]+", t.lower()) if w)
-            if not tf:
-                continue
-            v = np.zeros(64, dtype=np.float64)
-            for term, cnt in tf.items():
-                h = int.from_bytes(
-                    hashlib.blake2b(
-                        term.encode("utf-8"), digest_size=8
-                    ).digest(),
-                    "big",
+        signs = (
+            ((h64[:, None] >> bit_idx[None, :]) & np.uint64(1))
+            .astype(np.int64) * 2 - 1
+        )  # (n_uniq, 64) in {-1, +1}
+        weights = (np.uint64(1) << bit_idx)
+        pos = 0
+        for row, s in enumerate(tok_lists):
+            n = len(s)
+            if n:
+                votes = signs[inv[pos:pos + n]].sum(axis=0)
+                sig = ((votes > 0).astype(np.uint64) * weights).sum(
+                    dtype=np.uint64
                 )
-                bits = (np.uint64(h) >> bit_idx) & np.uint64(1)
-                v += cnt * (2.0 * bits.astype(np.float64) - 1.0)
-            sig = np.uint64(0)
-            for i in range(64):
-                if v[i] > 0:
-                    sig |= np.uint64(1) << np.uint64(i)
-            out[row] = np.int64(sig)
+                out[row] = np.int64(sig.astype(np.int64))
+            pos += n
         return pd.Series(out)
 
-    return docs.select(
+    return _spread_input(docs).select(
         F.col(id_col).alias("doc_id"),
         simhash_udf(F.col(content_col)).alias("simhash"),
     )
@@ -363,7 +487,9 @@ def simhash_neardup_pairs(
     rows per doc. Exact hamming check JVM-side via bit_count(xor).
     Returns (doc_a, doc_b, hamming), doc_a < doc_b.
     """
-    sigs = simhash_signatures(docs, content_col, id_col).cache()
+    sigs = simhash_signatures(docs, content_col, id_col).localCheckpoint(
+        eager=True  # self-join below references the UDF subtree twice
+    )
     chunks = sigs.select(
         "doc_id",
         "simhash",
@@ -381,7 +507,7 @@ def simhash_neardup_pairs(
         ).alias("c"),
     ).select("doc_id", "simhash", "c.chunk", "c.val")
     a, b = chunks.alias("a"), chunks.alias("b")
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.chunk") == F.col("b.chunk"))
@@ -398,6 +524,7 @@ def simhash_neardup_pairs(
         .filter(F.col("hamming") <= max_hd)
         .distinct()
     )
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -407,6 +534,7 @@ def simhash_neardup_pairs(
 def dedup_groups_from_pairs(
     pairs: DataFrame, max_iters: int = 20,
     a_col: str = "doc_a", b_col: str = "doc_b",
+    on_unconverged: str = "raise",
 ) -> DataFrame:
     """Near-dup pairs → duplicate groups: connected components by
     iterative min-label propagation, returning (doc_id, keep_id) where
@@ -414,23 +542,35 @@ def dedup_groups_from_pairs(
     the same keep-min rule as exact_dedup_groups).
 
     Each iteration joins every node's current label against its
-    neighbors' and takes the min; converges in O(diameter) ≤ O(log n)
-    iterations for near-dup graphs (components are near-cliques, so
-    usually 2-3). All DataFrame ops — the driver only checks the
-    convergence counter, never the data. At 10^9 edges this is the
-    standard large-small-star-style label propagation; ``max_iters``
-    bounds pathological chains.
+    neighbors' and takes the min; converges in O(diameter) iterations —
+    near-dup components are near-cliques, so usually 2-3. Scale
+    mechanics: every generation is ``localCheckpoint``-ed, so the plan
+    stays CONSTANT-depth across iterations (a plain ``cache()`` keeps
+    the full join-on-join lineage, which grows planning cost and
+    task-retry recomputation per round — fatal at 10^9 edges), and the
+    ``changed`` flag is computed inside the same generation frame, so
+    convergence costs one lightweight agg over the just-materialized
+    blocks rather than a second join job.
+
+    ``max_iters`` bounds pathological chains (a component with diameter >
+    max_iters would come back SPLIT with wrong keep_ids); by default that
+    raises — pass ``on_unconverged="warn"`` to get the partial labels
+    anyway.
     """
+    if on_unconverged not in ("raise", "warn"):
+        raise ValueError(f"unknown on_unconverged {on_unconverged!r}")
     edges = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .union(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
         .distinct()
-        .cache()
+        .localCheckpoint(eager=True)  # edges reused every iteration
     )
     labels = (
         edges.select("u").distinct()
         .withColumn("label", F.col("u"))
+        .localCheckpoint(eager=True)
     )
+    changed = None
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels.withColumnRenamed("u", "v"), "v")
@@ -444,20 +584,27 @@ def dedup_groups_from_pairs(
                 F.least(
                     F.col("label"), F.coalesce("nlabel", "label")
                 ).alias("label"),
+                (F.coalesce("nlabel", "label") < F.col("label"))
+                .cast("long").alias("changed"),
             )
+            .localCheckpoint(eager=True)  # ONE job; lineage truncated
         )
-        new_labels = new_labels.cache()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "u")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
+        changed = int(
+            new_labels.agg(F.sum("changed")).first()[0] or 0
         )
-        labels.unpersist()  # superseded generation — don't accumulate
-        labels = new_labels
+        labels = new_labels.drop("changed")
         if changed == 0:
             break
-    edges.unpersist()
+    if changed:
+        msg = (
+            f"dedup_groups_from_pairs: not converged after {max_iters} "
+            f"iterations ({changed} labels still moving) — a component "
+            f"has diameter > max_iters; groups would be split with wrong "
+            f"keep_ids. Raise max_iters."
+        )
+        if on_unconverged == "raise":
+            raise RuntimeError(msg)
+        warnings.warn(msg, stacklevel=2)
     return labels.select(
         F.col("u").alias("doc_id"), F.col("label").alias("keep_id")
     )

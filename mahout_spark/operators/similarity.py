@@ -91,16 +91,19 @@ def add_lsh_buckets(
 
 def lsh_ann_topk(
     emb: DataFrame, qvec: list[float], k: int = 10, nbits: int = 12,
-    seed: int = 7, n_probes: int = 1 + 12,
+    seed: int = 7, n_probes: int | None = None,
     vec_col: str = "embedding", id_col: str = "vec_id",
 ) -> DataFrame:
     """Approximate NN: probe the query's bucket plus its hamming-1
-    neighbors (multi-probe: n_probes = 1 + nbits covers every single-bit
-    flip, recovering most boundary losses), exact cosine rerank inside.
+    neighbors (multi-probe: the default n_probes = 1 + nbits covers every
+    single-bit flip — resolved from the ACTUAL nbits so raising nbits
+    never silently drops probes), exact cosine rerank inside.
 
     The candidate filter is ``bucket IN (...)`` — a JVM-side predicate that
     becomes partition pruning when the table is bucket-partitioned on disk.
     """
+    if n_probes is None:
+        n_probes = 1 + nbits
     dim = len(qvec)
     planes = _hyperplanes(dim, nbits, seed)
     q = np.asarray(qvec, dtype=np.float64)

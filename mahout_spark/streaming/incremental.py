@@ -27,25 +27,57 @@ def foreach_batch_indexer(
     index_dir: str, content_col: str = "text", **build_kw
 ):
     """Returns the foreachBatch handler: bootstrap on first batch (no index
-    yet), idempotent append afterwards."""
+    yet), idempotent append afterwards.
+
+    Replay safety of the BOOTSTRAP branch (the append branch has its own
+    per-batch lineage guard): branching on ``cat.exists("postings")`` alone
+    would wedge the stream — that dir appears as soon as build stage 1
+    writes ``_meta``, so a crash mid-bootstrap would send the replayed
+    first epoch down the append path into a half-built index. Instead the
+    bootstrap writes a durable *intent* lineage row before building and a
+    *complete* row after, which also disambiguates the one case the
+    postings-dir test cannot: an index pre-built OUTSIDE the stream (no
+    bootstrap rows at all -> append) vs a crashed bootstrap (intent
+    without complete -> re-enter the resumable build).
+    """
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        import time
+
         spark = batch_df.sparkSession
         cat = ParquetCatalog(index_dir)
-        if not cat.exists("postings"):
+        sid = f"stream-{batch_id}"
+        boot_rows = [
+            r for r in cat.lineage_rows("appends") if r.get("bootstrap")
+        ]
+        boot_complete = any(
+            r.get("status") == "complete" for r in boot_rows
+        )
+        if boot_complete or (not boot_rows and cat.exists("postings")):
+            # bootstrapped (marker present) or pre-built externally (no
+            # bootstrap lineage at all). A replayed bootstrap epoch also
+            # lands here and no-ops: its complete row carries this
+            # batch_id, which append_to_index's replay guard recognizes.
+            append_to_index(
+                spark, cat, batch_df, content_col=content_col,
+                batch_id=sid,
+            )
+        else:
+            # fresh bootstrap, or intent-without-complete (crash mid-build
+            # or between build completion and the marker write): resume.
+            cat.lineage_append(
+                "appends",
+                {"batch_id": sid, "status": "started", "bootstrap": True,
+                 "started": time.time()},
+            )
             build_index(
                 spark, batch_df, out_dir=index_dir,
-                content_col=content_col, resume=False, **build_kw
+                content_col=content_col, resume=True, **build_kw
             )
             cat.lineage_append(
                 "appends",
-                {"batch_id": f"stream-{batch_id}", "status": "complete",
-                 "bootstrap": True},
-            )
-        else:
-            append_to_index(
-                spark, cat, batch_df, content_col=content_col,
-                batch_id=f"stream-{batch_id}",
+                {"batch_id": sid, "status": "complete", "bootstrap": True,
+                 "finished": time.time()},
             )
 
     return handle

@@ -251,6 +251,79 @@ class TestStreaming:
         assert os.path.isdir(os.path.join(index_dir, "postings"))
 
 
+class TestBootstrapReplay:
+    """foreachBatch bootstrap durability: a replayed first epoch must
+    resume a crashed bootstrap (never wedge on the append path), a
+    pre-built index must take the append path, and a replayed COMPLETED
+    bootstrap must no-op."""
+
+    def test_crashed_bootstrap_resumes_not_appends(
+        self, spark, corpus, tmp_path_factory
+    ):
+        import time
+
+        from mahout_spark.sources.catalog import ParquetCatalog
+        from mahout_spark.streaming.incremental import foreach_batch_indexer
+
+        index_dir = str(tmp_path_factory.mktemp("boot_crash"))
+        cat = ParquetCatalog(index_dir)
+        # simulate the crash window: stage 1 created postings/_meta.json
+        # (so the dir EXISTS) and the intent row landed, but the build
+        # never finished and the completion marker was never written
+        cat.lineage_append(
+            "appends",
+            {"batch_id": "stream-0", "status": "started",
+             "bootstrap": True, "started": time.time()},
+        )
+        cat.write_meta("postings", {"n_docs": 0, "avgdl": 0.0})
+
+        batch = corpus.filter(F.col("doc_id") < 150)
+        handler = foreach_batch_indexer(index_dir, content_col="text",
+                                        mode="text")
+        handler(batch, 0)  # replayed epoch — must NOT take the append path
+
+        assert ParquetCatalog(index_dir).read_meta("postings")["n_docs"] == 150
+        assert _results(spark, cat)  # index answers queries
+
+    def test_prebuilt_index_takes_append_path(
+        self, spark, corpus, tmp_path_factory
+    ):
+        from mahout_spark.index.build import build_index
+        from mahout_spark.sources.catalog import ParquetCatalog
+        from mahout_spark.streaming.incremental import foreach_batch_indexer
+
+        index_dir = str(tmp_path_factory.mktemp("boot_prebuilt"))
+        build_index(
+            spark, corpus.filter(F.col("doc_id") < 250), out_dir=index_dir,
+            content_col="text", mode="text", resume=False,
+        )
+        handler = foreach_batch_indexer(index_dir, content_col="text",
+                                        mode="text")
+        handler(corpus.filter(F.col("doc_id") >= 250), 0)
+        n_total = corpus.count()
+        assert (
+            ParquetCatalog(index_dir).read_meta("postings")["n_docs"]
+            == n_total
+        )
+
+    def test_completed_bootstrap_replay_noops(
+        self, spark, corpus, tmp_path_factory
+    ):
+        from mahout_spark.sources.catalog import ParquetCatalog
+        from mahout_spark.streaming.incremental import foreach_batch_indexer
+
+        index_dir = str(tmp_path_factory.mktemp("boot_replay"))
+        batch = corpus.filter(F.col("doc_id") < 120)
+        handler = foreach_batch_indexer(index_dir, content_col="text",
+                                        mode="text")
+        handler(batch, 0)
+        before = _results(spark, ParquetCatalog(index_dir))
+        handler(batch, 0)  # replayed completed epoch
+        cat = ParquetCatalog(index_dir)
+        assert cat.read_meta("postings")["n_docs"] == 120
+        assert _results_equal(before, _results(spark, cat))
+
+
 def _results_equal(a, b):
     if set(a) != set(b):
         return False

@@ -151,3 +151,43 @@ def test_resume_skips_and_is_stable(spark, corpus, built, tmp_path):
         "block_max_docid", "doc_ids", "tfs", "doclens").collect()}
     assert a == b
     assert before is None  # placeholder to keep flake quiet
+
+
+def test_legacy_unpartitioned_lexicon_falls_back(
+    spark, corpus, tmp_path_factory
+):
+    """A lexicon in the pre-bucketing (unpartitioned) layout must still
+    answer queries via the full-read fallback — and a missing lexicon must
+    raise a clear error, never silently return empty results."""
+    import shutil
+
+    import pytest
+
+    from mahout_spark.index.wand import topk
+
+    out = str(tmp_path_factory.mktemp("legacy"))
+    cat = build_index(
+        spark, corpus, out, content_col="content", id_cols=["doc_id"],
+        mode="text", n_buckets=4, docs_per_shard=64, block_size=16,
+    )
+    expected = [
+        (r["doc_id"], r["score"])
+        for r in topk(spark, cat, ["spark", "data"], k=5).collect()
+    ]
+    assert expected
+    # rewrite the lexicon into the legacy unpartitioned layout
+    legacy = cat.read(spark, "lexicon")
+    cat.overwrite_table(legacy, "lexicon")
+    assert not any(
+        d.startswith("bucket=")
+        for d in os.listdir(cat.table_path("lexicon"))
+    )
+    got = [
+        (r["doc_id"], r["score"])
+        for r in topk(spark, cat, ["spark", "data"], k=5).collect()
+    ]
+    assert got == expected
+    # missing lexicon table -> loud failure
+    shutil.rmtree(cat.table_path("lexicon"))
+    with pytest.raises(FileNotFoundError, match="no lexicon"):
+        topk(spark, cat, ["spark"], k=5).collect()

@@ -226,6 +226,34 @@ class TestDedup:
             assert bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1") == hd
             assert hd <= 3
 
+    def test_dedup_groups_unconverged_raises_or_warns(self, spark):
+        """A component with diameter > max_iters must NOT come back as
+        silently split groups: default raises, on_unconverged='warn'
+        returns the partial labels with a warning."""
+        import warnings
+
+        import pytest
+
+        from mahout_spark.operators.dedup import dedup_groups_from_pairs
+
+        chain = [(i, i + 1) for i in range(8)]  # diameter 8
+        pairs = spark.createDataFrame(chain, ["doc_a", "doc_b"])
+        with pytest.raises(RuntimeError, match="not converged"):
+            dedup_groups_from_pairs(pairs, max_iters=2)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            rows = dedup_groups_from_pairs(
+                pairs, max_iters=2, on_unconverged="warn"
+            ).collect()
+        assert any("not converged" in str(x.message) for x in w)
+        assert len(rows) == 9
+        # and with enough iterations the same chain fully converges
+        got = {
+            r["doc_id"]: r["keep_id"]
+            for r in dedup_groups_from_pairs(pairs, max_iters=10).collect()
+        }
+        assert got == {i: 0 for i in range(9)}
+
     def test_dedup_groups_connected_components(self, spark):
         """Label propagation must match a python union-find on a graph
         with a chain (worst case for propagation), a triangle, and an
