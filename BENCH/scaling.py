@@ -25,13 +25,14 @@ import sys
 HERE = os.path.dirname(os.path.abspath(__file__))
 
 
-def run_level(cpus: int, replicas: int, sf_dir: str, trials: int) -> dict:
-    out = subprocess.run(
-        [sys.executable, os.path.join(HERE, "scaling_run.py"),
-         "--cpus", str(cpus), "--replicas", str(replicas),
-         "--trials", str(trials), "--sf-dir", sf_dir],
-        capture_output=True, text=True, check=True,
-    )
+def run_level(cpus: int, replicas: int, sf_dir: str, trials: int,
+              master: str | None = None) -> dict:
+    cmd = [sys.executable, os.path.join(HERE, "scaling_run.py"),
+           "--cpus", str(cpus), "--replicas", str(replicas),
+           "--trials", str(trials), "--sf-dir", sf_dir]
+    if master:
+        cmd += ["--master", master]
+    out = subprocess.run(cmd, capture_output=True, text=True, check=True)
     line = out.stdout.strip().splitlines()[-1]
     return json.loads(line)
 
@@ -47,15 +48,33 @@ def main() -> None:
         help="small cluster size; the large level is 4n (criterion is "
         "N->4N, any N)",
     )
+    ap.add_argument(
+        "--cluster", action="store_true",
+        help="use local-cluster (REAL multi-JVM executors): level 1 = "
+        "--n executors, level 2 = 4*--n executors, each with "
+        "--exec-cores cores / --exec-mem MB — corroborates the local[N] "
+        "thread-scaling proxy with genuine executor scale-out",
+    )
+    ap.add_argument("--exec-cores", type=int, default=4)
+    ap.add_argument("--exec-mem", type=int, default=4096)
     args = ap.parse_args()
 
-    r8 = run_level(args.n, args.replicas, args.sf_dir, args.trials)
-    r32 = run_level(4 * args.n, args.replicas, args.sf_dir, args.trials)
+    if args.cluster:
+        m_small = f"local-cluster[{args.n},{args.exec_cores},{args.exec_mem}]"
+        m_big = f"local-cluster[{4 * args.n},{args.exec_cores},{args.exec_mem}]"
+        r8 = run_level(args.n * args.exec_cores, args.replicas,
+                       args.sf_dir, args.trials, master=m_small)
+        r32 = run_level(4 * args.n * args.exec_cores, args.replicas,
+                        args.sf_dir, args.trials, master=m_big)
+    else:
+        r8 = run_level(args.n, args.replicas, args.sf_dir, args.trials)
+        r32 = run_level(4 * args.n, args.replicas, args.sf_dir, args.trials)
 
     eff_build = r32["docs_per_sec"] / (4.0 * r8["docs_per_sec"])
     eff_query = r32["query_qps"] / (4.0 * r8["query_qps"])
     result = {
         "metric": "scaling_efficiency_Nx4",
+        "mode": "local-cluster" if args.cluster else "local-threads",
         "n_docs": r8["n_docs"],
         "local8": r8,
         "local32": r32,
@@ -69,9 +88,11 @@ def main() -> None:
 
     if args.write_md:
         md = os.path.join(HERE, "BASELINE.md")
+        m8 = r8.get("master", f"local[{r8['cpus']}]")
+        m32 = r32.get("master", f"local[{r32['cpus']}]")
         with open(md, "a") as f:
             f.write(
-                f"\n## Scaling run (local[{r8['cpus']}] vs local[{r32['cpus']}], "
+                f"\n## Scaling run ({m8} vs {m32}, "
                 f"{r8['n_docs']} docs, best of {len(r8['build_trials_sec'])} "
                 f"warm trials per level)\n\n"
                 f"| level | build sec (best) | all trials | docs/sec "

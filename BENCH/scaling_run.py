@@ -51,7 +51,12 @@ DOCS_PER_SHARD = 8192
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--cpus", type=int, required=True)
+    ap.add_argument("--cpus", type=int, required=True,
+                    help="total cores (sizes shuffle partitions; the "
+                    "master when --master is not given)")
+    ap.add_argument("--master", default=None,
+                    help="master override, e.g. local-cluster[4,4,4096] "
+                    "for a real multi-JVM executor topology")
     ap.add_argument("--replicas", type=int, default=200)
     ap.add_argument("--trials", type=int, default=3)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
@@ -70,6 +75,7 @@ def main() -> None:
         cpus=args.cpus,
         app_name=f"scaling_{args.cpus}",
         shuffle_partitions=args.cpus,
+        master=args.master,
     )
 
     base = spark.read.parquet(f"{args.sf_dir}/documents.parquet")
@@ -150,6 +156,7 @@ def main() -> None:
 
         print(json.dumps({
             "cpus": args.cpus,
+            "master": args.master or f"local[{args.cpus}]",
             "n_docs": n_docs,
             "build_sec": build_sec,
             "build_trials_sec": trials,

@@ -371,6 +371,48 @@ def q_report_lines(spark, sf_dir):
     return report_lines(scored)
 
 
+def q_report_full(spark, sf_dir):
+    """Reference full score-dump report (report_full2.txt:3-5): one line
+    per document with the COMPLETE {term=score, ...} map, not just the
+    top-k. The reference iterates a HashMap (nondeterministic order —
+    documented quirk); here entries are deterministically ordered by
+    (score desc, term asc). Scores fixed-formatted to 6 decimals so both
+    engines render identical strings."""
+    from mahout_spark.functions import tfidf_expr
+    from mahout_spark.operators.stats import document_frequency
+
+    tf = _simple_tf(spark, sf_dir)
+    n_docs = _load(spark, sf_dir, "documents").count()
+    scored = tf.join(document_frequency(tf), "term").select(
+        "doc_id", "term",
+        F.round(tfidf_expr(F.col("tf"), F.col("df"), n_docs), 6)
+        .alias("score"),
+    )
+    # struct sort on (-score, term) = (score desc, term asc); negation of
+    # a double is exact, so -(-score) restores the rounded value
+    entries = F.array_sort(
+        F.collect_list(
+            F.struct((-F.col("score")).alias("ns"), F.col("term").alias("t"))
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(entries.alias("es"))
+    line = F.concat(
+        F.col("doc_id").cast("string"),
+        F.lit(": {"),
+        F.concat_ws(
+            ", ",
+            F.transform(
+                "es",
+                lambda s: F.concat(
+                    s["t"], F.lit("="), F.format_string("%.6f", -s["ns"])
+                ),
+            ),
+        ),
+        F.lit("}"),
+    )
+    return agg.select(line.alias("line"))
+
+
 def q_tpch_q3_topk(spark, sf_dir):
     """TPC-H Q3-style: top-10 open orders by pre-discount revenue (exact
     cents), broadcast customer filter."""
@@ -572,6 +614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_distances": q_doc_distances,
         "hash_sample": q_hash_sample,
         "report_lines": q_report_lines,
+        "report_full": q_report_full,
         "tpch_q3_topk": q_tpch_q3_topk,
         "tpch_promo_share": q_tpch_promo_share,
     }
@@ -663,7 +706,10 @@ def _textstats_sql() -> dict[str, str]:
         WITH toks AS (
             SELECT doc_id, list_distinct({tok}) AS ts FROM documents
         ), hits AS ({lang_unions})
-        SELECT doc_id, lang AS pred_lang, hits FROM (
+        SELECT doc_id,
+               CASE WHEN hits > 0 THEN lang ELSE 'und' END AS pred_lang,
+               hits
+        FROM (
             SELECT doc_id, lang, hits, row_number() OVER (
                 PARTITION BY doc_id ORDER BY hits DESC, lang ASC
             ) AS rn FROM hits
@@ -837,6 +883,18 @@ def _pipeline_sql() -> dict[str, str]:
                || lpad(CAST(CAST(trunc(score * 10) AS INTEGER) AS VARCHAR), 3, ' ')
                || ' ' || term AS line
         FROM ranked WHERE rank <= 5
+        """,
+        "report_full": _TOK_CTE + """
+        , scored AS (
+            SELECT tf.doc_id, tf.term,
+                   round(sqrt(tf.tf) * (1.0 + ln(scal.n_docs / (dfreq.df + 1.0))), 6) AS score
+            FROM tf JOIN dfreq USING (term) CROSS JOIN scal
+        )
+        SELECT CAST(doc_id AS VARCHAR) || ': {'
+               || string_agg(term || '=' || printf('%.6f', score),
+                             ', ' ORDER BY score DESC, term ASC)
+               || '}' AS line
+        FROM scored GROUP BY doc_id
         """,
         "tpch_q3_topk": """
         SELECT l_orderkey, o_orderdate, o_orderpriority,

@@ -175,7 +175,11 @@ def kmeans_doc_clusters(
         from pyspark.sql import types as T
 
         centers = np.asarray(
-            [c.toArray() for c in model.clusterCenters()], dtype=np.float64
+            [
+                c.toArray() if hasattr(c, "toArray") else np.asarray(c)
+                for c in model.clusterCenters()
+            ],
+            dtype=np.float64,
         )
         cn = np.linalg.norm(centers, axis=1)
         cn[cn == 0] = 1.0

@@ -119,8 +119,9 @@ def lang_id(
 ) -> DataFrame:
     """Heuristic language ID: per-language marker-word hit count over the
     distinct token set; prediction = argmax hits with lexicographic
-    tie-break (so zero-evidence docs deterministically predict 'de').
-    Returns (doc_id, pred_lang, hits).
+    tie-break among nonzero scores, and ``'und'`` (undetermined) when NO
+    marker matched — zero evidence is reported as such, not as whichever
+    language sorts first. Returns (doc_id, pred_lang, hits).
     """
     toks = F.array_distinct(tokens_expr(F.col(content_col)))
     hit_cols = [
@@ -151,7 +152,8 @@ def lang_id(
     )
     return docs.select(
         id_col,
-        winner.alias("pred_lang"),
+        F.when(max_hits > 0, winner).otherwise(F.lit("und"))
+        .alias("pred_lang"),
         max_hits.cast("long").alias("hits"),
     )
 

@@ -18,14 +18,28 @@ def get_spark(
     app_name: str = "mahout_spark",
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
+    """``master`` overrides the default ``local[cpus]`` — e.g.
+    ``local-cluster[4,4,4096]`` for a real multi-executor (multi-JVM)
+    topology; ``cpus`` then still sizes shuffle partitions and should be
+    the TOTAL core count across executors."""
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 8)
+    # executor python workers must find this package: local[*] workers
+    # inherit the driver's sys.path, but local-cluster / standalone
+    # executors spawn their own interpreters (on a real cluster this is
+    # the --py-files / container-image seam)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    exec_pythonpath = ":".join(
+        p for p in [repo_root, os.environ.get("PYTHONPATH")] if p
+    )
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master or f"local[{cpus}]")
         .appName(app_name)
+        .config("spark.executorEnv.PYTHONPATH", exec_pythonpath)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -100,17 +100,57 @@ def ingest_files(
 def list_files(
     spark: SparkSession, root: str, suffix: str | None = None,
     sample_fraction: float | None = None, seed: int = 7,
+    distributed: bool = False,
 ) -> DataFrame:
-    """S3's path-feed as a DataFrame: distributed-ish listing via a
-    driver walk kept to PATH STRINGS only (no content I/O), returned as a
-    DataFrame so sampling/limits compose relationally before any file is
-    read — the Spark analog of ``find | shuf | head`` (run.sh:25)."""
-    out = []
-    for dirpath, _dirs, files in os.walk(root):
-        for fn in files:
-            if suffix is None or fn.endswith(suffix):
-                out.append((os.path.join(dirpath, fn),))
-    df = spark.createDataFrame(out, "path string")
+    """S3's path-feed as a DataFrame: listing kept to PATH STRINGS only
+    (no content I/O), returned as a DataFrame so sampling/limits compose
+    relationally before any file is read — the Spark analog of
+    ``find | shuf | head`` (run.sh:25).
+
+    ``distributed=False`` (default) walks on the driver — the small-tree
+    convenience. ``distributed=True`` scans only the root's first level
+    on the driver and walks each subtree in an executor task — the shape
+    that survives the 10^12-file ambition, where the listing itself is
+    the job (on object stores the same split-by-prefix pattern applies,
+    with the manifest/inventory table as the preferred source)."""
+    if distributed:
+        top_files, subdirs = [], []
+        for entry in os.scandir(root):
+            if entry.is_dir(follow_symlinks=False):
+                subdirs.append(entry.path)
+            elif suffix is None or entry.name.endswith(suffix):
+                top_files.append((entry.path,))
+        sc = spark.sparkContext
+        parts = []
+        if subdirs:
+            sfx = suffix
+
+            def walk_subtrees(paths):
+                import os as _os
+
+                for p in paths:
+                    for dirpath, _dirs, files in _os.walk(p):
+                        for fn in sorted(files):
+                            if sfx is None or fn.endswith(sfx):
+                                yield (_os.path.join(dirpath, fn),)
+
+            rdd = sc.parallelize(
+                sorted(subdirs),
+                max(1, min(len(subdirs), sc.defaultParallelism)),
+            ).mapPartitions(walk_subtrees)
+            parts.append(spark.createDataFrame(rdd, "path string"))
+        if top_files or not parts:
+            parts.append(spark.createDataFrame(top_files, "path string"))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.union(p)
+    else:
+        out = []
+        for dirpath, _dirs, files in os.walk(root):
+            for fn in files:
+                if suffix is None or fn.endswith(suffix):
+                    out.append((os.path.join(dirpath, fn),))
+        df = spark.createDataFrame(out, "path string")
     if sample_fraction is not None:
         df = df.sample(fraction=sample_fraction, seed=seed)
     return df

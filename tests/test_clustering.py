@@ -62,6 +62,24 @@ class TestClusteringDemo:
         assert len(rep) == 1
         assert rep[0]["members"] == [6, 7]
 
+    def test_soft_weights_sum_to_one_and_agree_with_hard(self, spark, demo):
+        """Fuzzy-membership weights (the FKM m=2 analog the reference
+        computes but never prints): per-doc weights sum to 1 and their
+        argmax equals the hard cosine-k-means assignment."""
+        from mahout_spark.operators.clustering import kmeans_doc_clusters
+
+        assign = kmeans_doc_clusters(demo, soft_weights=True)
+        rows = assign.collect()
+        assert rows
+        for r in rows:
+            w = r["weights"]
+            assert abs(sum(w) - 1.0) < 1e-9
+            assert all(x >= 0 for x in w)
+            assert max(range(len(w)), key=lambda i: w[i]) == r["cluster"]
+        # docs 6 & 7 are identical vectors -> identical weight rows
+        by_doc = {r["doc_id"]: r["weights"] for r in rows}
+        assert by_doc[6] == pytest.approx(by_doc[7])
+
     def test_distance_probe_matches_reference(self, spark, demo):
         """The reference's pre-clustering distance sanity probe: disjoint
         docs at Tanimoto distance 1.0 (report_snpts.txt:12,

@@ -98,6 +98,42 @@ def test_path_feed_sampling(spark, tree, tmp_path_factory):
     ]
 
 
+def test_distributed_listing_matches_driver_walk(spark, tree, tmp_path):
+    """The executor-side subtree walk must enumerate exactly the same
+    path set as the driver walk (incl. suffix filtering and files sitting
+    directly in the root), and feed ingestion identically."""
+    from mahout_spark.sources.files import ingest_files, list_files
+
+    for suffix in (None, ".java", ".py"):
+        a = {r["path"] for r in list_files(spark, tree, suffix=suffix).collect()}
+        b = {
+            r["path"]
+            for r in list_files(
+                spark, tree, suffix=suffix, distributed=True
+            ).collect()
+        }
+        assert a == b, suffix
+    # root-level files (no subdirs at all)
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    (flat / "x.txt").write_text("x")
+    (flat / "y.txt").write_text("y")
+    got = {
+        r["path"]
+        for r in list_files(spark, str(flat), distributed=True).collect()
+    }
+    assert got == {str(flat / "x.txt"), str(flat / "y.txt")}
+    # the distributed listing feeds ingestion the same as the driver walk
+    paths = sorted(
+        r["path"]
+        for r in list_files(
+            spark, tree, suffix=".java", distributed=True
+        ).collect()
+    )
+    ing = ingest_files(spark, paths)
+    assert ing.count() == 2
+
+
 def test_plan_audit_helpers(spark):
     import __spark_entry__ as e
     from mahout_spark.plans.audit import assert_plan, capture_plan, scan_count

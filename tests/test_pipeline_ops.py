@@ -54,12 +54,12 @@ class TestTextstats:
                 (2, "der hund und die katze das ist nicht ein problem"),
                 (3, "le chat est dans la maison pour les enfants pas que"),
                 (4, "el perro es una mascota por las calles del pueblo"),
-                (5, "zzz qqq xxx"),  # zero evidence -> tie-break 'de'
+                (5, "zzz qqq xxx"),  # zero evidence -> 'und'
             ],
             ["doc_id", "text"],
         )
         got = {r["doc_id"]: r["pred_lang"] for r in lang_id(df).collect()}
-        assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "de"}
+        assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "und"}
 
     def test_chunking_covers_and_overlaps(self, spark):
         from mahout_spark.operators.textstats import chunk_documents
