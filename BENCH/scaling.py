@@ -98,10 +98,10 @@ def main() -> None:
                 f"| level | build sec (best) | all trials | docs/sec "
                 f"| query p50 | query p95 | qps |\n"
                 f"|---|---|---|---|---|---|---|\n"
-                f"| local[{r8['cpus']}] | {r8['build_sec']} | {r8['build_trials_sec']} "
+                f"| {m8} | {r8['build_sec']} | {r8['build_trials_sec']} "
                 f"| {r8['docs_per_sec']} | {r8['query_p50_sec']} "
                 f"| {r8['query_p95_sec']} | {r8['query_qps']} |\n"
-                f"| local[{r32['cpus']}] | {r32['build_sec']} | {r32['build_trials_sec']} "
+                f"| {m32} | {r32['build_sec']} | {r32['build_trials_sec']} "
                 f"| {r32['docs_per_sec']} | {r32['query_p50_sec']} "
                 f"| {r32['query_p95_sec']} | {r32['query_qps']} |\n\n"
                 f"Build speedup {r8['cpus']}→{r32['cpus']} cores: "

@@ -534,7 +534,8 @@ def q_doc_distances(spark, sf_dir):
 
 def q_engine_dedup_groups(spark, sf_dir):
     """Near-dup pairs → canonical dedup groups via iterative connected
-    components (rows-only: the fixpoint loop is not one SQL statement)."""
+    components. Oracle-checked: DuckDB computes the same components with
+    a recursive-CTE transitive closure over the symmetric pair relation."""
     from mahout_spark.operators.dedup import (
         dedup_groups_from_pairs,
         jaccard_neardup_pairs,
@@ -737,9 +738,8 @@ def _pipeline_sql() -> dict[str, str]:
            "i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))")
     qdot = ("list_sum(list_transform(generate_series(1, len(e.embedding)), "
             "i -> e.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE))")
-    return {
-        "jaccard_neardup": f"""
-        WITH toks AS (
+    jaccard_ctes = f"""
+        toks AS (
             SELECT doc_id, {tok} AS ts FROM documents
         ), sh AS (
             SELECT DISTINCT doc_id, sh FROM (
@@ -763,14 +763,36 @@ def _pipeline_sql() -> dict[str, str]:
             JOIN sh sa ON sa.doc_id = doc_a
             JOIN sh sb ON sb.doc_id = doc_b AND sb.sh = sa.sh
             GROUP BY doc_a, doc_b
+        ), jpairs AS (
+            SELECT doc_a, doc_b,
+                   round(i::DOUBLE / (na.n_sh + nb.n_sh - i), 6) AS jaccard
+            FROM inter
+            JOIN sizes na ON na.doc_id = doc_a
+            JOIN sizes nb ON nb.doc_id = doc_b
+            WHERE round(i::DOUBLE / (na.n_sh + nb.n_sh - i), 6)
+                  >= {JACCARD_THRESHOLD}
+        )"""
+    return {
+        "jaccard_neardup": "WITH " + jaccard_ctes + """
+        SELECT doc_a, doc_b, jaccard FROM jpairs
+        """,
+        # connected components as a recursive CTE: reach(u, label) closes
+        # the symmetric edge relation transitively; min(label) per node is
+        # the component minimum — the same keep-min rule as the engine's
+        # label propagation. (UNION deduplicates, so the recursion
+        # terminates.)
+        "engine_dedup_groups": "WITH RECURSIVE " + jaccard_ctes + """,
+        edges AS (
+            SELECT doc_a AS u, doc_b AS v FROM jpairs
+            UNION
+            SELECT doc_b AS u, doc_a AS v FROM jpairs
+        ), reach(u, label) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+            UNION
+            SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.u
         )
-        SELECT doc_a, doc_b,
-               round(i::DOUBLE / (na.n_sh + nb.n_sh - i), 6) AS jaccard
-        FROM inter
-        JOIN sizes na ON na.doc_id = doc_a
-        JOIN sizes nb ON nb.doc_id = doc_b
-        WHERE round(i::DOUBLE / (na.n_sh + nb.n_sh - i), 6)
-              >= {JACCARD_THRESHOLD}
+        SELECT u AS doc_id, CAST(min(label) AS BIGINT) AS keep_id
+        FROM reach GROUP BY u
         """,
         "embedding_neardup": f"""
         WITH n AS (

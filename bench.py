@@ -96,8 +96,10 @@ def main() -> None:
         "jaccard_neardup",
         "engine_minhash_neardup",
         "engine_simhash_neardup",
+        "engine_dedup_groups",
         "cosine_topk",
         "engine_embedding_neardup_lsh",
+        "report_full",
     ]:
         if name in qs:
             timed(name, lambda n=name: qs[n](spark, sf_dir).collect()

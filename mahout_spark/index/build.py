@@ -264,18 +264,24 @@ def build_index(
         )
         tf_raw = cat.read(spark, "tf_raw")
         doclens = tf_raw.groupBy("doc_id").agg(F.max("doclen").alias("doclen"))
+        # n_docs / avgdl via Observation metrics piggybacked on the write
+        # job itself — one fewer serial driver job per build (the serial
+        # job chain is the Amdahl term of the whole build, see
+        # BENCH/BASELINE.md).
+        from pyspark.sql import Observation
+
+        obs = Observation("corpus_scalars")
         cat.overwrite_table(
-            docstats.join(doclens, "doc_id", "left").fillna(0, ["doclen"]),
+            docstats.join(doclens, "doc_id", "left")
+            .fillna(0, ["doclen"])
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.avg(F.when(F.col("doclen") > 0, F.col("doclen"))).alias("a"),
+            ),
             "docstats",
         )
-        # n_docs / avgdl from the just-written docstats: the count is a
-        # parquet-metadata-only job and avgdl scans one column — no second
-        # pass over the corpus content.
-        written_stats = cat.read(spark, "docstats")
-        row = written_stats.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.avg(F.when(F.col("doclen") > 0, F.col("doclen"))).alias("a"),
-        ).first()
+        row = obs.get
         n_docs = int(row["n"])
         avgdl = float(row["a"]) if row["a"] is not None else 0.0
         cat.write_meta(
@@ -422,14 +428,32 @@ def _encode_all_buckets(
     )
     final = cat.table_path("postings")
     stage = final + ".__stage_all"
-    blocks.write.mode("overwrite").partitionBy("bucket").parquet(stage)
-    staged = spark.read.option("basePath", stage).parquet(stage)
+    # per-bucket lineage stats via Observation metrics on the write job
+    # (conditional sums per bucket) — replaces a post-write scan of the
+    # staged table, one fewer serial job on the build's critical path
+    from pyspark.sql import Observation
+
+    obs = Observation("bucket_stats")
+    metrics = []
+    for bkt in range(n_buckets):
+        hit = F.col("bucket") == bkt
+        metrics.append(
+            F.sum(F.when(hit, F.col("count"))).alias(f"ri_{bkt}")
+        )
+        metrics.append(
+            F.sum(F.when(hit, F.lit(1)).otherwise(F.lit(0)))
+            .alias(f"ro_{bkt}")
+        )
+    blocks.observe(obs, *metrics).write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(stage)
+    m = obs.get
     stats_rows = {
-        int(r["bucket"]): r
-        for r in staged.groupBy("bucket").agg(
-            F.sum("count").alias("rows_in"),
-            F.count(F.lit(1)).alias("rows_out"),
-        ).collect()
+        bkt: {
+            "rows_in": int(m[f"ri_{bkt}"] or 0),
+            "rows_out": int(m[f"ro_{bkt}"] or 0),
+        }
+        for bkt in range(n_buckets)
     }
     os.makedirs(final, exist_ok=True)
     for bucket in range(n_buckets):
