@@ -134,6 +134,18 @@ def main() -> None:
             topk_batch(spark, cat, batch_queries, k=10).collect()
 
         timed("indexed_bm25_batch100", run_batch)
+
+        # warm lexicon-cached query path (Searcher): repeated-query /
+        # interactive latency — zero lexicon jobs on a warm cache
+        from mahout_spark.index.searcher import Searcher
+
+        searcher = Searcher(spark, cat)
+        searcher.topk(entry.BM25_QUERY_TERMS, k=10).collect()  # warm
+
+        def run_cached():
+            searcher.topk(entry.BM25_QUERY_TERMS, k=10).collect()
+
+        timed("indexed_bm25_topk_cached", run_cached)
     except Exception:
         pass
 

@@ -25,6 +25,8 @@ def __getattr__(name):
     * ``build_index`` / ``append_to_index`` — posting-block index
       lifecycle;
     * ``topk`` / ``topk_batch`` — indexed block-max retrieval;
+    * ``Searcher`` — lexicon-caching query front-end;
+    * ``compact_index`` — post-append defragmentation + tight bounds;
     * ``ingest_files`` — raw files → canonical docs table;
     * ``get_spark`` — tuned SparkSession factory.
     """
@@ -43,6 +45,12 @@ def __getattr__(name):
     if name == "topk_batch":
         from mahout_spark.index.wand import topk_batch
         return topk_batch
+    if name == "Searcher":
+        from mahout_spark.index.searcher import Searcher
+        return Searcher
+    if name == "compact_index":
+        from mahout_spark.index.compact import compact_index
+        return compact_index
     if name == "ingest_files":
         from mahout_spark.sources.files import ingest_files
         return ingest_files

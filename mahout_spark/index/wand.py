@@ -242,8 +242,13 @@ def topk(
     k: int = 10,
     mode_all: bool = False,
     prune: bool = True,
+    lex_rows: list | None = None,
 ) -> DataFrame:
-    """BM25 top-k over the built index; rank-identical to the naive scorer."""
+    """BM25 top-k over the built index; rank-identical to the naive scorer.
+
+    ``lex_rows`` (term/bucket/df mappings) can be supplied by a caller
+    that caches lexicon lookups across queries (index.searcher.Searcher)
+    — then this launches no lexicon job at all."""
     meta = cat.read_meta("postings")
     avgdl, n_docs = meta["avgdl"], meta["n_docs"]
     k1, b = meta["k1"], meta["b"]
@@ -259,15 +264,16 @@ def topk(
     n_buckets = int(meta["n_buckets"])
     from mahout_spark.functions.xxhash import term_bucket
 
-    qbuckets = sorted({term_bucket(t, n_buckets) for t in qterms})
-    lex = _read_query_lexicon(spark, cat, qbuckets)
-    lex_rows = (
-        lex.filter(F.col("term").isin(qterms))
-        .select("term", "bucket", "df")
-        .collect()
-        if lex is not None
-        else []
-    )
+    if lex_rows is None:
+        qbuckets = sorted({term_bucket(t, n_buckets) for t in qterms})
+        lex = _read_query_lexicon(spark, cat, qbuckets)
+        lex_rows = (
+            lex.filter(F.col("term").isin(qterms))
+            .select("term", "bucket", "df")
+            .collect()
+            if lex is not None
+            else []
+        )
     empty = spark.createDataFrame([], "doc_id long, score double")
     if not lex_rows:
         return empty
@@ -297,6 +303,7 @@ def topk_batch(
     queries: dict[str, list[str]],
     k: int = 10,
     mode_all: bool = False,
+    lex_rows: list | None = None,
 ) -> DataFrame:
     """Answer MANY queries in ONE job: (query_id, doc_id, score, rank).
 
@@ -322,15 +329,16 @@ def topk_batch(
     empty = spark.createDataFrame([], out_schema + ", rank int")
     if not all_terms:
         return empty
-    qbuckets = sorted({term_bucket(t, n_buckets) for t in all_terms})
-    lex = _read_query_lexicon(spark, cat, qbuckets)
-    if lex is None:
-        return empty
-    lex_rows = (
-        lex.filter(F.col("term").isin(all_terms))
-        .select("term", "bucket", "df")
-        .collect()
-    )
+    if lex_rows is None:
+        qbuckets = sorted({term_bucket(t, n_buckets) for t in all_terms})
+        lex = _read_query_lexicon(spark, cat, qbuckets)
+        if lex is None:
+            return empty
+        lex_rows = (
+            lex.filter(F.col("term").isin(all_terms))
+            .select("term", "bucket", "df")
+            .collect()
+        )
     if not lex_rows:
         return empty
     idf_by_term = {

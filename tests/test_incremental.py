@@ -251,6 +251,50 @@ class TestStreaming:
         assert os.path.isdir(os.path.join(index_dir, "postings"))
 
 
+class TestCompaction:
+    def test_compact_equals_fresh_rebuild(
+        self, spark, corpus, tmp_path_factory
+    ):
+        """build(A) + append(B) + compact == fresh build(A∪B), block for
+        block — and the appends counter resets so queries run on tight
+        stored bounds again."""
+        from mahout_spark.index.append import append_to_index
+        from mahout_spark.index.build import build_index
+        from mahout_spark.index.compact import compact_index
+
+        half_a = corpus.filter(F.col("doc_id") < 250)
+        half_b = corpus.filter(F.col("doc_id") >= 250)
+        inc_dir = str(tmp_path_factory.mktemp("cmp_inc"))
+        full_dir = str(tmp_path_factory.mktemp("cmp_full"))
+
+        cat = build_index(
+            spark, half_a, out_dir=inc_dir, content_col="text",
+            id_cols=["doc_id"], mode="text", resume=False,
+        )
+        append_to_index(spark, cat, half_b, content_col="text",
+                        batch_id="b1")
+        assert cat.read_meta("postings")["appends"] == 1
+        n_blocks_before = cat.read(spark, "postings").count()
+
+        meta = compact_index(spark, cat)
+        assert meta["appends"] == 0
+        n_blocks_after = cat.read(spark, "postings").count()
+        assert n_blocks_after <= n_blocks_before  # defragmented
+
+        fresh = build_index(
+            spark, corpus, out_dir=full_dir, content_col="text",
+            id_cols=["doc_id"], mode="text", resume=False,
+        )
+        cols = ["term", "shard", "block_id", "count", "first_docid",
+                "block_max_docid", "doc_ids", "tfs", "doclens"]
+        a = {tuple(r) for r in cat.read(spark, "postings")
+             .select(*cols).collect()}
+        b = {tuple(r) for r in fresh.read(spark, "postings")
+             .select(*cols).collect()}
+        assert a == b
+        assert _results_equal(_results(spark, cat), _results(spark, fresh))
+
+
 class TestBootstrapReplay:
     """foreachBatch bootstrap durability: a replayed first epoch must
     resume a crashed bootstrap (never wedge on the append path), a

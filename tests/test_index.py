@@ -153,6 +153,54 @@ def test_resume_skips_and_is_stable(spark, corpus, built, tmp_path):
     assert before is None  # placeholder to keep flake quiet
 
 
+def test_searcher_caches_and_matches_topk(spark, built):
+    """Searcher ≡ wand.topk/topk_batch on every fixture query, and a warm
+    repeat launches no lexicon lookup (term cache populated)."""
+    from mahout_spark.index.searcher import Searcher
+    from mahout_spark.index.wand import topk, topk_batch
+
+    s = Searcher(spark, built)
+    for terms, k, mode_all in QUERIES:
+        expected = _rows(topk(spark, built, terms, k=k, mode_all=mode_all))
+        assert _rows(s.topk(terms, k=k, mode_all=mode_all)) == expected
+        # warm: all queried terms resolved (present or known-absent)
+        assert all(t in s._terms for t in terms)
+        assert _rows(s.topk(terms, k=k, mode_all=mode_all)) == expected
+    batch = {f"q{i}": q[0] for i, q in enumerate(QUERIES)}
+    a = {(r["query_id"], r["rank"]): r["doc_id"]
+         for r in s.topk_batch(batch, k=5).collect()}
+    b = {(r["query_id"], r["rank"]): r["doc_id"]
+         for r in topk_batch(spark, built, batch, k=5).collect()}
+    assert a == b
+
+
+def test_searcher_invalidates_after_append(spark, corpus, tmp_path_factory):
+    """An append rewrites _meta.json; the Searcher must drop its term
+    cache and serve post-append results (new docs, updated df)."""
+    from pyspark.sql import functions as F
+
+    from mahout_spark.index.append import append_to_index
+    from mahout_spark.index.searcher import Searcher
+    from mahout_spark.index.wand import topk
+
+    out = str(tmp_path_factory.mktemp("searcher_inc"))
+    half_a = corpus.filter(F.col("doc_id") < 250)
+    half_b = corpus.filter(F.col("doc_id") >= 250)
+    cat = build_index(
+        spark, half_a, out, content_col="content", id_cols=["doc_id"],
+        mode="text", resume=False,
+    )
+    s = Searcher(spark, cat)
+    before = _rows(s.topk(["spark", "data"], k=10))
+    assert before
+    append_to_index(spark, cat, half_b, content_col="content",
+                    batch_id="b1")
+    after = _rows(s.topk(["spark", "data"], k=10))
+    fresh = _rows(topk(spark, cat, ["spark", "data"], k=10))
+    assert after == fresh
+    assert after != before  # appended docs visible
+
+
 def test_legacy_unpartitioned_lexicon_falls_back(
     spark, corpus, tmp_path_factory
 ):
