@@ -7,7 +7,8 @@ Arrow-UDF tokenizer chain) on sf0.001.
 (core engine) and §2.11 (training-data pipeline extension: textstats,
 dedup, similarity search, multimodal, clustering), each Spark
 implementation paired with an ANSI-SQL oracle DuckDB runs on the same
-parquet where expressible (24 of 32 queries), rows-only otherwise.
+parquet where expressible (29 of 36 queries — including connected
+components via a recursive CTE), rows-only otherwise.
 Oracle-checked full-text queries use the SQL-expressible tokenizer
 (lower + split on ``[^a-z0-9]+``, mahout_spark.operators.stats.
 simple_term_frequencies) so both engines compute identical token streams;
@@ -371,6 +372,62 @@ def q_report_lines(spark, sf_dir):
     return report_lines(scored)
 
 
+STRATA = [  # (name, max n_chars bound, md5-prefix keep threshold)
+    ("short", 100, "40"),   # ~25% of short docs
+    ("medium", 300, "20"),  # ~12.5%
+    ("long", None, "10"),   # ~6.25%
+]
+
+
+def q_corpus_summary(spark, sf_dir):
+    """One-row corpus rollup (docs, empty docs, distinct texts, vocab,
+    token mass) — the pre-flight sanity pass a pipeline runs before
+    dedup/filtering. Two partial aggs cross-joined; no corpus shuffle."""
+    from mahout_spark.operators.textstats import tokens_expr
+
+    docs = _load(spark, sf_dir, "documents")
+    toks = tokens_expr(F.col("text"))
+    doc_stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.size(toks) == 0).cast("long")).alias("n_empty_docs"),
+        F.count_distinct(F.md5(F.col("text"))).alias("n_distinct_texts"),
+    )
+    tf = _simple_tf(spark, sf_dir)
+    term_stats = tf.agg(
+        F.count_distinct("term").alias("n_terms"),
+        F.sum("tf").cast("long").alias("n_tokens"),
+    )
+    return doc_stats.crossJoin(term_stats)
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Stratified deterministic sampling: per-length stratum, keep docs
+    whose md5(text) prefix clears the stratum's threshold — reproducible
+    across engines/cluster sizes, with per-stratum rates (the eval-split
+    carving pattern where strata must be sampled at different densities)."""
+    docs = _load(spark, sf_dir, "documents")
+    n = F.length(F.col("text"))
+    stratum = (
+        F.when(n < STRATA[0][1], F.lit(STRATA[0][0]))
+        .when(n < STRATA[1][1], F.lit(STRATA[1][0]))
+        .otherwise(F.lit(STRATA[2][0]))
+    )
+    thresh = (
+        F.when(stratum == STRATA[0][0], F.lit(STRATA[0][2]))
+        .when(stratum == STRATA[1][0], F.lit(STRATA[1][2]))
+        .otherwise(F.lit(STRATA[2][2]))
+    )
+    return (
+        docs.select(
+            "doc_id", stratum.alias("stratum"),
+            n.cast("long").alias("n_chars"),
+            F.substring(F.md5(F.col("text")), 1, 2).alias("h"),
+        )
+        .filter(F.col("h") < thresh)
+        .select("doc_id", "stratum", "n_chars")
+    )
+
+
 def q_report_full(spark, sf_dir):
     """Reference full score-dump report (report_full2.txt:3-5): one line
     per document with the COMPLETE {term=score, ...} map, not just the
@@ -614,6 +671,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "doc_distances": q_doc_distances,
         "hash_sample": q_hash_sample,
+        "corpus_summary": q_corpus_summary,
+        "stratified_sample": q_stratified_sample,
         "report_lines": q_report_lines,
         "report_full": q_report_full,
         "tpch_q3_topk": q_tpch_q3_topk,
@@ -849,6 +908,33 @@ def _pipeline_sql() -> dict[str, str]:
         "hash_sample": f"""
         SELECT doc_id, n_chars FROM documents
         WHERE substring(md5(text), 1, 2) < '{SAMPLE_PCT_HEX}'
+        """,
+        "corpus_summary": _TOK_CTE + f"""
+        SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs,
+               CAST((SELECT count(*) FROM documents
+                     WHERE len({tok}) = 0) AS BIGINT) AS n_empty_docs,
+               CAST((SELECT count(DISTINCT md5(text)) FROM documents)
+                   AS BIGINT) AS n_distinct_texts,
+               CAST((SELECT count(DISTINCT term) FROM tf)
+                   AS BIGINT) AS n_terms,
+               CAST((SELECT sum(tf) FROM tf) AS BIGINT) AS n_tokens
+        """,
+        "stratified_sample": f"""
+        WITH s AS (
+            SELECT doc_id,
+                   CASE WHEN length(text) < {STRATA[0][1]}
+                            THEN '{STRATA[0][0]}'
+                        WHEN length(text) < {STRATA[1][1]}
+                            THEN '{STRATA[1][0]}'
+                        ELSE '{STRATA[2][0]}' END AS stratum,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   substring(md5(text), 1, 2) AS h
+            FROM documents
+        )
+        SELECT doc_id, stratum, n_chars FROM s
+        WHERE (stratum = '{STRATA[0][0]}' AND h < '{STRATA[0][2]}')
+           OR (stratum = '{STRATA[1][0]}' AND h < '{STRATA[1][2]}')
+           OR (stratum = '{STRATA[2][0]}' AND h < '{STRATA[2][2]}')
         """,
         "chunk_documents": f"""
         WITH toks AS (

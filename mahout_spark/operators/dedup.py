@@ -302,13 +302,15 @@ def minhash_lsh_pairs(
     Returns (doc_a, doc_b, jaccard), doc_a < doc_b, rounded to 6.
     """
     r = n_hashes // bands
+    # checkpointed: the banding self-join references the signatures TWICE
+    # and verification's candidate materialization once more — without it
+    # the signature UDF (the expensive stage) runs 3-4x per call and the
+    # UDF plan subtree is replicated into every branch. Checkpoint the
+    # one-row-per-doc sigs (not the bands: 16x more rows for pure JVM
+    # re-derivable explode work).
     sigs = minhash_signatures(
         docs, n_hashes, k, seed, content_col, id_col
-    ).filter(F.size("sig") > 0)
-    # checkpointed below: the self-join references banded TWICE and
-    # verification's candidate materialization once more — without it the
-    # signature UDF (the expensive stage) runs 3-4x per call and the UDF
-    # plan subtree is replicated into every branch
+    ).filter(F.size("sig") > 0).localCheckpoint(eager=True)
     banded = sigs.select(
         "doc_id",
         F.explode(
@@ -326,7 +328,7 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.key").localCheckpoint(eager=True)
+    ).select("doc_id", "bk.band", "bk.key")
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (

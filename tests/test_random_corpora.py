@@ -75,6 +75,68 @@ def test_indexed_equals_oracle_on_random_corpus(
             assert s1 == pytest.approx(s2, rel=1e-9)
 
 
+def _py_jaccard_pairs(docs: dict, k: int, threshold: float,
+                      rare_df_max: int):
+    """Pure-python oracle for jaccard_neardup_pairs, including the
+    rare-shingle BLOCKING semantics (not just the similarity math)."""
+    import re
+
+    sh = {}
+    for d, text in docs.items():
+        toks = [w for w in re.split(r"[^a-z0-9]+", text.lower()) if w]
+        sh[d] = {" ".join(toks[i:i + k])
+                 for i in range(len(toks) - k + 1)}
+    df = {}
+    for s in sh.values():
+        for g in s:
+            df[g] = df.get(g, 0) + 1
+    rare = {g for g, c in df.items() if c <= rare_df_max}
+    out = {}
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if not (sh[a] & sh[b] & rare):
+                continue  # blocked: no shared rare shingle
+            inter = len(sh[a] & sh[b])
+            union = len(sh[a] | sh[b])
+            if union == 0:
+                continue
+            j = round(inter / union, 6)
+            if j >= threshold:
+                out[(a, b)] = j
+    return out
+
+
+@pytest.mark.parametrize("seed", [5, 47])
+def test_jaccard_neardup_matches_python_oracle(spark, seed):
+    """Randomized corpora with planted near-duplicates: the engine's
+    hashed-shingle candidate generation + exact verification must emit
+    exactly the python oracle's pair set (same blocking rule, same
+    rounded scores)."""
+    from mahout_spark.operators.dedup import jaccard_neardup_pairs
+
+    rng = random.Random(seed)
+    docs = _random_corpus(seed, 60)
+    # plant near-duplicates: copies with a few word edits
+    base_ids = [d for d, t in docs.items() if len(t.split()) > 10]
+    nxt = max(docs) + 1
+    for src in base_ids[:6]:
+        words = docs[src].split()
+        for _ in range(rng.randint(1, 3)):
+            words[rng.randrange(len(words))] = f"edit{rng.randint(0, 9)}"
+        docs[nxt] = " ".join(words)
+        nxt += 1
+    exp = _py_jaccard_pairs(docs, k=3, threshold=0.4, rare_df_max=8)
+    sdf = spark.createDataFrame(list(docs.items()), ["doc_id", "text"])
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_neardup_pairs(
+            sdf, k=3, threshold=0.4, rare_df_max=8
+        ).collect()
+    }
+    assert got == pytest.approx(exp)
+
+
 def test_skewed_hot_term_shards(spark, tmp_path_factory):
     """A term present in EVERY doc (the pathological hot term) must still
     produce docid-sorted, shard-split blocks and exact results."""
