@@ -58,6 +58,30 @@ class TestRelationalPlans:
         )
 
 
+class TestPipelinePlans:
+    def test_stratified_sample_prunes_columns(self, spark):
+        import __spark_entry__ as e
+
+        from mahout_spark.plans.audit import assert_plan
+
+        assert_plan(
+            e.q_stratified_sample(spark, SF),
+            no_exchange=True,  # narrow scan+filter+project, zero shuffles
+            absent_columns=["lang", "source", "n_chars"],
+        )
+
+    def test_jaccard_verification_broadcasts_small_sides(self, spark):
+        """The verification join tree must broadcast the candidate pairs
+        and both per-doc size tables — only the shingle intersection
+        groupBy may shuffle. (Shingle/candidate tables are checkpointed
+        LogicalRDDs, so the plan here IS the executed shape.)"""
+        import __spark_entry__ as e
+
+        p = _plan(e.q_jaccard_neardup(spark, SF))
+        assert p.count("BroadcastHashJoin") >= 3
+        assert "SortMergeJoin" not in p
+
+
 class TestIndexPlans:
     @pytest.fixture(scope="class")
     def built(self, spark, tmp_path_factory):
