@@ -90,7 +90,9 @@ def append_to_index(
 
     # -- uniqueness guard (the reference's category-key overwrite bug,
     # SURVEY.md §2.1 S4, made structurally impossible) --------------------
-    existing_ids = cat.read(spark, "docstats").select("doc_id")
+    existing_ids = cat.read(
+        spark, "docstats", schema_json=meta.get("docstats_schema")
+    ).select("doc_id")
     n_dup = new_docs.join(existing_ids, "doc_id", "left_semi").count()
     if n_dup:
         raise ValueError(
@@ -123,7 +125,9 @@ def append_to_index(
             .join(doclens, "doc_id", "left")
             .fillna(0, ["doclen"])
         )
-        old_schema = cat.read(spark, "docstats").schema
+        old_schema = cat.read(
+            spark, "docstats", schema_json=meta.get("docstats_schema")
+        ).schema
         for field in old_schema.fields:
             if field.name not in new_stats.columns:
                 # typed null — a string-cast null would fork the parquet
@@ -136,7 +140,9 @@ def append_to_index(
             tag=tag,
         )
 
-        docstats = cat.read(spark, "docstats")
+        docstats = cat.read(
+            spark, "docstats", schema_json=meta.get("docstats_schema")
+        )
         n_docs = docstats.count()
         row = docstats.filter(F.col("doclen") > 0).agg(
             F.avg("doclen")
@@ -147,7 +153,9 @@ def append_to_index(
         new_lex = tf.groupBy("term", "bucket").agg(
             F.count(F.lit(1)).alias("df_new"), F.sum("tf").alias("cf_new")
         )
-        old_lex = cat.read(spark, "lexicon")
+        old_lex = cat.read(
+            spark, "lexicon", schema_json=meta.get("lexicon_schema")
+        )
         max_id_row = old_lex.agg(F.max("term_id")).first()
         next_id = int(max_id_row[0]) + 1 if max_id_row[0] is not None else 0
         merged = (

@@ -262,7 +262,7 @@ def build_index(
             *[c for c in id_cols if c != "doc_id"],
             F.sha2(F.col(content_col).cast("string"), 256).alias("content_sha"),
         )
-        tf_raw = cat.read(spark, "tf_raw")
+        tf_raw = cat.read(spark, "tf_raw", schema_json=tf.schema.json())
         doclens = tf_raw.groupBy("doc_id").agg(F.max("doclen").alias("doclen"))
         # n_docs / avgdl via Observation metrics piggybacked on the write
         # job itself — one fewer serial driver job per build (the serial
@@ -271,10 +271,11 @@ def build_index(
         from pyspark.sql import Observation
 
         obs = Observation("corpus_scalars")
+        docstats_out = (
+            docstats.join(doclens, "doc_id", "left").fillna(0, ["doclen"])
+        )
         cat.overwrite_table(
-            docstats.join(doclens, "doc_id", "left")
-            .fillna(0, ["doclen"])
-            .observe(
+            docstats_out.observe(
                 obs,
                 F.count(F.lit(1)).alias("n"),
                 F.avg(F.when(F.col("doclen") > 0, F.col("doclen"))).alias("a"),
@@ -293,6 +294,10 @@ def build_index(
                 "block_size": block_size, "k1": k1, "b": b,
                 "appends": 0, "build_commit": build_commit,
                 "stage1_sec": round(time.time() - t0, 3),
+                # schemas persisted so zero-file tables (empty corpus /
+                # empty first micro-batch) stay readable across processes
+                "tf_schema": tf.schema.json(),
+                "docstats_schema": docstats_out.schema.json(),
             },
         )
     meta = cat.read_meta("postings")
@@ -300,7 +305,7 @@ def build_index(
 
     # ---- stage 2: lexicon ---------------------------------------------------
     if not (resume and cat.exists("lexicon")):
-        tf_raw = cat.read(spark, "tf_raw")
+        tf_raw = cat.read(spark, "tf_raw", schema_json=meta.get("tf_schema"))
         lex = tf_raw.groupBy("term", "bucket").agg(
             F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
         )
@@ -308,15 +313,17 @@ def build_index(
         # its terms' bucket dirs (same pruning story as postings) instead
         # of scanning the full vocabulary — material at 10^6+ terms.
         _cleanup: list = []
-        cat.overwrite_table_partitioned(
-            dense_ids(lex, ["term"], "term_id", cleanup=_cleanup),
-            "lexicon", "bucket",
-        )
+        lex_ids = dense_ids(lex, ["term"], "term_id", cleanup=_cleanup)
+        cat.overwrite_table_partitioned(lex_ids, "lexicon", "bucket")
         for _c in _cleanup:
             _c.unpersist()
+        meta["lexicon_schema"] = lex_ids.schema.json()
+        cat.write_meta("postings", meta)
 
     # ---- stage 3: postings (resume unit: bucket) ---------------------------
-    lexicon = cat.read(spark, "lexicon")
+    lexicon = cat.read(
+        spark, "lexicon", schema_json=meta.get("lexicon_schema")
+    )
     done = {
         r["partition_id"]
         for r in cat.lineage_rows("postings")
@@ -415,7 +422,10 @@ def _encode_all_buckets(
     import shutil
 
     started = time.time()
-    tf_raw = cat.read(spark, "tf_raw")
+    tf_raw = cat.read(
+        spark, "tf_raw",
+        schema_json=cat.read_meta("postings").get("tf_schema"),
+    )
     enc_in = tf_raw.join(
         _maybe_broadcast(lexicon.select("term", "term_id", "df")), "term"
     )
@@ -522,7 +532,10 @@ def verify_sha(spark: SparkSession, docs: DataFrame, cat: ParquetCatalog,
     src = docs.select(
         "doc_id", F.sha2(F.col(content_col).cast("string"), 256).alias("sha_src")
     )
-    built = cat.read(spark, "docstats").select("doc_id", "content_sha")
+    built = cat.read(
+        spark, "docstats",
+        schema_json=cat.read_meta("postings").get("docstats_schema"),
+    ).select("doc_id", "content_sha")
     return (
         src.join(built, "doc_id", "full")
         .filter(

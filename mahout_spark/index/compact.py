@@ -56,7 +56,9 @@ def compact_index(
         meta["n_docs"], meta["avgdl"], meta["k1"], meta["b"],
         meta["block_size"],
     )
-    lexicon = cat.read(spark, "lexicon")
+    lexicon = cat.read(
+        spark, "lexicon", schema_json=meta.get("lexicon_schema")
+    )
     started = time.time()
     _encode_all_buckets(
         spark, cat, lexicon, encoder, int(meta["n_buckets"]),

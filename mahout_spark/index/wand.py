@@ -61,8 +61,12 @@ def _read_query_lexicon(
                 f"index at {cat.root} has no lexicon table — not a built "
                 "index (or the build did not complete)"
             ) from None
-        if any(d.startswith("bucket=") for d in os.listdir(lex_path)):
+        entries = os.listdir(lex_path)
+        if any(d.startswith("bucket=") for d in entries):
             return None  # bucketed lexicon; these terms' buckets are empty
+        if not any(f.endswith(".parquet") or f.startswith("part-")
+                   for f in entries):
+            return None  # empty index (zero-doc corpus): no terms exist
         # legacy unpartitioned lexicon: fall back to the full read (loses
         # bucket pruning but stays correct across index format versions)
         return cat.read(spark, "lexicon")

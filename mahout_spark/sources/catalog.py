@@ -149,11 +149,30 @@ class ParquetCatalog:
 
     # -- reads --------------------------------------------------------------
 
-    def read(self, spark: SparkSession, table: str) -> DataFrame:
-        return (
-            spark.read.option("basePath", self.table_path(table))
-            .parquet(self.table_path(table))
-        )
+    def read(
+        self, spark: SparkSession, table: str, schema_json: str | None = None
+    ) -> DataFrame:
+        """Read a table; ``schema_json`` (a StructType.json() string) makes
+        the read robust to ZERO-FILE tables — a parquet dir holding only
+        _SUCCESS (the footprint of writing an empty DataFrame) cannot
+        infer a schema, but an empty corpus partition / empty first
+        micro-batch is a legitimate state the index lifecycle must
+        survive."""
+        reader = spark.read.option("basePath", self.table_path(table))
+        if schema_json is None:
+            return reader.parquet(self.table_path(table))
+        try:
+            return reader.parquet(self.table_path(table))
+        except Exception:
+            import json as _json
+
+            from pyspark.sql.types import StructType
+
+            return (
+                spark.read.schema(StructType.fromJson(_json.loads(schema_json)))
+                .option("basePath", self.table_path(table))
+                .parquet(self.table_path(table))
+            )
 
     def read_partitions(
         self, spark: SparkSession, table: str, part_col: str, values: list

@@ -368,6 +368,46 @@ class TestBootstrapReplay:
         assert _results_equal(before, _results(spark, cat))
 
 
+class TestEmptyCorpus:
+    """A zero-doc build (or an empty first micro-batch) must produce a
+    valid, queryable, appendable index — not a schema-inference crash.
+    Zero-file parquet tables are the footprint of writing an empty
+    DataFrame; the catalog reads them back via schemas persisted in the
+    index meta."""
+
+    def test_empty_build_then_append(self, spark, corpus, tmp_path_factory):
+        from mahout_spark.index.append import append_to_index
+        from mahout_spark.index.build import build_index
+        from mahout_spark.index.wand import topk
+
+        out = str(tmp_path_factory.mktemp("empty_idx"))
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        cat = build_index(spark, empty, out, content_col="text",
+                          mode="text", resume=False)
+        assert cat.read_meta("postings")["n_docs"] == 0
+        assert topk(spark, cat, ["spark"], k=5).count() == 0
+        append_to_index(spark, cat, corpus.filter(F.col("doc_id") < 50),
+                        content_col="text", batch_id="b1")
+        assert cat.read_meta("postings")["n_docs"] == 50
+        assert topk(spark, cat, ["spark"], k=5).count() > 0
+
+    def test_empty_first_micro_batch_stream(
+        self, spark, corpus, tmp_path_factory
+    ):
+        from mahout_spark.index.wand import topk
+        from mahout_spark.sources.catalog import ParquetCatalog
+        from mahout_spark.streaming.incremental import foreach_batch_indexer
+
+        idx = str(tmp_path_factory.mktemp("empty_stream"))
+        h = foreach_batch_indexer(idx, content_col="text", mode="text")
+        h(spark.createDataFrame([], "doc_id long, text string"), 0)
+        cat = ParquetCatalog(idx)
+        assert cat.read_meta("postings")["n_docs"] == 0
+        h(corpus.filter(F.col("doc_id") < 40), 1)
+        assert cat.read_meta("postings")["n_docs"] == 40
+        assert topk(spark, cat, ["spark"], k=5).count() > 0
+
+
 def _results_equal(a, b):
     if set(a) != set(b):
         return False
