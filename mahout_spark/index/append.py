@@ -135,19 +135,44 @@ def append_to_index(
                 new_stats = new_stats.withColumn(
                     field.name, F.lit(None).cast(field.dataType)
                 )
+        # batch stats as Observation metrics on the append write itself —
+        # combined with the meta's running totals this replaces two serial
+        # full-docstats jobs (count + avg) per micro-batch (the same
+        # Amdahl serial term build_index eliminates the same way)
+        from pyspark.sql import Observation
+
+        obs = Observation("append_stats")
         cat.append_table(
-            new_stats.select(*[f.name for f in old_schema.fields]), "docstats",
+            new_stats.select(*[f.name for f in old_schema.fields]).observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.col("doclen") > 0, F.col("doclen")))
+                .alias("dl_sum"),
+                F.sum((F.col("doclen") > 0).cast("long")).alias("dl_n"),
+            ),
+            "docstats",
             tag=tag,
         )
-
-        docstats = cat.read(
-            spark, "docstats", schema_json=meta.get("docstats_schema")
-        )
-        n_docs = docstats.count()
-        row = docstats.filter(F.col("doclen") > 0).agg(
-            F.avg("doclen")
-        ).first()
-        avgdl = float(row[0]) if row[0] is not None else 0.0
+        arow = obs.get
+        n_new = int(arow["n"])
+        if "doclen_sum" in meta and "doclen_n" in meta:
+            n_docs = int(meta["n_docs"]) + n_new
+            dl_sum = int(meta["doclen_sum"]) + int(arow["dl_sum"] or 0)
+            dl_n = int(meta["doclen_n"]) + int(arow["dl_n"] or 0)
+        else:  # legacy meta without running totals: one-time recompute
+            docstats = cat.read(
+                spark, "docstats", schema_json=meta.get("docstats_schema")
+            )
+            row = docstats.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.col("doclen") > 0, F.col("doclen")))
+                .alias("dl_sum"),
+                F.sum((F.col("doclen") > 0).cast("long")).alias("dl_n"),
+            ).first()
+            n_docs = int(row["n"])
+            dl_sum = int(row["dl_sum"] or 0)
+            dl_n = int(row["dl_n"] or 0)
+        avgdl = dl_sum / dl_n if dl_n else 0.0
 
         # -- lexicon merge -------------------------------------------------
         new_lex = tf.groupBy("term", "bucket").agg(
@@ -212,6 +237,8 @@ def append_to_index(
             {
                 "n_docs": n_docs,
                 "avgdl": avgdl,
+                "doclen_sum": dl_sum,
+                "doclen_n": dl_n,
                 "appends": int(meta.get("appends", 0)) + 1,
             }
         )
@@ -222,7 +249,7 @@ def append_to_index(
                 "batch_id": batch_id,
                 "status": "complete",
                 "tag": tag,
-                "rows_in": int(new_docs.count()),
+                "rows_in": n_new,
                 "started": started,
                 "finished": time.time(),
             },
@@ -249,19 +276,31 @@ def _rollback_partial_append(spark, cat, tag, meta) -> None:
     for table in ("tf_raw", "docstats", "postings"):
         removed += cat.remove_tagged(table, tag)
     if removed:
-        docstats = cat.read(spark, "docstats")
+        docstats = cat.read(
+            spark, "docstats", schema_json=meta.get("docstats_schema")
+        )
         row = docstats.agg(
             F.count(F.lit(1)).alias("n"),
-            F.avg(F.when(F.col("doclen") > 0, F.col("doclen"))).alias("a"),
+            F.sum(F.when(F.col("doclen") > 0, F.col("doclen")))
+            .alias("dl_sum"),
+            F.sum((F.col("doclen") > 0).cast("long")).alias("dl_n"),
         ).first()
         meta = dict(meta)
         meta["n_docs"] = int(row["n"])
-        meta["avgdl"] = float(row["a"]) if row["a"] is not None else 0.0
+        meta["doclen_sum"] = int(row["dl_sum"] or 0)
+        meta["doclen_n"] = int(row["dl_n"] or 0)
+        meta["avgdl"] = (
+            meta["doclen_sum"] / meta["doclen_n"] if meta["doclen_n"] else 0.0
+        )
         cat.write_meta("postings", meta)
-        true_stats = cat.read(spark, "tf_raw").groupBy("term", "bucket").agg(
+        true_stats = cat.read(
+            spark, "tf_raw", schema_json=meta.get("tf_schema")
+        ).groupBy("term", "bucket").agg(
             F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
         )
-        ids = cat.read(spark, "lexicon").select("term", "term_id")
+        ids = cat.read(
+            spark, "lexicon", schema_json=meta.get("lexicon_schema")
+        ).select("term", "term_id")
         cat.overwrite_table_partitioned(
             true_stats.join(ids, "term"), "lexicon", "bucket"
         )

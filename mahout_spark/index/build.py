@@ -274,17 +274,21 @@ def build_index(
         docstats_out = (
             docstats.join(doclens, "doc_id", "left").fillna(0, ["doclen"])
         )
+        pos_dl = F.when(F.col("doclen") > 0, F.col("doclen"))
         cat.overwrite_table(
             docstats_out.observe(
                 obs,
                 F.count(F.lit(1)).alias("n"),
-                F.avg(F.when(F.col("doclen") > 0, F.col("doclen"))).alias("a"),
+                F.sum(pos_dl).alias("dl_sum"),
+                F.sum((F.col("doclen") > 0).cast("long")).alias("dl_n"),
             ),
             "docstats",
         )
         row = obs.get
         n_docs = int(row["n"])
-        avgdl = float(row["a"]) if row["a"] is not None else 0.0
+        dl_sum = int(row["dl_sum"] or 0)
+        dl_n = int(row["dl_n"] or 0)
+        avgdl = dl_sum / dl_n if dl_n else 0.0
         cat.write_meta(
             "postings",
             {
@@ -294,6 +298,10 @@ def build_index(
                 "block_size": block_size, "k1": k1, "b": b,
                 "appends": 0, "build_commit": build_commit,
                 "stage1_sec": round(time.time() - t0, 3),
+                # running doclen totals: appends update avgdl
+                # arithmetically from their own write-job metrics instead
+                # of re-aggregating the whole docstats table per batch
+                "doclen_sum": dl_sum, "doclen_n": dl_n,
                 # schemas persisted so zero-file tables (empty corpus /
                 # empty first micro-batch) stay readable across processes
                 "tf_schema": tf.schema.json(),

@@ -170,8 +170,9 @@ def kmeans_doc_clusters(
         k=k, seed=seed, distanceMeasure="cosine", featuresCol="features",
         predictionCol="cluster",
     ).fit(vecs)
-    out = model.transform(vecs).select("doc_id", "cluster")
-    if soft_weights:
+    if not soft_weights:
+        out = model.transform(vecs).select("doc_id", "cluster")
+    else:
         from pyspark.sql import types as T
 
         centers = np.asarray(

@@ -55,6 +55,34 @@ _HASH32_MEMO: dict[str, int] = {}
 _HASH64_MEMO: dict[str, int] = {}
 
 
+# max shingle/token OCCURRENCES vectorized at once inside the signature
+# UDFs: bounds the (n_unique × n_hashes) hash matrix to ~chunk×128×8 B ≈
+# 130 MB worst case, independent of Arrow batch size and document length
+_VEC_CHUNK_ITEMS = 131_072
+
+
+def _doc_chunks(item_lists: list[list[str]]):
+    """Yield (start_doc, end_doc, concatenated object array) slices of
+    consecutive docs whose total item count stays ≤ _VEC_CHUNK_ITEMS
+    (always ≥ 1 doc per chunk, so a single pathological document still
+    processes — its matrix is proportional to ITS length only)."""
+    i, n = 0, len(item_lists)
+    while i < n:
+        j, total = i, 0
+        while j < n and (j == i or total + len(item_lists[j])
+                         <= _VEC_CHUNK_ITEMS):
+            total += len(item_lists[j])
+            j += 1
+        if total:
+            arr = np.empty(total, dtype=object)
+            pos = 0
+            for s in item_lists[i:j]:
+                arr[pos:pos + len(s)] = s
+                pos += len(s)
+            yield i, j, arr
+        i = j
+
+
 def _spread_input(docs: DataFrame) -> DataFrame:
     """Repartition a FEW-SPLIT input up to cluster parallelism.
 
@@ -242,7 +270,11 @@ def minhash_signatures(
 
     Empty shingle set → empty sig array (excluded from LSH). Signatures
     are bit-identical to the per-doc formulation (same hash family, same
-    seeds)."""
+    seeds). Peak memory is bounded: docs are processed in sub-batches of
+    ≤ ``_VEC_CHUNK_ITEMS`` shingle occurrences, so the universal-hash
+    matrix stays ≤ ~chunk×n_hashes×8 B regardless of Arrow batch size or
+    document length (an unchunked 10k-doc batch of long documents would
+    transiently allocate gigabytes per python worker)."""
     a_p, b_p = _minhash_params(n_hashes, seed)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
@@ -259,26 +291,19 @@ def minhash_signatures(
             sh_lists.append(
                 [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
             )
-        total = sum(len(s) for s in sh_lists)
-        if total == 0:
-            return pd.Series([[] for _ in sh_lists])
-        all_sh = np.empty(total, dtype=object)
-        pos = 0
-        for s in sh_lists:
-            all_sh[pos:pos + len(s)] = s
-            pos += len(s)
-        uniq, inv = np.unique(all_sh, return_inverse=True)
-        x = _hash_uniques(uniq, 4, _HASH32_MEMO)  # < 2^32, in int64
-        # (n_uniq, n_hashes): a < 2^31, x < 2^32 -> a*x < 2^63, no overflow
-        hv = (x[:, None] * a_p[None, :] + b_p[None, :]) % MERSENNE61
-        out, pos = [], 0
-        for s in sh_lists:
-            n = len(s)
-            if n == 0:
-                out.append([])
-            else:
-                out.append(hv[inv[pos:pos + n]].min(axis=0).tolist())
-            pos += n
+        out: list[list[int]] = [[] for _ in sh_lists]
+        for start, end, all_sh in _doc_chunks(sh_lists):
+            uniq, inv = np.unique(all_sh, return_inverse=True)
+            x = _hash_uniques(uniq, 4, _HASH32_MEMO)  # < 2^32, in int64
+            # (n_uniq, n_hashes): a < 2^31, x < 2^32 -> a*x < 2^63 — no
+            # overflow
+            hv = (x[:, None] * a_p[None, :] + b_p[None, :]) % MERSENNE61
+            pos = 0
+            for i in range(start, end):
+                n = len(sh_lists[i])
+                if n:
+                    out[i] = hv[inv[pos:pos + n]].min(axis=0).tolist()
+                pos += n
         return pd.Series(out)
 
     return _spread_input(docs).select(
@@ -354,9 +379,10 @@ def _verify_jaccard(
 
     The corpus is semi-joined down to the docs that actually appear in a
     candidate pair BEFORE shingling — verification cost is proportional
-    to candidates (LSH's output), never to corpus size. ``cand`` is
-    cached (it feeds both the id set and the pair join) and the result
-    is materialized so the cache can be dropped before returning."""
+    to candidates (LSH's output), never to corpus size. ``cand`` and the
+    candidate shingles are checkpointed (each feeds multiple joins);
+    their blocks are released by Spark's ContextCleaner once the
+    returned frame is consumed and the references are collected."""
     # checkpointed, not cached: candidate generation (LSH banding) and
     # the shingle expression are both heavy PLAN subtrees that would be
     # replicated into every downstream branch — see jaccard_neardup_pairs
@@ -366,9 +392,12 @@ def _verify_jaccard(
         .union(cand.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
-    # candidates are a tiny fraction of the corpus by construction —
-    # broadcast the id set so the semi-join adds no corpus shuffle
-    cand_docs = docs.join(F.broadcast(ids), id_col, "left_semi")
+    # semi-join, strategy left to AQE: candidates are usually a small
+    # fraction of the corpus (→ runtime broadcast), but on duplicate-heavy
+    # corpora — the dedup use case — the id set can cover a large share of
+    # the docs, where a forced broadcast would blow the broadcast limit;
+    # AQE degrades that case to a shuffle join instead of failing.
+    cand_docs = docs.join(ids, id_col, "left_semi")
     # _pair_jaccard reads the shingle rows four times (both join sides +
     # the two size broadcasts) — materialize them once
     sh = shingle_sets(cand_docs, k, content_col, id_col).localCheckpoint(
@@ -443,32 +472,25 @@ def simhash_signatures(
                 [w for w in split.split(t.lower()) if w] if t else []
             )
         out = np.zeros(len(tok_lists), dtype=np.int64)
-        total = sum(len(s) for s in tok_lists)
-        if total == 0:
-            return pd.Series(out)
-        all_tok = np.empty(total, dtype=object)
-        pos = 0
-        for s in tok_lists:
-            all_tok[pos:pos + len(s)] = s
-            pos += len(s)
-        uniq, inv = np.unique(all_tok, return_inverse=True)
-        h64 = _hash_uniques(uniq, 8, _HASH64_MEMO).view(np.uint64)
         bit_idx = np.arange(64, dtype=np.uint64)
-        signs = (
-            ((h64[:, None] >> bit_idx[None, :]) & np.uint64(1))
-            .astype(np.int64) * 2 - 1
-        )  # (n_uniq, 64) in {-1, +1}
         weights = (np.uint64(1) << bit_idx)
-        pos = 0
-        for row, s in enumerate(tok_lists):
-            n = len(s)
-            if n:
-                votes = signs[inv[pos:pos + n]].sum(axis=0)
-                sig = ((votes > 0).astype(np.uint64) * weights).sum(
-                    dtype=np.uint64
-                )
-                out[row] = np.int64(sig.astype(np.int64))
-            pos += n
+        for start, end, all_tok in _doc_chunks(tok_lists):
+            uniq, inv = np.unique(all_tok, return_inverse=True)
+            h64 = _hash_uniques(uniq, 8, _HASH64_MEMO).view(np.uint64)
+            signs = (
+                ((h64[:, None] >> bit_idx[None, :]) & np.uint64(1))
+                .astype(np.int64) * 2 - 1
+            )  # (n_uniq, 64) in {-1, +1}
+            pos = 0
+            for row in range(start, end):
+                n = len(tok_lists[row])
+                if n:
+                    votes = signs[inv[pos:pos + n]].sum(axis=0)
+                    sig = ((votes > 0).astype(np.uint64) * weights).sum(
+                        dtype=np.uint64
+                    )
+                    out[row] = np.int64(sig.astype(np.int64))
+                pos += n
         return pd.Series(out)
 
     return _spread_input(docs).select(
@@ -557,7 +579,16 @@ def dedup_groups_from_pairs(
     ``max_iters`` bounds pathological chains (a component with diameter >
     max_iters would come back SPLIT with wrong keep_ids); by default that
     raises — pass ``on_unconverged="warn"`` to get the partial labels
-    anyway.
+    anyway. The loop allows max_iters PROPAGATING iterations plus one
+    confirmation pass, so a component of diameter exactly max_iters (whose
+    last allowed iteration both moves labels AND completes them) is
+    correctly accepted, not misreported as unconverged.
+
+    Superseded label generations are checkpointed RDD blocks; their
+    references are dropped each iteration and Spark's ContextCleaner
+    releases the storage once the py4j handles are collected (2-4
+    generations in-flight worst case — labels are (node, label) pairs,
+    small relative to the corpus).
     """
     if on_unconverged not in ("raise", "warn"):
         raise ValueError(f"unknown on_unconverged {on_unconverged!r}")
@@ -573,7 +604,7 @@ def dedup_groups_from_pairs(
         .localCheckpoint(eager=True)
     )
     changed = None
-    for _ in range(max_iters):
+    for _ in range(max_iters + 1):
         neighbor_min = (
             edges.join(labels.withColumnRenamed("u", "v"), "v")
             .groupBy("u")

@@ -163,7 +163,12 @@ class ParquetCatalog:
             return reader.parquet(self.table_path(table))
         try:
             return reader.parquet(self.table_path(table))
-        except Exception:
+        except Exception as exc:
+            # fall back ONLY for the zero-file signature; anything else
+            # (corrupt footers, permissions) must surface immediately,
+            # not resurface later from an unrelated job
+            if "UNABLE_TO_INFER_SCHEMA" not in str(exc):
+                raise
             import json as _json
 
             from pyspark.sql.types import StructType

@@ -118,7 +118,13 @@ def list_files(
         for entry in os.scandir(root):
             if entry.is_dir(follow_symlinks=False):
                 subdirs.append(entry.path)
-            elif suffix is None or entry.name.endswith(suffix):
+            elif entry.is_file() and (
+                suffix is None or entry.name.endswith(suffix)
+            ):
+                # is_file() FOLLOWS symlinks: a symlink→file lists (as in
+                # os.walk's files), a symlink→dir is skipped entirely —
+                # matching the driver walk, which neither lists nor
+                # recurses into dir symlinks (followlinks=False)
                 top_files.append((entry.path,))
         sc = spark.sparkContext
         parts = []

@@ -132,6 +132,25 @@ def test_distributed_listing_matches_driver_walk(spark, tree, tmp_path):
     )
     ing = ingest_files(spark, paths)
     assert ing.count() == 2
+    # symlinks at the root: →file lists (like os.walk), →dir is neither
+    # listed nor traversed (followlinks=False semantics) in BOTH modes
+    import os
+
+    sym = tmp_path / "sym"
+    sym.mkdir()
+    (sym / "real.txt").write_text("r")
+    (sym / "sub").mkdir()
+    (sym / "sub" / "inner.txt").write_text("i")
+    os.symlink(str(sym / "real.txt"), str(sym / "flink.txt"))
+    os.symlink(str(sym / "sub"), str(sym / "dlink"))
+    a = {r["path"] for r in list_files(spark, str(sym)).collect()}
+    b = {
+        r["path"]
+        for r in list_files(spark, str(sym), distributed=True).collect()
+    }
+    assert a == b
+    assert str(sym / "flink.txt") in a
+    assert not any("dlink" in p for p in a)
 
 
 def test_plan_audit_helpers(spark):
