@@ -199,6 +199,14 @@ def test_searcher_invalidates_after_append(spark, corpus, tmp_path_factory):
     fresh = _rows(topk(spark, cat, ["spark", "data"], k=10))
     assert after == fresh
     assert after != before  # appended docs visible
+    # compaction also rewrites meta -> epoch changes -> cache drops; the
+    # compacted index answers through the same Searcher identically
+    from mahout_spark.index.compact import compact_index
+
+    compact_index(spark, cat)
+    assert _rows(s.topk(["spark", "data"], k=10)) == _rows(
+        topk(spark, cat, ["spark", "data"], k=10)
+    )
 
 
 def test_legacy_unpartitioned_lexicon_falls_back(
