@@ -234,6 +234,36 @@ def q_engine_bm25_search(spark, sf_dir):
     return scorer.search(tokenize_text(" ".join(BM25_QUERY_TERMS)), k=10)
 
 
+def q_engine_indexed_bm25(spark, sf_dir):
+    """The flagship INDEXED path end-to-end: build the posting-block
+    index (analyzer chain, bucket-partitioned, block-max metadata) into a
+    temp dir, then answer the standard query with WAND block-max top-k.
+    Rows-only driver check; rank/score identity with the naive scorer and
+    a numpy oracle is pytest-gated (tests/test_index.py)."""
+    import shutil
+    import tempfile
+
+    from mahout_spark.index.build import build_index
+    from mahout_spark.index.wand import topk
+    from mahout_spark.tokenize import tokenize_text
+
+    docs = _load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="msdrv_idx_")
+    try:
+        cat = build_index(
+            spark, docs, out_dir=out, content_col="text",
+            id_cols=["doc_id"], mode="text", resume=False,
+        )
+        result = topk(
+            spark, cat, tokenize_text(" ".join(BM25_QUERY_TERMS)), k=10
+        )
+        # materialize before the temp index dir is removed
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline operators (textstats / dedup / similarity /
 # multimodal) — SURVEY.md §2 extension set
@@ -652,6 +682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": q_revenue_by_nation,
         "events_top3_per_user": q_events_top3_per_user,
         "engine_bm25_search": q_engine_bm25_search,
+        "engine_indexed_bm25": q_engine_indexed_bm25,
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
