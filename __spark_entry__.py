@@ -7,7 +7,7 @@ Arrow-UDF tokenizer chain) on sf0.001.
 (core engine) and §2.11 (training-data pipeline extension: textstats,
 dedup, similarity search, multimodal, clustering), each Spark
 implementation paired with an ANSI-SQL oracle DuckDB runs on the same
-parquet where expressible (29 of 36 queries — including connected
+parquet where expressible (29 of 37 queries — including connected
 components via a recursive CTE), rows-only otherwise.
 Oracle-checked full-text queries use the SQL-expressible tokenizer
 (lower + split on ``[^a-z0-9]+``, mahout_spark.operators.stats.
