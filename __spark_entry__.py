@@ -264,6 +264,38 @@ def q_engine_indexed_bm25(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def q_engine_indexed_bm25_simple(spark, sf_dir):
+    """The indexed WAND path made DuckDB-hash-checkable end-to-end: build
+    the posting-block index with the SQL-expressible SIMPLE tokenizer
+    (mode='simple' routes stats.term_frequencies through the same
+    split/lower stream the oracle's _TOK_CTE computes), then answer the
+    standard query with block-max WAND. Because the index machinery is
+    tokenizer-agnostic, this drives build → block encode → bucket pruning
+    → WAND → merge under the already-green bm25_topk_or oracle — the
+    engine's most correctness-dense component gets a driver-verified
+    rows+schema+hash row, not just pytest gates."""
+    import shutil
+    import tempfile
+
+    from mahout_spark.index.build import build_index
+    from mahout_spark.index.wand import topk
+
+    docs = _load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="msdrv_idxs_")
+    try:
+        cat = build_index(
+            spark, docs, out_dir=out, content_col="text",
+            id_cols=["doc_id"], mode="simple", resume=False,
+        )
+        result = topk(spark, cat, BM25_QUERY_TERMS, k=10).select(
+            "doc_id", F.round("score", 6).alias("score")
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline operators (textstats / dedup / similarity /
 # multimodal) — SURVEY.md §2 extension set
@@ -301,15 +333,29 @@ def q_fingerprint(spark, sf_dir):
     return fingerprints(_load(spark, sf_dir, "documents"))
 
 
+def _localize(spark, df, cleanup):
+    """Materialize ``df``, release the operator's checkpoint blocks, and
+    return the rows as a local DataFrame (same schema/values). Keeps
+    bench/driver sessions at baseline block-manager storage after every
+    dedup query instead of waiting for GC + ContextCleaner."""
+    from mahout_spark.checkpoint import release
+
+    rows = df.collect()
+    release(cleanup)
+    return spark.createDataFrame(rows, df.schema)
+
+
 def q_jaccard_neardup(spark, sf_dir):
     """Near-dup pairs: exact Jaccard over word 3-shingles with rare-shingle
     candidate blocking."""
     from mahout_spark.operators.dedup import jaccard_neardup_pairs
 
-    return jaccard_neardup_pairs(
+    cleanup = []
+    return _localize(spark, jaccard_neardup_pairs(
         _load(spark, sf_dir, "documents"),
         k=JACCARD_K, threshold=JACCARD_THRESHOLD, rare_df_max=JACCARD_RARE_DF,
-    )
+        cleanup=cleanup,
+    ), cleanup)
 
 
 def q_embedding_neardup(spark, sf_dir):
@@ -342,17 +388,21 @@ def q_engine_minhash_neardup(spark, sf_dir):
     blake2b hashing is not SQL-expressible)."""
     from mahout_spark.operators.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(
+    cleanup = []
+    return _localize(spark, minhash_lsh_pairs(
         _load(spark, sf_dir, "documents"),
-        threshold=JACCARD_THRESHOLD, k=JACCARD_K,
-    )
+        threshold=JACCARD_THRESHOLD, k=JACCARD_K, cleanup=cleanup,
+    ), cleanup)
 
 
 def q_engine_simhash_neardup(spark, sf_dir):
     """SimHash hamming≤3 near-dup pairs (rows-only check)."""
     from mahout_spark.operators.dedup import simhash_neardup_pairs
 
-    return simhash_neardup_pairs(_load(spark, sf_dir, "documents"))
+    cleanup = []
+    return _localize(spark, simhash_neardup_pairs(
+        _load(spark, sf_dir, "documents"), cleanup=cleanup
+    ), cleanup)
 
 
 def q_engine_ann_topk(spark, sf_dir):
@@ -628,11 +678,15 @@ def q_engine_dedup_groups(spark, sf_dir):
         jaccard_neardup_pairs,
     )
 
+    cleanup = []
     pairs = jaccard_neardup_pairs(
         _load(spark, sf_dir, "documents"),
         k=JACCARD_K, threshold=JACCARD_THRESHOLD, rare_df_max=JACCARD_RARE_DF,
+        cleanup=cleanup,
     )
-    return dedup_groups_from_pairs(pairs)
+    return _localize(
+        spark, dedup_groups_from_pairs(pairs, cleanup=cleanup), cleanup
+    )
 
 
 def q_engine_embedding_neardup_lsh(spark, sf_dir):
@@ -683,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_top3_per_user": q_events_top3_per_user,
         "engine_bm25_search": q_engine_bm25_search,
         "engine_indexed_bm25": q_engine_indexed_bm25,
+        "engine_indexed_bm25_simple": q_engine_indexed_bm25_simple,
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
@@ -1096,6 +1151,12 @@ def _base_oracle_sql() -> dict[str, str]:
         SELECT doc_id, term, score, rank FROM ranked WHERE rank <= 5
         """,
         "bm25_topk_or": _BM25_BASE + """
+        SELECT doc_id, score FROM agg
+        ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        # identical oracle text: the indexed engine must reproduce the
+        # naive scorer's answer exactly (build->encode->prune->WAND)
+        "engine_indexed_bm25_simple": _BM25_BASE + """
         SELECT doc_id, score FROM agg
         ORDER BY score DESC, doc_id ASC LIMIT 10
         """,

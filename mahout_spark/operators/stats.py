@@ -47,6 +47,18 @@ def term_frequencies(
     """
     if id_cols is None:
         id_cols = ["doc_id"]
+    if mode == "simple":
+        # JVM-only tokenizer (split/lower, no stem/stoplist) — the stream
+        # the DuckDB oracle CTE reproduces exactly. Routing it through
+        # term_frequencies makes the whole INDEX pipeline (build -> block
+        # encode -> WAND) oracle-checkable end-to-end.
+        if id_cols != ["doc_id"]:
+            raise ValueError("mode='simple' supports id_cols=['doc_id'] only")
+        if lang_col is not None or tok_kw:
+            raise ValueError(
+                "mode='simple' takes no lang_col/tokenizer options"
+            )
+        return simple_term_frequencies(docs, content_col, "doc_id")
     tfm = tf_map_udf(mode=mode, **tok_kw)
     with_map = docs.withColumn("_tf_map", tfm(F.col(content_col))).withColumn(
         "_doclen",
