@@ -1,11 +1,23 @@
 """Benchmark driver: headline queries at $SPARK_GRAFT_SF_DIR on
 local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
-{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "trials":
+{...}, "sf": ...}
 
-Headline set = index build (stats pipeline materialization) + the BM25 /
-TF-IDF / TPC-H queries from __spark_entry__. Each query timed to full
-materialization (count/collect). One warm-up of the corpus scan first so
-JVM startup and parquet footer reads don't pollute query timings.
+Measurement protocol (round-3 fix — single-shot timings on this host
+class could not distinguish a real 4x regression from host weather, see
+BENCH/BASELINE.md):
+
+* every query runs >= 2 trials; if the two differ by > 30% a third runs;
+* ``queries[name]`` = BEST trial (the number the round-over-round compare
+  should use: host noise only ever inflates), ``trials[name]`` = every
+  trial in run order, so trials[0] is the session-cold time (for the
+  dedup/signature queries that is the python-worker + codegen cold path)
+  and later entries are warm;
+* one warm-up scan of every input file first, so parquet footer reads and
+  JVM startup never pollute query timings;
+* ``index_build`` trials build into FRESH directories (resume would
+  short-circuit trial 2); the last build is kept for the indexed-query
+  phase.
 """
 
 from __future__ import annotations
@@ -16,6 +28,9 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+TRIAL_SPREAD = 0.30  # best-of-2 unless they disagree by more than this
+MAX_TRIALS = 3
 
 
 def main() -> None:
@@ -31,20 +46,29 @@ def main() -> None:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     docs.count()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
     n_docs = docs.count()
 
-    timings: dict[str, float] = {}
-
+    best: dict[str, float] = {}
+    trials: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
 
     def timed(name: str, fn) -> None:
-        t0 = time.perf_counter()
-        try:
-            fn()
-        except Exception as exc:  # one broken query must not kill the run
-            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
-            return
-        timings[name] = round(time.perf_counter() - t0, 4)
+        ts: list[float] = []
+        for i in range(MAX_TRIALS):
+            t0 = time.perf_counter()
+            try:
+                fn()
+            except Exception as exc:  # a broken query must not kill the run
+                errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+                return
+            ts.append(round(time.perf_counter() - t0, 4))
+            if i >= 1 and (max(ts[-2:]) - min(ts[-2:])) / max(
+                min(ts[-2:]), 1e-9
+            ) <= TRIAL_SPREAD:
+                break
+        trials[name] = ts
+        best[name] = min(ts)
 
     # index build throughput: full stats pipeline + posting-block index
     # build materialized to parquet (the engine's write path).
@@ -52,34 +76,26 @@ def main() -> None:
     import tempfile
 
     out_dir = tempfile.mkdtemp(prefix="msbench_")
+    build_dirs = iter([os.path.join(out_dir, f"index{i}") for i in range(9)])
+    last_index = {"path": None}
 
     def build_index():
         from mahout_spark.index.build import build_index as _build
 
+        path = next(build_dirs)
         _build(
             spark,
             docs,
             content_col="text",
             id_cols=["doc_id"],
-            out_dir=os.path.join(out_dir, "index"),
+            out_dir=path,
             mode="text",
         )
+        if last_index["path"]:
+            shutil.rmtree(last_index["path"], ignore_errors=True)
+        last_index["path"] = path
 
-    try:
-        from mahout_spark.index.build import build_index as _probe  # noqa: F401
-
-        timed("index_build", build_index)
-    except ImportError:
-        # phase-1 fallback: materialize the stats tables
-        def build_stats():
-            from mahout_spark.query import CorpusScorer
-
-            scorer = CorpusScorer(docs, content_col="text", id_cols=["doc_id"])
-            scorer.tfidf().write.mode("overwrite").parquet(
-                os.path.join(out_dir, "tfidf")
-            )
-
-        timed("index_build", build_stats)
+    timed("index_build", build_index)
 
     qs = entry.queries()
     for name in [
@@ -87,12 +103,14 @@ def main() -> None:
         "bm25_topk_and",
         "tfidf_top5_per_doc",
         "engine_bm25_search",
+        "engine_indexed_bm25_simple",
         "tpch_pricing_summary",
         "revenue_by_nation",
         "events_top3_per_user",
         "quality_scores",
         "lang_id",
         "fingerprint",
+        "chunk_documents",
         "jaccard_neardup",
         "engine_minhash_neardup",
         "engine_simhash_neardup",
@@ -106,22 +124,19 @@ def main() -> None:
                   if "topk" in n or "search" in n
                   else qs[n](spark, sf_dir).count())
 
-    # indexed query path, if built
+    # indexed query path over the kept build
     try:
         from mahout_spark.index.wand import topk as wand_topk
+        from mahout_spark.index.wand import topk_batch
         from mahout_spark.sources.catalog import ParquetCatalog
 
-        cat = ParquetCatalog(os.path.join(out_dir, "index"))
+        cat = ParquetCatalog(last_index["path"])
 
-        def run_wand():
-            wand_topk(spark, cat, entry.BM25_QUERY_TERMS, k=10).collect()
+        timed("indexed_bm25_topk", lambda: wand_topk(
+            spark, cat, entry.BM25_QUERY_TERMS, k=10
+        ).collect())
 
-        timed("indexed_bm25_topk", run_wand)
-
-        # batch retrieval: 100 queries in ONE job (offline-workload shape);
-        # timing under the same key budget as single-query -> amortized qps
-        from mahout_spark.index.wand import topk_batch
-
+        # batch retrieval: 100 queries in ONE job (offline-workload shape)
         vocab = ["spark", "query", "data", "window", "stream", "hash",
                  "join", "merge", "sort", "vector", "table", "scan",
                  "filter", "group", "agg", "batch", "row", "key", "value"]
@@ -129,37 +144,37 @@ def main() -> None:
             f"q{i}": [vocab[(i + j) % len(vocab)] for j in range(1 + i % 4)]
             for i in range(100)
         }
+        timed("indexed_bm25_batch100", lambda: topk_batch(
+            spark, cat, batch_queries, k=10
+        ).collect())
 
-        def run_batch():
-            topk_batch(spark, cat, batch_queries, k=10).collect()
-
-        timed("indexed_bm25_batch100", run_batch)
-
-        # warm lexicon-cached query path (Searcher): repeated-query /
-        # interactive latency — zero lexicon jobs on a warm cache
+        # warm lexicon-cached query path (Searcher.topk_rows): repeated-
+        # query / interactive latency — zero lexicon jobs on a warm
+        # cache, and the scoring kernel runs on the driver over the
+        # terms' collected blocks (one job, no shuffle) when Σdf is
+        # under the query-node cap
         from mahout_spark.index.searcher import Searcher
 
         searcher = Searcher(spark, cat)
-        searcher.topk(entry.BM25_QUERY_TERMS, k=10).collect()  # warm
-
-        def run_cached():
-            searcher.topk(entry.BM25_QUERY_TERMS, k=10).collect()
-
-        timed("indexed_bm25_topk_cached", run_cached)
-    except Exception:
-        pass
+        searcher.topk_rows(entry.BM25_QUERY_TERMS, k=10)  # warm
+        timed("indexed_bm25_topk_cached", lambda: searcher.topk_rows(
+            entry.BM25_QUERY_TERMS, k=10
+        ))
+    except Exception as exc:
+        errors["indexed_path"] = f"{type(exc).__name__}: {exc}"[:200]
 
     shutil.rmtree(out_dir, ignore_errors=True)
 
-    total = round(sum(timings.values()), 4)
-    build_sec = timings.get("index_build", 0.0) or 1e-9
+    total = round(sum(best.values()), 4)
+    build_sec = best.get("index_build", 0.0) or 1e-9
     print(
         json.dumps(
             {
                 "metric": "index_build_plus_queries_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": best,
+                "trials": trials,
                 "sf": sf_dir,
                 "cpus": cpus,
                 "docs_per_sec_build": round(n_docs / build_sec, 2),

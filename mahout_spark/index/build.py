@@ -60,6 +60,12 @@ POSTINGS_SCHEMA = (
 )
 
 
+# widest index for which per-bucket lineage stats ride the write job as
+# Observation metrics (2 conditional aggs per bucket); wider indexes use
+# a post-write groupBy scan instead
+_OBS_MAX_BUCKETS = 64
+
+
 _POSTINGS_COLS = [
     "term", "term_id", "shard", "block_id", "count",
     "first_docid", "block_max_docid", "block_max_score",
@@ -448,31 +454,48 @@ def _encode_all_buckets(
     stage = final + ".__stage_all"
     # per-bucket lineage stats via Observation metrics on the write job
     # (conditional sums per bucket) — replaces a post-write scan of the
-    # staged table, one fewer serial job on the build's critical path
-    from pyspark.sql import Observation
+    # staged table, one fewer serial job on the build's critical path.
+    # Guarded: 2 conditional aggregates PER BUCKET inflate the observed
+    # plan/codegen linearly with index width, so wide indexes (>
+    # _OBS_MAX_BUCKETS) fall back to one post-write groupBy scan of the
+    # staged output — a second (cheap, metadata-light) job beats a
+    # thousand-expression observe on every write task.
+    if n_buckets <= _OBS_MAX_BUCKETS:
+        from pyspark.sql import Observation
 
-    obs = Observation("bucket_stats")
-    metrics = []
-    for bkt in range(n_buckets):
-        hit = F.col("bucket") == bkt
-        metrics.append(
-            F.sum(F.when(hit, F.col("count"))).alias(f"ri_{bkt}")
-        )
-        metrics.append(
-            F.sum(F.when(hit, F.lit(1)).otherwise(F.lit(0)))
-            .alias(f"ro_{bkt}")
-        )
-    blocks.observe(obs, *metrics).write.mode("overwrite").partitionBy(
-        "bucket"
-    ).parquet(stage)
-    m = obs.get
-    stats_rows = {
-        bkt: {
-            "rows_in": int(m[f"ri_{bkt}"] or 0),
-            "rows_out": int(m[f"ro_{bkt}"] or 0),
+        obs = Observation("bucket_stats")
+        metrics = []
+        for bkt in range(n_buckets):
+            hit = F.col("bucket") == bkt
+            metrics.append(
+                F.sum(F.when(hit, F.col("count"))).alias(f"ri_{bkt}")
+            )
+            metrics.append(
+                F.sum(F.when(hit, F.lit(1)).otherwise(F.lit(0)))
+                .alias(f"ro_{bkt}")
+            )
+        blocks.observe(obs, *metrics).write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(stage)
+        m = obs.get
+        stats_rows = {
+            bkt: {
+                "rows_in": int(m[f"ri_{bkt}"] or 0),
+                "rows_out": int(m[f"ro_{bkt}"] or 0),
+            }
+            for bkt in range(n_buckets)
         }
-        for bkt in range(n_buckets)
-    }
+    else:
+        blocks.write.mode("overwrite").partitionBy("bucket").parquet(stage)
+        staged = spark.read.parquet(stage)
+        stats_rows = {
+            int(r["bucket"]): {
+                "rows_in": int(r["ri"] or 0), "rows_out": int(r["ro"] or 0)
+            }
+            for r in staged.groupBy("bucket").agg(
+                F.sum("count").alias("ri"), F.count(F.lit(1)).alias("ro")
+            ).collect()
+        }
     os.makedirs(final, exist_ok=True)
     for bucket in range(n_buckets):
         src = os.path.join(stage, f"bucket={bucket}")

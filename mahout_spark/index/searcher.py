@@ -23,11 +23,21 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+import numpy as np
+from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
 
 from mahout_spark.index import wand
 from mahout_spark.sources.catalog import ParquetCatalog
+
+# topk_rows runs the scoring kernel ON THE DRIVER when the queried terms'
+# total df (known from the cached lexicon rows — no extra job) is at most
+# this: the collected payload is the terms' encoded blocks, ~1-2 bytes per
+# posting, so the cap bounds driver transfer to a few MB. Hot heads on a
+# query-node are exactly how production engines serve interactive top-k;
+# rare/medium terms stay under the cap, monster terms fall back to the
+# fully distributed path.
+DRIVER_EXEC_MAX_POSTINGS = 1 << 20
 
 
 class Searcher:
@@ -48,12 +58,20 @@ class Searcher:
         return os.path.join(self.cat.table_path("postings"), "_meta.json")
 
     def _ensure_fresh(self) -> None:
-        st = os.stat(self._meta_file())
-        epoch = (st.st_mtime_ns, st.st_size)
+        """Cache epoch = the meta's own ``meta_version`` stamp (written
+        fresh by every ParquetCatalog.write_meta). Reading the tiny json
+        per query is microseconds; unlike file stat it cannot alias two
+        rewrites of identical length within one mtime tick. Metas written
+        before the stamp existed fall back to (mtime_ns, size)."""
+        meta = self.cat.read_meta("postings")
+        epoch = meta.get("meta_version")
+        if epoch is None:
+            st = os.stat(self._meta_file())
+            epoch = (st.st_mtime_ns, st.st_size)
         if epoch != self._epoch:
             self._epoch = epoch
             self._terms.clear()
-            self._meta = self.cat.read_meta("postings")
+            self._meta = meta
 
     # -- lexicon ------------------------------------------------------------
 
@@ -86,13 +104,84 @@ class Searcher:
 
     def topk(
         self, terms: list[str], k: int = 10, mode_all: bool = False,
-        prune: bool = True,
+        prune: bool = True, merge: str = "spark",
     ) -> DataFrame:
+        """Top-k as a DataFrame (composable into larger plans). For pure
+        interactive latency use ``topk_rows`` — wrapping driver-merged
+        rows back into a DataFrame costs more than the exchange stage the
+        merge saves, so here the distributed TakeOrderedAndProject stays
+        the default."""
         self._ensure_fresh()
         return wand.topk(
             self.spark, self.cat, terms, k=k, mode_all=mode_all,
-            prune=prune, lex_rows=self._lex_rows(terms),
+            prune=prune, lex_rows=self._lex_rows(terms), merge=merge,
         )
+
+    def topk_rows(
+        self, terms: list[str], k: int = 10, mode_all: bool = False,
+        prune: bool = True,
+    ) -> list[Row]:
+        """Interactive top-k returning rows directly — the query-node
+        path. Warm-cache cost:
+
+        * small/medium terms (Σ df <= DRIVER_EXEC_MAX_POSTINGS): ONE
+          collect job (bucket-pruned scan of the terms' block rows, no
+          shuffle); the identical shard kernel then runs on the driver —
+          rank-identical by construction (same code, same reduction
+          order).
+        * monster terms: the distributed kernel (one shuffle) with the
+          per-shard <=k rows merged driver-side.
+        """
+        self._ensure_fresh()
+        lex = self._lex_rows(terms)
+        if not lex:
+            return []
+        qterms = list(dict.fromkeys(terms))
+        if mode_all and len(lex) < len(qterms):
+            return []  # a query term absent from the corpus -> empty AND
+        if sum(r["df"] for r in lex) <= DRIVER_EXEC_MAX_POSTINGS:
+            return self._topk_rows_driver(qterms, lex, k, mode_all, prune)
+        return wand.topk(
+            self.spark, self.cat, qterms, k=k, mode_all=mode_all,
+            prune=prune, lex_rows=lex, merge="driver",
+        ).collect()
+
+    def _topk_rows_driver(
+        self, qterms: list[str], lex: list[dict], k: int,
+        mode_all: bool, prune: bool,
+    ) -> list[Row]:
+        meta = self._meta
+        idf = {
+            r["term"]: float(np.log(
+                1.0 + (meta["n_docs"] - r["df"] + 0.5) / (r["df"] + 0.5)
+            ))
+            for r in lex
+        }
+        buckets = sorted({r["bucket"] for r in lex})
+        pdf = (
+            self.cat.read_partitions(self.spark, "postings", "bucket", buckets)
+            .filter(F.col("term").isin(list(idf)))
+            .toPandas()
+        )
+        if not len(pdf):
+            return []
+        kernel = wand._make_shard_kernel(
+            idf, meta["k1"], meta["b"], meta["avgdl"], k, mode_all,
+            len(qterms), prune,
+            use_stored_bounds=int(meta.get("appends", 0)) == 0,
+        )
+        import pandas as pd
+
+        merged = pd.concat(
+            [kernel(g) for _, g in pdf.groupby("shard")], ignore_index=True
+        )
+        merged = merged.sort_values(
+            ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        return [
+            Row(doc_id=int(d), score=float(s))
+            for d, s in zip(merged["doc_id"], merged["score"])
+        ]
 
     def topk_batch(
         self, queries: dict[str, list[str]], k: int = 10,

@@ -247,12 +247,21 @@ def topk(
     mode_all: bool = False,
     prune: bool = True,
     lex_rows: list | None = None,
+    merge: str = "spark",
 ) -> DataFrame:
     """BM25 top-k over the built index; rank-identical to the naive scorer.
 
     ``lex_rows`` (term/bucket/df mappings) can be supplied by a caller
     that caches lexicon lookups across queries (index.searcher.Searcher)
-    — then this launches no lexicon job at all."""
+    — then this launches no lexicon job at all.
+
+    ``merge``: how the per-shard top-k rows become the global top-k.
+    ``"spark"`` (default) is a TakeOrderedAndProject — fully distributed,
+    the right call inside larger plans. ``"driver"`` collects the <=k
+    rows per shard and merges them driver-side (k·n_shards tiny rows —
+    bounded by the QUERY, not the corpus), cutting the final exchange
+    stage out of the interactive-latency path; the result comes back as
+    a local DataFrame with identical rows/ordering."""
     meta = cat.read_meta("postings")
     avgdl, n_docs = meta["avgdl"], meta["n_docs"]
     k1, b = meta["k1"], meta["b"]
@@ -298,6 +307,11 @@ def topk(
     per_shard = blocks.groupBy("shard").applyInPandas(
         kernel, "doc_id long, score double"
     )
+    if merge == "driver":
+        rows = sorted(
+            per_shard.collect(), key=lambda r: (-r["score"], r["doc_id"])
+        )[:k]
+        return spark.createDataFrame(rows, "doc_id long, score double")
     return per_shard.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
 
 

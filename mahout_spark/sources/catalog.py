@@ -149,6 +149,16 @@ class ParquetCatalog:
 
     # -- reads --------------------------------------------------------------
 
+    def _has_data_files(self, table: str) -> bool:
+        """True iff any parquet data file exists under the table dir
+        (including partition subdirs). The structural form of the
+        \"zero-file table\" check — a dir holding only _SUCCESS/_meta is
+        the footprint of writing an empty DataFrame."""
+        for _dirpath, _dirnames, filenames in os.walk(self.table_path(table)):
+            if any(fn.endswith(".parquet") for fn in filenames):
+                return True
+        return False
+
     def read(
         self, spark: SparkSession, table: str, schema_json: str | None = None
     ) -> DataFrame:
@@ -157,18 +167,12 @@ class ParquetCatalog:
         _SUCCESS (the footprint of writing an empty DataFrame) cannot
         infer a schema, but an empty corpus partition / empty first
         micro-batch is a legitimate state the index lifecycle must
-        survive."""
+        survive. The zero-file state is detected STRUCTURALLY (no data
+        files on disk) rather than by matching Spark's version-specific
+        UNABLE_TO_INFER_SCHEMA message, so any other read failure
+        (corrupt footers, permissions) surfaces immediately."""
         reader = spark.read.option("basePath", self.table_path(table))
-        if schema_json is None:
-            return reader.parquet(self.table_path(table))
-        try:
-            return reader.parquet(self.table_path(table))
-        except Exception as exc:
-            # fall back ONLY for the zero-file signature; anything else
-            # (corrupt footers, permissions) must surface immediately,
-            # not resurface later from an unrelated job
-            if "UNABLE_TO_INFER_SCHEMA" not in str(exc):
-                raise
+        if schema_json is not None and not self._has_data_files(table):
             import json as _json
 
             from pyspark.sql.types import StructType
@@ -178,6 +182,7 @@ class ParquetCatalog:
                 .option("basePath", self.table_path(table))
                 .parquet(self.table_path(table))
             )
+        return reader.parquet(self.table_path(table))
 
     def read_partitions(
         self, spark: SparkSession, table: str, part_col: str, values: list
@@ -201,7 +206,15 @@ class ParquetCatalog:
     # -- metadata / lineage ---------------------------------------------------
 
     def write_meta(self, table: str, meta: dict) -> None:
+        """Atomic metadata write. Every write stamps a fresh
+        ``meta_version`` (uuid): readers that cache derived state (e.g.
+        Searcher's term->df map) key their cache on it — file stat
+        (mtime, size) is NOT a safe epoch on coarse-timestamp filesystems,
+        where two same-length rewrites within one tick would serve a
+        stale cache."""
         os.makedirs(self.table_path(table), exist_ok=True)
+        meta = dict(meta)
+        meta["meta_version"] = uuid.uuid4().hex
         tmp = os.path.join(self.table_path(table), f"._meta_{uuid.uuid4().hex[:8]}")
         with open(tmp, "w") as f:
             json.dump(meta, f, indent=1)

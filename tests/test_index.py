@@ -247,3 +247,56 @@ def test_legacy_unpartitioned_lexicon_falls_back(
     shutil.rmtree(cat.table_path("lexicon"))
     with pytest.raises(FileNotFoundError, match="no lexicon"):
         topk(spark, cat, ["spark"], k=5).collect()
+
+
+def test_wide_bucket_build_uses_groupby_stats(spark, corpus, tmp_path_factory):
+    """n_buckets above _OBS_MAX_BUCKETS switches lineage-stat collection
+    from per-bucket Observation metrics to one post-write groupBy scan;
+    the index must stay query-identical and lineage must still account
+    for every posting row."""
+    from mahout_spark.index import build as B
+
+    small = corpus.filter(F.col("doc_id") < 60)
+    out = str(tmp_path_factory.mktemp("wide_idx"))
+    cat = build_index(
+        spark, small, out, content_col="content", id_cols=["doc_id"],
+        mode="text", n_buckets=B._OBS_MAX_BUCKETS + 1, resume=False,
+    )
+    # lineage is an append-only log (empty buckets get a second complete
+    # row from the resume sweep); last row per partition is authoritative
+    last = {}
+    for r in cat.lineage_rows("postings"):
+        last[r["partition_id"]] = r
+    assert set(last) == set(range(B._OBS_MAX_BUCKETS + 1))
+    total_in = sum(r["rows_in"] for r in last.values())
+    postings = cat.read(spark, "postings")
+    assert total_in == postings.agg(F.sum("count")).first()[0]
+    # query parity vs a narrow-bucket build of the same corpus
+    out2 = str(tmp_path_factory.mktemp("narrow_idx"))
+    cat2 = build_index(
+        spark, small, out2, content_col="content", id_cols=["doc_id"],
+        mode="text", n_buckets=4, resume=False,
+    )
+    q = ["spark", "data"]
+    assert _rows(topk(spark, cat, q, k=10)) == _rows(topk(spark, cat2, q, k=10))
+
+
+def test_searcher_topk_rows_matches_topk(spark, built, monkeypatch):
+    """topk_rows (query-node driver kernel) must be rank-identical to the
+    distributed path on every fixture query — in BOTH regimes: under the
+    driver-exec cap and forced over it (distributed kernel + driver
+    merge)."""
+    from mahout_spark.index import searcher as S
+
+    s = S.Searcher(spark, built)
+    for terms, k, mode_all in QUERIES:
+        expected = _rows(topk(spark, built, terms, k=k, mode_all=mode_all))
+        got = [(r["doc_id"], r["score"])
+               for r in s.topk_rows(terms, k=k, mode_all=mode_all)]
+        assert got == expected, (terms, k, mode_all, "driver-exec")
+    monkeypatch.setattr(S, "DRIVER_EXEC_MAX_POSTINGS", 0)
+    for terms, k, mode_all in QUERIES:
+        expected = _rows(topk(spark, built, terms, k=k, mode_all=mode_all))
+        got = [(r["doc_id"], r["score"])
+               for r in s.topk_rows(terms, k=k, mode_all=mode_all)]
+        assert got == expected, (terms, k, mode_all, "distributed")
