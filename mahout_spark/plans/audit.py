@@ -41,11 +41,19 @@ def assert_plan(
     broadcast_joins: int | None = None,
     no_sort_merge_join: bool = False,
     no_exchange: bool = False,
+    allow_spread: bool = False,
     pushed: list[str] | None = None,
     absent_columns: list[str] | None = None,
 ) -> str:
     """Raise AssertionError (with the plan attached) unless the compiled
-    plan has the requested shape. Returns the plan text on success."""
+    plan has the requested shape. Returns the plan text on success.
+
+    ``allow_spread``: with ``no_exchange``, tolerate round-robin
+    repartitions (the deliberate few-split-input spread of
+    ``checkpoint.spread_input``) while still rejecting any KEYED shuffle
+    — hash/range exchanges move data by key and are the scale cost the
+    audit exists to catch; a round-robin spread moves each row once and
+    is a no-op on real multi-split inputs."""
     plan = capture_plan(df)
     problems = []
     if broadcast_joins is not None:
@@ -59,11 +67,15 @@ def assert_plan(
     if no_exchange:
         # only SHUFFLE exchanges count: BroadcastExchange/ReusedExchange
         # move no partitioned data and would false-fail any broadcast plan
-        shuffles = [
-            m for m in re.findall(r"[A-Za-z]*Exchange", plan)
-            if m == "Exchange"
-        ]
-        if shuffles:
+        if allow_spread:
+            # reject KEYED shuffles only (hash/range partitioning moves
+            # data by key); round-robin spreads pass
+            if re.search(r"(?i)(hash|range)partitioning\(", plan):
+                problems.append("unexpected keyed Exchange (shuffle)")
+        elif any(
+            m == "Exchange"
+            for m in re.findall(r"[A-Za-z]*Exchange", plan)
+        ):
             problems.append("unexpected Exchange (shuffle)")
     pf = " ; ".join(pushed_filters(plan))
     for frag in pushed or []:

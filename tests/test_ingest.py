@@ -158,7 +158,8 @@ def test_plan_audit_helpers(spark):
     from mahout_spark.plans.audit import assert_plan, capture_plan, scan_count
 
     df = e.q_quality_scores(spark, "/root/testdata/sf0.001")
-    plan = assert_plan(df, no_exchange=True, absent_columns=["source"])
+    plan = assert_plan(df, no_exchange=True, allow_spread=True,
+                       absent_columns=["source"])
     assert scan_count(plan) == 1
     q3 = e.q_tpch_q3_topk(spark, "/root/testdata/sf0.001")
     assert_plan(

@@ -37,11 +37,16 @@ class TestRelationalPlans:
         import __spark_entry__ as e
 
         p = _plan(e.q_quality_scores(spark, SF))
-        assert "Exchange" not in p  # zero shuffles
         import re
 
+        # no KEYED shuffle; the only allowed exchange is the round-robin
+        # few-split-input spread (a no-op on real multi-split corpora)
+        assert not re.search(r"(?i)(hash|range)partitioning\(", p)
         # formatted explain prints each scan in the tree AND the details
         assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+        # staged-projection barrier held: the tokenizer expression was
+        # NOT inlined into per-element lambdas (split appears once)
+        assert p.count("split(lower(") == 1
 
     def test_column_pruning_on_tf_scan(self, spark):
         import __spark_entry__ as e
@@ -75,9 +80,13 @@ class TestPipelinePlans:
         and both per-doc size tables — only the shingle intersection
         groupBy may shuffle. (Shingle/candidate tables are checkpointed
         LogicalRDDs, so the plan here IS the executed shape.)"""
-        import __spark_entry__ as e
+        from mahout_spark.operators.dedup import jaccard_neardup_pairs
 
-        p = _plan(e.q_jaccard_neardup(spark, SF))
+        # the OPERATOR's plan (the driver wrapper now returns a localized
+        # result frame whose plan is just a LocalTableScan)
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        p = _plan(jaccard_neardup_pairs(docs, k=3, threshold=0.5,
+                                        rare_df_max=10))
         assert p.count("BroadcastHashJoin") >= 3
         assert "SortMergeJoin" not in p
 
