@@ -138,10 +138,91 @@ def estimate_k_canopy(
     return max(1, len(centers))
 
 
+def _fkm_iterate_centers(
+    scores: DataFrame, centers_n: np.ndarray, n_iters: int, m: float = 2.0
+) -> np.ndarray:
+    """True fuzzy-k-means refinement: iterate m=2 memberships INTO the
+    centroid update (FuzzyKMeansDriver.run(..., m=2, ...),
+    …RefactoredCluster.java:896-898), expressed relationally over the
+    sparse (doc_id, term_id, score) rows — no VectorUDT, no Python in
+    the per-posting path:
+
+        dot(d, c)   scores ⋈ broadcast(center entries) → groupBy(doc, c)
+        u_dc        (1/d²)/Σ_j(1/d_j²) over cosine distances (d = 1 when
+                    doc and center share no term — the left-join zero)
+        c'          Σ_d u²·x_d / Σ_d u²  (groupBy(cluster, term) + per-
+                    cluster denominators)
+
+    The centers matrix is k×dim dense on the driver (k is canopy-small;
+    dim is the dictionary — the same object pyspark.ml's KMeans model
+    already materializes driver-side), shipped per iteration as a
+    broadcast of its nonzero entries. Returns the refined NORMALIZED
+    centers."""
+    spark = scores.sparkSession
+    k, dim = centers_n.shape
+    doc_norms = scores.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("score") * F.col("score"))).alias("xn")
+    )
+    exp = 2.0 / (m - 1.0)
+    for _ in range(n_iters):
+        nz = np.nonzero(centers_n)
+        cen = spark.createDataFrame(
+            [
+                (int(c), int(t), float(centers_n[c, t]))
+                for c, t in zip(*nz)
+            ],
+            "cluster int, term_id long, c_w double",
+        )
+        dots = (
+            scores.join(F.broadcast(cen), "term_id")
+            .groupBy("doc_id", "cluster")
+            .agg(F.sum(F.col("score") * F.col("c_w")).alias("dot"))
+        )
+        grid = doc_norms.crossJoin(
+            spark.range(k).select(F.col("id").cast("int").alias("cluster"))
+        )
+        dist = (
+            grid.join(dots, ["doc_id", "cluster"], "left")
+            .fillna(0.0, ["dot"])
+            .select(
+                "doc_id", "cluster",
+                F.greatest(
+                    F.lit(1e-12),
+                    1.0 - F.col("dot") / F.greatest(F.col("xn"), F.lit(1e-12)),
+                ).alias("d"),
+            )
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("doc_id")
+        u = dist.select(
+            "doc_id", "cluster",
+            (F.pow(1.0 / F.col("d"), F.lit(exp))
+             / F.sum(F.pow(1.0 / F.col("d"), F.lit(exp))).over(w)
+             ).alias("u"),
+        )
+        num = (
+            scores.join(u, "doc_id")
+            .groupBy("cluster", "term_id")
+            .agg(F.sum(F.col("u") * F.col("u") * F.col("score")).alias("s"))
+        )
+        rows = num.collect()
+        new_c = np.zeros((k, dim), dtype=np.float64)
+        for r in rows:
+            new_c[r["cluster"], r["term_id"]] = r["s"]
+        norms = np.linalg.norm(new_c, axis=1)
+        keep = norms > 0
+        new_c[keep] = new_c[keep] / norms[keep][:, None]
+        new_c[~keep] = centers_n[~keep]  # empty cluster keeps its center
+        centers_n = new_c
+    return centers_n
+
+
 def kmeans_doc_clusters(
     docs: DataFrame, k: int | None = None, content_col: str = "text",
     id_col: str = "doc_id", stop_words: list[str] | None = None,
-    canopy_t: float = 0.2, seed: int = 1, soft_weights: bool = False,
+    canopy_t: float = 0.2, seed: int = 1,
+    soft_weights: bool | str = False, fkm_iters: int = 3,
 ) -> DataFrame:
     """Full pipeline: TF-IDF vectors → (optional canopy k estimate) →
     cosine k-means → (doc_id, cluster). Deterministic under a fixed seed.
@@ -154,11 +235,19 @@ def kmeans_doc_clusters(
     weights (:907-923) the reference computes but never prints. Weights
     sum to 1; argmax(weights) equals the hard ``cluster`` assignment.
 
+    ``soft_weights="iterative"`` additionally refines the k-means
+    centroids with ``fkm_iters`` membership-weighted FKM updates
+    (``_fkm_iterate_centers``) before computing the weights — the full
+    iterative algorithm rather than its one-shot analog; ``cluster`` is
+    then argmax(weights) over the refined centers.
+
     The result is materialized before returning so every intermediate
     cache (tf, dense-id partitioning, vectors) is dropped — back-to-back
     operator runs in one session don't accumulate cached blocks."""
     from pyspark.ml.clustering import KMeans
 
+    if soft_weights not in (False, True, "iterative"):
+        raise ValueError(f"unknown soft_weights {soft_weights!r}")
     cleanup: list = []
     scores, dim = tfidf_doc_terms(
         docs, content_col, id_col, stop_words, cleanup=cleanup
@@ -185,6 +274,8 @@ def kmeans_doc_clusters(
         cn = np.linalg.norm(centers, axis=1)
         cn[cn == 0] = 1.0
         centers_n = centers / cn[:, None]
+        if soft_weights == "iterative":
+            centers_n = _fkm_iterate_centers(scores, centers_n, fkm_iters)
 
         # plain UDF by necessity: features is a VectorUDT (no Arrow form);
         # one row per DOCUMENT and a cold path, same budget as doc_vectors
@@ -200,9 +291,24 @@ def kmeans_doc_clusters(
             w = w / w.sum()
             return [float(x) for x in w]
 
-        out = model.transform(vecs).select(
-            "doc_id", "cluster", weights_udf("features").alias("weights")
-        )
+        assigned = model.transform(vecs)
+        if soft_weights == "iterative":
+            # hard assignment follows the REFINED centers (argmax weight),
+            # not the pre-refinement k-means prediction
+            wcol = weights_udf("features")
+            out = assigned.select(
+                "doc_id", wcol.alias("weights")
+            ).select(
+                "doc_id",
+                F.expr(
+                    "array_position(weights, array_max(weights)) - 1"
+                ).cast("int").alias("cluster"),
+                "weights",
+            ).select("doc_id", "cluster", "weights")
+        else:
+            out = assigned.select(
+                "doc_id", "cluster", weights_udf("features").alias("weights")
+            )
     out = out.localCheckpoint(eager=True)
     vecs.unpersist()
     for c in cleanup:

@@ -80,6 +80,35 @@ class TestClusteringDemo:
         by_doc = {r["doc_id"]: r["weights"] for r in rows}
         assert by_doc[6] == pytest.approx(by_doc[7])
 
+    def test_iterative_fkm_matches_golden_grouping(self, spark, demo):
+        """soft_weights='iterative' runs the TRUE fuzzy-k-means loop
+        (membership-weighted centroid updates, m=2) instead of the
+        one-shot analog. On the golden demo the refined solution must
+        reproduce the reference grouping (docs 6&7 together, doc 1
+        alone), keep weights a valid distribution, and separate the
+        clusters at least as sharply as the one-shot weights."""
+        from mahout_spark.operators.clustering import (
+            cluster_report,
+            kmeans_doc_clusters,
+        )
+
+        it = kmeans_doc_clusters(demo, soft_weights="iterative", fkm_iters=2)
+        rows = it.collect()
+        for r in rows:
+            w = r["weights"]
+            assert abs(sum(w) - 1.0) < 1e-9
+            assert all(x >= 0 for x in w)
+            assert max(range(len(w)), key=lambda i: w[i]) == r["cluster"]
+        got = {r["doc_id"]: r["cluster"] for r in rows}
+        assert got[6] == got[7] and got[1] != got[6]
+        rep = cluster_report(it).collect()
+        assert len(rep) == 1 and rep[0]["members"] == [6, 7]
+        # sharper-or-equal separation than the one-shot analog
+        one = {r["doc_id"]: max(r["weights"])
+               for r in kmeans_doc_clusters(demo, soft_weights=True).collect()}
+        for r in rows:
+            assert max(r["weights"]) >= one[r["doc_id"]] - 1e-9
+
     def test_distance_probe_matches_reference(self, spark, demo):
         """The reference's pre-clustering distance sanity probe: disjoint
         docs at Tanimoto distance 1.0 (report_snpts.txt:12,
