@@ -296,6 +296,42 @@ def q_engine_indexed_bm25_simple(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+PHRASE_QUERY = ["table", "scan"]
+
+
+def q_engine_phrase_search(spark, sf_dir):
+    """Exact-phrase retrieval over the POSITIONAL index (X38): build with
+    positions=True + the SQL-expressible simple tokenizer, then rank docs
+    containing the contiguous token sequence PHRASE_QUERY by the BM25 sum
+    of its terms (index/phrase.py kernel: rarest-first AND intersection ->
+    composite doc<<44|pos occurrence keys -> searchsorted adjacency). The
+    DuckDB oracle reconstructs the normalized token stream as a
+    space-joined string and phrase-matches with LIKE — a fully independent
+    relation — so adjacency, positional codec round-trip, and scoring are
+    all hash-checked end-to-end."""
+    import shutil
+    import tempfile
+
+    from mahout_spark.index.build import build_index
+    from mahout_spark.index.phrase import phrase_topk
+
+    docs = _load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="msdrv_phr_")
+    try:
+        cat = build_index(
+            spark, docs, out_dir=out, content_col="text",
+            id_cols=["doc_id"], mode="simple", resume=False,
+            positions=True,
+        )
+        result = phrase_topk(spark, cat, PHRASE_QUERY, k=10).select(
+            "doc_id", F.round("score", 6).alias("score")
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline operators (textstats / dedup / similarity /
 # multimodal) — SURVEY.md §2 extension set
@@ -738,6 +774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_bm25_search": q_engine_bm25_search,
         "engine_indexed_bm25": q_engine_indexed_bm25,
         "engine_indexed_bm25_simple": q_engine_indexed_bm25_simple,
+        "engine_phrase_search": q_engine_phrase_search,
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
@@ -1162,6 +1199,37 @@ def _base_oracle_sql() -> dict[str, str]:
         """,
         "bm25_topk_and": _BM25_BASE + f"""
         SELECT doc_id, score FROM agg WHERE matched = {len(BM25_QUERY_TERMS)}
+        ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        # phrase oracle: the normalized token stream re-joined with single
+        # spaces makes contiguous-token matching a plain LIKE — computed
+        # from the raw text, fully independent of the positional codec /
+        # adjacency kernel it checks. Scoring = BM25 sum of the phrase's
+        # DISTINCT terms over matching docs (same contrib formula the
+        # already-green bm25 oracles use).
+        "engine_phrase_search": _TOK_CTE + f"""
+        , stream AS (
+            SELECT doc_id,
+                   ' ' || array_to_string(list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9]+'),
+                       t -> t <> ''), ' ') || ' ' AS s
+            FROM documents WHERE text IS NOT NULL
+        ), phrase_docs AS (
+            SELECT doc_id FROM stream
+            WHERE s LIKE '% {' '.join(PHRASE_QUERY)} %'
+        ), contrib AS (
+            SELECT tf.doc_id, {_BM25_CONTRIB} AS c
+            FROM tf
+            JOIN dfreq USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN scal
+            WHERE tf.term IN ('{"', '".join(sorted(set(PHRASE_QUERY)))}')
+        ), agg AS (
+            SELECT doc_id, round(sum(c), 6) AS score
+            FROM contrib JOIN phrase_docs USING (doc_id)
+            GROUP BY doc_id
+        )
+        SELECT doc_id, score FROM agg
         ORDER BY score DESC, doc_id ASC LIMIT 10
         """,
         "dedup_exact": """

@@ -163,6 +163,37 @@ def main() -> None:
     except Exception as exc:
         errors["indexed_path"] = f"{type(exc).__name__}: {exc}"[:200]
 
+    # positional index + exact-phrase retrieval (X38). Build pays the
+    # occurrence-level shuffle positions require (vs term_frequencies'
+    # map-side combine) — benched separately so the premium is visible.
+    try:
+        from mahout_spark.index.phrase import phrase_topk
+
+        pos_dirs = iter(
+            [os.path.join(out_dir, f"posindex{i}") for i in range(9)]
+        )
+        last_pos = {"path": None}
+
+        def build_pos_index():
+            from mahout_spark.index.build import build_index as _build
+
+            path = next(pos_dirs)
+            _build(
+                spark, docs, content_col="text", id_cols=["doc_id"],
+                out_dir=path, mode="simple", positions=True,
+            )
+            if last_pos["path"]:
+                shutil.rmtree(last_pos["path"], ignore_errors=True)
+            last_pos["path"] = path
+
+        timed("positional_index_build", build_pos_index)
+        pcat = ParquetCatalog(last_pos["path"])
+        timed("indexed_phrase_topk", lambda: phrase_topk(
+            spark, pcat, ["table", "scan"], k=10
+        ).collect())
+    except Exception as exc:
+        errors["positional_path"] = f"{type(exc).__name__}: {exc}"[:200]
+
     shutil.rmtree(out_dir, ignore_errors=True)
 
     total = round(sum(best.values()), 4)

@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
-from mahout_spark.index.build import POSTINGS_SCHEMA, _make_encoder
+from mahout_spark.index.build import _make_encoder, postings_schema
 from mahout_spark.operators import stats
 from mahout_spark.sources.catalog import ParquetCatalog
 
@@ -100,8 +100,10 @@ def append_to_index(
         )
 
     # -- new term stats ----------------------------------------------------
+    positional = bool(meta.get("positional"))
+    tf_fn = stats.term_positions if positional else stats.term_frequencies
     tf = (
-        stats.term_frequencies(
+        tf_fn(
             new_docs, content_col, ["doc_id"], mode=mode,
             lang_col=meta.get("lang_col"), **tok_kw
         )
@@ -208,7 +210,8 @@ def append_to_index(
         # every pre-"complete" crash leaves the on-disk lexicon untouched
         # and tag-rollback of the file appends fully undoes the batch) ----
         encoder = _make_encoder(
-            n_docs, avgdl, meta["k1"], meta["b"], meta["block_size"]
+            n_docs, avgdl, meta["k1"], meta["b"], meta["block_size"],
+            positional=positional,
         )
         from mahout_spark.index.build import _maybe_broadcast
 
@@ -221,7 +224,7 @@ def append_to_index(
                 max(spark.sparkContext.defaultParallelism, 8), "term"
             )
             .sortWithinPartitions("term", "shard", "doc_id")
-            .mapInPandas(encoder, POSTINGS_SCHEMA)
+            .mapInPandas(encoder, postings_schema(positional))
             .withColumn(
                 "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
             )

@@ -59,6 +59,16 @@ POSTINGS_SCHEMA = (
     "doc_ids binary, tfs binary, doclens binary"
 )
 
+# positional index (positions=True): per block two extra payloads —
+# pos_counts (varint: positions per posting; stored explicitly, not assumed
+# == tf, so positionless synthetic terms like lang tags round-trip) and
+# positions (per-posting delta-gapped varint token indices, first absolute).
+POSTINGS_SCHEMA_POS = POSTINGS_SCHEMA + ", pos_counts binary, positions binary"
+
+
+def postings_schema(positional: bool) -> str:
+    return POSTINGS_SCHEMA_POS if positional else POSTINGS_SCHEMA
+
 
 # widest index for which per-bucket lineage stats ride the write job as
 # Observation metrics (2 conditional aggs per bucket); wider indexes use
@@ -75,7 +85,7 @@ _POSTINGS_COLS = [
 
 
 def _make_encoder(n_docs: int, avgdl: float, k1: float, b: float,
-                  block_size: int):
+                  block_size: int, positional: bool = False):
     """Partition-level posting encoder for ``mapInPandas``.
 
     Input contract: rows sorted by (term, shard, doc_id) WITHIN the
@@ -141,26 +151,57 @@ def _make_encoder(n_docs: int, avgdl: float, k1: float, b: float,
             e = off[blk_end]
             return [buf[a:z] for a, z in zip(s, e)]
 
-        return pd.DataFrame(
-            {
-                "term": term_arr[blk_start],
-                "term_id": tid[blk_start],
-                "shard": shard_arr[blk_start],
-                "block_id": blk_idx.astype(np.int32),
-                "count": (blk_end - blk_start).astype(np.int32),
-                "first_docid": doc[blk_start].astype(np.int64),
-                "block_max_docid": doc[blk_end - 1].astype(np.int64),
-                "block_max_score": np.maximum.reduceat(contrib, blk_start),
-                "block_max_tf": np.maximum.reduceat(tf, blk_start)
-                .astype(np.int64),
-                "block_min_dl": np.minimum.reduceat(dl, blk_start)
-                .astype(np.int64),
-                "doc_ids": cut(doc_buf, doc_off),
-                "tfs": cut(tf_buf, tf_off),
-                "doclens": cut(dl_buf, dl_off),
-            },
-            columns=_POSTINGS_COLS,
-        )
+        out = {
+            "term": term_arr[blk_start],
+            "term_id": tid[blk_start],
+            "shard": shard_arr[blk_start],
+            "block_id": blk_idx.astype(np.int32),
+            "count": (blk_end - blk_start).astype(np.int32),
+            "first_docid": doc[blk_start].astype(np.int64),
+            "block_max_docid": doc[blk_end - 1].astype(np.int64),
+            "block_max_score": np.maximum.reduceat(contrib, blk_start),
+            "block_max_tf": np.maximum.reduceat(tf, blk_start)
+            .astype(np.int64),
+            "block_min_dl": np.minimum.reduceat(dl, blk_start)
+            .astype(np.int64),
+            "doc_ids": cut(doc_buf, doc_off),
+            "tfs": cut(tf_buf, tf_off),
+            "doclens": cut(dl_buf, dl_off),
+        }
+        cols = _POSTINGS_COLS
+        if positional:
+            # flatten the per-posting position lists once per batch; the
+            # delta reset is per POSTING (not per block) — decode segments
+            # on pos_counts, so block boundaries never split a delta chain.
+            plists = pdf["positions"].to_numpy()
+            counts = np.fromiter(
+                (len(p) for p in plists), dtype=np.int64, count=n
+            )
+            total_pos = int(counts.sum())
+            flat = (
+                np.concatenate([np.asarray(p, dtype=np.uint64)
+                                for p in plists])
+                if total_pos
+                else np.empty(0, np.uint64)
+            )
+            p_start = np.cumsum(counts) - counts  # per-posting start
+            pgaps = flat.copy()
+            if total_pos:
+                pgaps[1:] = flat[1:] - flat[:-1]
+                nz = p_start[counts > 0]
+                pgaps[nz] = flat[nz]
+            pos_buf, pos_off = varint_encode_offsets(pgaps)
+            cnt_buf, cnt_off = varint_encode_offsets(counts)
+            p_cum = np.concatenate([[0], np.cumsum(counts)])  # len n+1
+            out["pos_counts"] = cut(cnt_buf, cnt_off)
+            out["positions"] = [
+                pos_buf[a:z]
+                for a, z in zip(
+                    pos_off[p_cum[blk_start]], pos_off[p_cum[blk_end]]
+                )
+            ]
+            cols = _POSTINGS_COLS + ["pos_counts", "positions"]
+        return pd.DataFrame(out, columns=cols)
 
     def encode_partition(batches):
         carry: pd.DataFrame | None = None
@@ -200,6 +241,7 @@ def build_index(
     input_partitions: int | None = None,
     lexicon_max_score: bool = False,
     lang_col: str | None = None,
+    positions: bool = False,
     **tok_kw,
 ) -> ParquetCatalog:
     """Build (or resume building) the index under ``out_dir``.
@@ -233,12 +275,14 @@ def build_index(
         and cat.exists("tf_raw")
         and cat.exists("docstats")
         and _meta_matches(
-            cat, mode, n_buckets, docs_per_shard, block_size, k1, b, lang_col
+            cat, mode, n_buckets, docs_per_shard, block_size, k1, b,
+            lang_col, positions,
         )
     )
     if not stage1_done:
         t0 = time.time()
-        tf = stats.term_frequencies(
+        tf_fn = stats.term_positions if positions else stats.term_frequencies
+        tf = tf_fn(
             docs_keyed, content_col, ["doc_id"], mode=mode,
             lang_col=lang_col, **tok_kw
         ).withColumn(
@@ -299,7 +343,7 @@ def build_index(
             "postings",
             {
                 "n_docs": n_docs, "avgdl": avgdl, "mode": mode,
-                "lang_col": lang_col,
+                "lang_col": lang_col, "positional": positions,
                 "n_buckets": n_buckets, "docs_per_shard": docs_per_shard,
                 "block_size": block_size, "k1": k1, "b": b,
                 "appends": 0, "build_commit": build_commit,
@@ -343,7 +387,9 @@ def build_index(
         for r in cat.lineage_rows("postings")
         if r.get("status") == "complete"
     }
-    encoder = _make_encoder(n_docs, avgdl, k1, b, block_size)
+    encoder = _make_encoder(
+        n_docs, avgdl, k1, b, block_size, positional=positions
+    )
 
     if not (resume and done):
         # fresh build fast path: encode EVERY bucket in one Spark job
@@ -390,7 +436,7 @@ def build_index(
                 max(spark.sparkContext.defaultParallelism, 8), "term"
             )
             .sortWithinPartitions("term", "shard", "doc_id")
-            .mapInPandas(encoder, POSTINGS_SCHEMA)
+            .mapInPandas(encoder, postings_schema(positions))
         )
         cat.overwrite_partition(blocks, "postings", "bucket", bucket)
         written = cat.read_partitions(spark, "postings", "bucket", [bucket])
@@ -436,10 +482,8 @@ def _encode_all_buckets(
     import shutil
 
     started = time.time()
-    tf_raw = cat.read(
-        spark, "tf_raw",
-        schema_json=cat.read_meta("postings").get("tf_schema"),
-    )
+    _meta = cat.read_meta("postings")
+    tf_raw = cat.read(spark, "tf_raw", schema_json=_meta.get("tf_schema"))
     enc_in = tf_raw.join(
         _maybe_broadcast(lexicon.select("term", "term_id", "df")), "term"
     )
@@ -447,7 +491,9 @@ def _encode_all_buckets(
     blocks = (
         enc_in.repartition(enc_parts, "term")
         .sortWithinPartitions("term", "shard", "doc_id")
-        .mapInPandas(encoder, POSTINGS_SCHEMA)
+        .mapInPandas(
+            encoder, postings_schema(bool(_meta.get("positional")))
+        )
         .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
     )
     final = cat.table_path("postings")
@@ -534,7 +580,7 @@ def _maybe_broadcast(lex_slice: DataFrame, max_rows: int = 5_000_000) -> DataFra
 
 
 def _meta_matches(cat, mode, n_buckets, docs_per_shard, block_size,
-                  k1, b, lang_col) -> bool:
+                  k1, b, lang_col, positions=False) -> bool:
     """Resume is only safe when EVERY parameter that shaped the persisted
     artifacts matches — including k1/b (baked into block_max_score) and
     lang_col (baked into the token stream). A k1 changed between the
@@ -552,6 +598,7 @@ def _meta_matches(cat, mode, n_buckets, docs_per_shard, block_size,
         and m.get("k1") == k1
         and m.get("b") == b
         and m.get("lang_col") == lang_col
+        and bool(m.get("positional")) == positions
     )
 
 

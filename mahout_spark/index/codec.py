@@ -105,3 +105,34 @@ def decode_doc_block(doc_bytes: bytes, tf_bytes: bytes, dl_bytes: bytes):
         varint_decode(tf_bytes),
         varint_decode(dl_bytes),
     )
+
+
+def segmented_delta_decode(gaps: np.ndarray, seg_starts: np.ndarray) -> np.ndarray:
+    """Vectorized inverse of per-segment delta encoding: ``gaps`` holds the
+    concatenation of many delta streams, each segment's FIRST value absolute
+    (the encoder resets the delta at every segment start). One global
+    cumsum + a per-segment correction restores all segments at once — no
+    per-segment Python loop, which matters because positional postings have
+    one segment per posting (millions per shard)."""
+    g = np.ascontiguousarray(gaps, dtype=np.uint64)
+    if len(g) == 0:
+        return g
+    total = np.cumsum(g, dtype=np.uint64)
+    seg_starts = np.ascontiguousarray(seg_starts, dtype=np.int64)
+    # correction[i] = total just BEFORE element i's segment began
+    corr_vals = np.where(
+        seg_starts > 0, total[np.maximum(seg_starts - 1, 0)], np.uint64(0)
+    ).astype(np.uint64)
+    seg_lens = np.diff(np.concatenate([seg_starts, [len(g)]]))
+    return total - np.repeat(corr_vals, seg_lens)
+
+
+def decode_positions_block(pos_counts_bytes: bytes, positions_bytes: bytes):
+    """Positional payload of one block -> (counts uint64, flat absolute
+    positions uint64). ``counts[i]`` positions belong to posting i (counts
+    are stored explicitly rather than assumed == tf so synthetic positionless
+    terms — e.g. ``lang:<x>`` tags, tf=1 / 0 positions — round-trip)."""
+    counts = varint_decode(pos_counts_bytes)
+    gaps = varint_decode(positions_bytes)
+    starts = (np.cumsum(counts) - counts).astype(np.int64)
+    return counts, segmented_delta_decode(gaps, starts)

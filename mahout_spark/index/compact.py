@@ -54,7 +54,7 @@ def compact_index(
     meta = cat.read_meta("postings")
     encoder = _make_encoder(
         meta["n_docs"], meta["avgdl"], meta["k1"], meta["b"],
-        meta["block_size"],
+        meta["block_size"], positional=bool(meta.get("positional")),
     )
     lexicon = cat.read(
         spark, "lexicon", schema_json=meta.get("lexicon_schema")

@@ -1,0 +1,226 @@
+"""Exact phrase retrieval over the positional index.
+
+The reference's engine is bag-of-words only; phrase search is the standard
+fulltext-index capability that REQUIRES positions (BASELINE.json's
+north-star index stores per-posting payloads for exactly this kind of
+extension). Distributed shape is identical to wand.topk — lexicon lookup
+(driver-side bucket routing, tiny collect) -> partition-pruned postings
+scan of the phrase terms only -> shuffle blocks by shard -> per-shard
+kernel -> global top-k merge — so wall-clock scales with the PHRASE
+TERMS' postings, never corpus size.
+
+Per-shard kernel:
+
+ 1. candidate docs = AND intersection of the phrase terms' doc sets,
+    rarest term first with block range-skipping (a doc missing any term
+    cannot contain the phrase) — this is what bounds the positional work:
+    positions are only materialized for docs that survive the cheapest
+    filter.
+ 2. adjacency: every occurrence becomes a composite key
+    ``(doc - shard_base) << POS_BITS | position`` (both components
+    shard-local, overflow-guarded); phrase starts are term[0] occurrences
+    s.t. ``key + i`` is an occurrence of term[i] for every i — pure
+    sorted-array membership (np.searchsorted), no per-doc Python.
+    Duplicate terms in the phrase ("do it do") need no special casing:
+    each phrase slot independently probes its term's occurrence set.
+ 3. scoring: BM25 sum of the phrase's distinct terms' contributions over
+    matching docs, in the same deterministic sorted-term reduction order
+    as wand.topk — so a phrase result ranks exactly like the equivalent
+    AND query filtered to adjacency (the oracle relation the DuckDB
+    driver checks via regex on the simple-tokenized content).
+
+Top-k merge and tie-breaks (score desc, doc_id asc) shared with wand.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mahout_spark.index.codec import decode_doc_block, decode_positions_block
+from mahout_spark.index.wand import (
+    _read_query_lexicon,
+    _score_arrays,
+    _topk_arrays,
+)
+from mahout_spark.sources.catalog import ParquetCatalog
+
+# occurrence key layout: local_doc << POS_BITS | position.
+# docs_per_shard <= 2^20 and doclen < 2^44 keep the uint64 exact.
+POS_BITS = 44
+_MAX_LOCAL_DOC = 1 << (64 - POS_BITS)
+
+
+def _sorted_member(values: np.ndarray, table: np.ndarray) -> np.ndarray:
+    """Boolean membership of ``values`` in SORTED unique ``table``."""
+    if len(table) == 0 or len(values) == 0:
+        return np.zeros(len(values), dtype=bool)
+    idx = np.searchsorted(table, values).clip(max=len(table) - 1)
+    return table[idx] == values
+
+
+def _make_phrase_kernel(
+    phrase: list[str], idf_by_term: dict, k1: float, b: float,
+    avgdl: float, k: int, docs_per_shard: int,
+):
+    if docs_per_shard > _MAX_LOCAL_DOC:
+        raise ValueError(
+            f"docs_per_shard={docs_per_shard} exceeds the positional key "
+            f"budget ({_MAX_LOCAL_DOC}); rebuild with smaller shards"
+        )
+    distinct_terms = sorted(dict.fromkeys(phrase))
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                              "score": pd.Series([], dtype="float64")})
+        groups = {t: g for t, g in pdf.groupby("term")}
+        if any(t not in groups for t in distinct_terms):
+            return empty  # AND semantics: every phrase term must be present
+        shard = int(pdf["shard"].iloc[0])
+        base = np.uint64(shard * docs_per_shard)
+
+        def decode_term(t, cand=None):
+            """-> (docs, tfs, dls, pos_counts, flat_positions), optionally
+            pre-filtered to candidate docs with block range-skipping."""
+            g = groups[t]
+            if cand is not None and len(cand):
+                lo = np.searchsorted(cand, g["first_docid"].to_numpy(np.uint64))
+                hi = np.searchsorted(
+                    cand, g["block_max_docid"].to_numpy(np.uint64), "right"
+                )
+                g = g[hi > lo]
+            d_p, tf_p, dl_p, c_p, p_p = [], [], [], [], []
+            for r in g.itertuples(index=False):
+                d, tf_, dl_ = decode_doc_block(r.doc_ids, r.tfs, r.doclens)
+                cnt, pos = decode_positions_block(r.pos_counts, r.positions)
+                d_p.append(d); tf_p.append(tf_); dl_p.append(dl_)
+                # int64 counts: np.repeat rejects uint64 repeat args
+                c_p.append(cnt.astype(np.int64)); p_p.append(pos)
+            if not d_p:
+                e = np.empty(0, np.uint64)
+                return e, e, e, e, e
+            return tuple(np.concatenate(x) for x in (d_p, tf_p, dl_p, c_p, p_p))
+
+        # 1. candidate docs: rarest-first AND intersection
+        by_size = sorted(
+            distinct_terms, key=lambda t: int(groups[t]["count"].sum())
+        )
+        decoded: dict[str, tuple] = {}
+        cand = None
+        for t in by_size:
+            d, tf_, dl_, cnt, pos = decode_term(t, cand)
+            if cand is not None:
+                keep = _sorted_member(d, cand)
+                d, tf_, dl_ = d[keep], tf_[keep], dl_[keep]
+                pos = pos[np.repeat(keep, cnt)]
+                cnt = cnt[keep]
+            decoded[t] = (d, tf_, dl_, cnt, pos)
+            cand = np.sort(d) if cand is None else np.intersect1d(cand, d)
+            if len(cand) == 0:
+                return empty
+
+        # 2. adjacency over composite occurrence keys
+        keys: dict[str, np.ndarray] = {}
+        for t in distinct_terms:
+            d, _, _, cnt, pos = decoded[t]
+            keep = _sorted_member(d, cand)
+            pos_k = pos[np.repeat(keep, cnt)]
+            cnt_k = cnt[keep]
+            local = (d[keep] - base).astype(np.uint64)
+            kk = (np.repeat(local, cnt_k) << np.uint64(POS_BITS)) | pos_k
+            keys[t] = np.sort(kk)
+        starts = keys[phrase[0]]
+        for i, t in enumerate(phrase[1:], start=1):
+            if len(starts) == 0:
+                return empty
+            starts = starts[_sorted_member(starts + np.uint64(i), keys[t])]
+        if len(starts) == 0:
+            return empty
+        match_local = np.unique(starts >> np.uint64(POS_BITS))
+        match_docs = match_local + base
+
+        # 3. exact BM25 over matching docs, deterministic reduction order
+        doc_parts, contrib_parts = [], []
+        for t in distinct_terms:
+            d, tf_, dl_, _, _ = decoded[t]
+            m = _sorted_member(d, match_docs)
+            if not m.any():
+                continue
+            doc_parts.append(d[m])
+            contrib_parts.append(
+                _score_arrays(d[m], tf_[m], dl_[m], idf_by_term[t], k1, b, avgdl)
+            )
+        docs = np.concatenate(doc_parts)
+        contribs = np.concatenate(contrib_parts)
+        order = np.argsort(docs, kind="stable")
+        docs, contribs = docs[order], contribs[order]
+        bnd = np.concatenate([[0], np.flatnonzero(docs[1:] != docs[:-1]) + 1])
+        uniq = docs[bnd]
+        sums = np.add.reduceat(contribs, bnd)
+        d_out, s_out = _topk_arrays(uniq.astype(np.int64), sums, k)
+        return pd.DataFrame({"doc_id": d_out, "score": s_out})
+
+    return kernel
+
+
+def phrase_topk(
+    spark: SparkSession,
+    cat: ParquetCatalog,
+    phrase: list[str],
+    k: int = 10,
+    lex_rows: list | None = None,
+    merge: str = "spark",
+) -> DataFrame:
+    """Top-k docs containing the exact token sequence ``phrase``, scored by
+    BM25 over the phrase's terms. Requires an index built with
+    ``positions=True``."""
+    meta = cat.read_meta("postings")
+    if not meta.get("positional"):
+        raise ValueError(
+            f"index at {cat.root} was built without positions=True; "
+            "phrase queries need a positional index"
+        )
+    if not phrase:
+        raise ValueError("empty phrase")
+    avgdl, n_docs = meta["avgdl"], meta["n_docs"]
+    k1, b = meta["k1"], meta["b"]
+    n_buckets = int(meta["n_buckets"])
+    qterms = sorted(dict.fromkeys(phrase))
+    from mahout_spark.functions.xxhash import term_bucket
+
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    if lex_rows is None:
+        qbuckets = sorted({term_bucket(t, n_buckets) for t in qterms})
+        lex = _read_query_lexicon(spark, cat, qbuckets)
+        lex_rows = (
+            lex.filter(F.col("term").isin(qterms))
+            .select("term", "bucket", "df")
+            .collect()
+            if lex is not None
+            else []
+        )
+    if len({r["term"] for r in lex_rows}) < len(qterms):
+        return empty  # some phrase term absent from the corpus
+    idf_by_term = {
+        r["term"]: float(np.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5)))
+        for r in lex_rows
+    }
+    buckets = sorted({r["bucket"] for r in lex_rows})
+    blocks = cat.read_partitions(spark, "postings", "bucket", buckets).filter(
+        F.col("term").isin(qterms)
+    )
+    kernel = _make_phrase_kernel(
+        list(phrase), idf_by_term, k1, b, avgdl, k,
+        int(meta["docs_per_shard"]),
+    )
+    per_shard = blocks.groupBy("shard").applyInPandas(
+        kernel, "doc_id long, score double"
+    )
+    if merge == "driver":
+        rows = sorted(
+            per_shard.collect(), key=lambda r: (-r["score"], r["doc_id"])
+        )[:k]
+        return spark.createDataFrame(rows, "doc_id long, score double")
+    return per_shard.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)

@@ -117,6 +117,86 @@ def simple_term_frequencies(
     )
 
 
+def term_positions(
+    docs: DataFrame,
+    content_col: str = "content",
+    id_cols: list[str] | None = None,
+    mode: str = "text",
+    lang_col: str | None = None,
+    **tok_kw,
+) -> DataFrame:
+    """Positional variant of :func:`term_frequencies`: one row per
+    (doc, term) with ``positions`` = sorted 0-based token indices of the
+    term in the doc's SURVIVING token stream (post stop/stem for the
+    analyzer modes; post empty-filter for ``simple``). tf == size(positions)
+    for real terms; synthetic ``lang:<x>`` tags carry tf=1 and EMPTY
+    positions (they have no location in the text, and phrase matching must
+    never cross into the tag namespace).
+
+    Shuffle shape: tokenize (narrow Arrow UDF / JVM split) -> posexplode
+    (narrow) -> ONE groupBy (doc, term) carrying (count, collect_list(pos)).
+    Unlike term_frequencies' map-side pre-aggregation this shuffles one row
+    per token OCCURRENCE — the unavoidable cost of positions (every
+    positional index pays it; Lucene's .pos files are the same trade).
+    Positions are what make phrase/proximity queries index-resident instead
+    of a post-retrieval content re-scan.
+    """
+    if id_cols is None:
+        id_cols = ["doc_id"]
+    if mode == "simple":
+        if id_cols != ["doc_id"]:
+            raise ValueError("mode='simple' supports id_cols=['doc_id'] only")
+        if lang_col is not None or tok_kw:
+            raise ValueError("mode='simple' takes no lang_col/tokenizer options")
+        toks_col = F.filter(
+            F.split(F.lower(F.col(content_col)), "[^a-z0-9]+"),
+            lambda x: x != "",
+        )
+    else:
+        from mahout_spark.functions import tokenize_udf
+
+        toks_col = tokenize_udf(mode=mode, **tok_kw)(F.col(content_col))
+    staged = docs.filter(F.col(content_col).isNotNull()).withColumn(
+        "_toks", toks_col
+    )
+    # doclen counts CONTENT tokens only; the optional lang tag is appended
+    # to the stream afterwards so one tokenizer pass serves both (the tag's
+    # transient position is stripped below — _toks is referenced twice here,
+    # which holds the projection barrier against CollapseProject re-running
+    # the tokenizer per element; see textstats.py module docstring).
+    staged = staged.withColumn("_doclen", F.size("_toks"))
+    if lang_col is not None:
+        tag = F.concat(F.lit("lang:"), F.lower(F.col(lang_col)))
+        staged = staged.withColumn(
+            "_toks",
+            F.when(
+                F.col(lang_col).isNotNull(),
+                F.concat(F.col("_toks"), F.array(tag)),
+            ).otherwise(F.col("_toks")),
+        )
+    out = (
+        staged.select(
+            *id_cols, "_doclen",
+            F.posexplode("_toks").alias("pos", "term"),
+        )
+        .groupBy(*id_cols, "term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("tf"),
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+            F.first("_doclen").cast("long").alias("doclen"),
+        )
+    )
+    if lang_col is not None:
+        out = out.withColumn(
+            "positions",
+            F.when(
+                F.col("term").startswith("lang:"),
+                F.array().cast("array<int>"),
+            ).otherwise(F.col("positions")),
+        )
+    return out
+
+
 def wordcount(term_freqs: DataFrame) -> DataFrame:
     """A1: corpus-wide term occurrence counts (the reference's wordcount
     artifact, sample at reference README.md:36-72)."""

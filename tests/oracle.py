@@ -14,14 +14,27 @@ from mahout_spark import BM25_B, BM25_K1
 from mahout_spark.tokenize import tokenize_code, tokenize_text
 
 
+def simple_tokenize(content: str) -> list:
+    """The SQL-expressible tokenizer (operators/stats.py
+    simple_term_frequencies): lowercase, split on [^a-z0-9]+."""
+    import re
+
+    return [t for t in re.split(r"[^a-z0-9]+", (content or "").lower()) if t]
+
+
 class OracleIndex:
     def __init__(self, docs: dict, mode: str = "text", **tok_kw):
         """docs: {doc_id: content}"""
-        tok = tokenize_text if mode == "text" else tokenize_code
+        if mode == "simple":
+            tok = lambda c, **kw: simple_tokenize(c)
+        else:
+            tok = tokenize_text if mode == "text" else tokenize_code
         self.tf: dict = {}
         self.doclen: dict = {}
+        self.tokens: dict = {}
         for doc_id, content in docs.items():
             toks = tok(content, **tok_kw)
+            self.tokens[doc_id] = toks
             self.tf[doc_id] = Counter(toks)
             self.doclen[doc_id] = len(toks)
         self.n_docs = len(docs)
@@ -58,6 +71,29 @@ class OracleIndex:
             results.append((doc_id, score))
         results.sort(key=lambda r: (-r[1], r[0]))
         return results[:k]
+
+    def phrase_search(self, phrase: list, k=10):
+        """Exact-adjacency phrase top-k: docs whose token stream contains
+        ``phrase`` as a contiguous subsequence, scored by the BM25 sum of
+        the phrase's distinct terms (sorted-term reduction order), ranked
+        (score desc, doc_id asc). Token-scan — fully independent of the
+        positional index implementation."""
+        results = []
+        L = len(phrase)
+        for doc_id, toks in self.tokens.items():
+            if not any(
+                toks[i:i + L] == list(phrase)
+                for i in range(len(toks) - L + 1)
+            ):
+                continue
+            score = sum(self.bm25(doc_id, t) for t in sorted(set(phrase)))
+            results.append((doc_id, score))
+        results.sort(key=lambda r: (-r[1], r[0]))
+        return results[:k]
+
+    def positions(self, doc_id, term) -> list:
+        """0-based token indices of term in the doc's surviving stream."""
+        return [i for i, t in enumerate(self.tokens[doc_id]) if t == term]
 
     def topk_terms(self, doc_id, k, min_score=None, scorer="tfidf"):
         """[(term, score)] per-doc top-k, rank by (score desc, term asc)."""

@@ -1,0 +1,192 @@
+"""Positional index + phrase retrieval correctness.
+
+Phrase results must match a token-scan oracle exactly (doc ids AND scores):
+the kernel's candidate intersection, composite-key adjacency, and BM25
+reduction all reuse engine-wide deterministic order, so equality is exact.
+Positions themselves are round-tripped bit-exactly against the oracle's
+token indices.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mahout_spark.index.build import build_index
+from mahout_spark.index.codec import decode_doc_block, decode_positions_block
+from mahout_spark.index.phrase import phrase_topk
+from mahout_spark.index.wand import topk
+from tests.oracle import OracleIndex
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    return docs.select("doc_id", F.col("text").alias("content"))
+
+
+@pytest.fixture(scope="module")
+def pos_built(spark, corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("posindex"))
+    return build_index(
+        spark, corpus, out, content_col="content", id_cols=["doc_id"],
+        mode="simple", n_buckets=4, docs_per_shard=64, block_size=16,
+        positions=True,
+    )
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    rows = corpus.collect()
+    return OracleIndex(
+        {r["doc_id"]: r["content"] for r in rows}, mode="simple"
+    )
+
+
+def _rows(df):
+    return [(r["doc_id"], r["score"]) for r in df.collect()]
+
+
+def test_positions_roundtrip_bit_exact(spark, pos_built, oracle):
+    """Decode EVERY block of one bucket; reconstructed per-(doc, term)
+    position lists must equal the oracle's token indices exactly."""
+    blocks = pos_built.read_partitions(
+        spark, "postings", "bucket", [0]
+    ).collect()
+    assert blocks, "bucket 0 unexpectedly empty"
+    seen = 0
+    for r in blocks:
+        docs, tfs, _ = decode_doc_block(r["doc_ids"], r["tfs"], r["doclens"])
+        counts, flat = decode_positions_block(r["pos_counts"], r["positions"])
+        assert (counts == tfs).all()  # real terms: one position per hit
+        starts = np.cumsum(counts) - counts
+        for i, d in enumerate(docs):
+            got = flat[starts[i]:starts[i] + counts[i]].tolist()
+            want = oracle.positions(int(d), r["term"])
+            assert got == want, (r["term"], int(d))
+            seen += 1
+    assert seen > 100  # the bucket covered a real slice of the corpus
+
+
+PHRASES = [
+    ["table", "scan"],
+    ["batch", "batch"],          # duplicate term in the phrase
+    ["the", "fast", "key"],
+    ["data", "line"],
+    ["merge", "part"],
+    ["spark"],                   # 1-term phrase == single-term query
+    ["spark", "zzznosuchterm"],  # absent term -> empty
+]
+
+
+@pytest.mark.parametrize("phrase", PHRASES)
+def test_phrase_matches_token_scan_oracle(spark, pos_built, oracle, phrase):
+    got = _rows(phrase_topk(spark, pos_built, phrase, k=10))
+    want = oracle.phrase_search(phrase, k=10)
+    assert [g[0] for g in got] == [w[0] for w in want], phrase
+    for g, w in zip(got, want):
+        assert g[1] == pytest.approx(w[1], abs=1e-9)
+
+
+def test_single_term_phrase_equals_topk(spark, pos_built):
+    a = _rows(phrase_topk(spark, pos_built, ["spark"], k=10))
+    b = _rows(topk(spark, pos_built, ["spark"], k=10))
+    assert a == b
+
+
+def test_driver_merge_matches_spark_merge(spark, pos_built):
+    a = _rows(phrase_topk(spark, pos_built, ["table", "scan"], k=10))
+    b = _rows(phrase_topk(spark, pos_built, ["table", "scan"], k=10,
+                          merge="driver"))
+    assert a == b
+
+
+def test_phrase_requires_positional_index(spark, corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("nopos"))
+    cat = build_index(
+        spark, corpus.limit(50), out, content_col="content",
+        id_cols=["doc_id"], mode="simple", n_buckets=2,
+    )
+    with pytest.raises(ValueError, match="positions=True"):
+        phrase_topk(spark, cat, ["table", "scan"])
+
+
+def test_wand_topk_unaffected_by_positions(spark, pos_built, oracle):
+    """The positional index serves plain BM25 queries identically (extra
+    payload columns are ignored by the non-positional kernel)."""
+    got = _rows(topk(spark, pos_built, ["table", "scan"], k=10))
+    want = oracle.search(["table", "scan"], k=10)
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        assert g[1] == pytest.approx(w[1], abs=1e-9)
+
+
+def test_text_mode_positional_phrase(spark, tmp_path_factory):
+    """Analyzer-chain positions: indices refer to the SURVIVING stream
+    (stopworded tokens shift later positions left), so a phrase whose
+    source words were separated by a stopword still matches."""
+    docs = [
+        (0, "the quick brown fox jumped over the lazy dog"),
+        (1, "quick brown foxes are rare"),
+        (2, "a brown quick fox"),
+    ]
+    spark_docs = spark.createDataFrame(docs, ["doc_id", "content"])
+    out = str(tmp_path_factory.mktemp("postext"))
+    cat = build_index(
+        spark, spark_docs, out, content_col="content", id_cols=["doc_id"],
+        mode="text", n_buckets=2, positions=True,
+    )
+    ora = OracleIndex({d: c for d, c in docs}, mode="text")
+    # 'the' is stopworded -> stream of doc 0 is
+    # [quick, brown, fox, jump, lazi, dog]; phrase adjacency holds
+    got = _rows(phrase_topk(spark, cat, ["quick", "brown"], k=10))
+    want = ora.phrase_search(["quick", "brown"], k=10)
+    assert [g[0] for g in got] == [w[0] for w in want] == [1, 0]
+    # 'foxes' stems to 'fox', so doc 1 matches too; doc 2 ('brown quick
+    # fox') has the terms present but NON-adjacent and must be excluded
+    got2 = _rows(phrase_topk(spark, cat, ["brown", "fox"], k=10))
+    want2 = ora.phrase_search(["brown", "fox"], k=10)
+    assert [g[0] for g in got2] == [w[0] for w in want2]
+    assert 2 not in [g[0] for g in got2]
+
+
+def test_positional_append_then_phrase(spark, corpus, tmp_path_factory,
+                                       oracle):
+    """Append into a positional index; phrase retrieval over old + new docs
+    matches a fresh oracle over the union."""
+    from mahout_spark.index.append import append_to_index
+
+    out = str(tmp_path_factory.mktemp("posappend"))
+    first = corpus.filter(F.col("doc_id") < 400)
+    rest = corpus.filter(F.col("doc_id") >= 400)
+    cat = build_index(
+        spark, first, out, content_col="content", id_cols=["doc_id"],
+        mode="simple", n_buckets=4, docs_per_shard=64, block_size=16,
+        positions=True,
+    )
+    append_to_index(spark, cat, rest, content_col="content")
+    got = _rows(phrase_topk(spark, cat, ["table", "scan"], k=10))
+    want = oracle.phrase_search(["table", "scan"], k=10)
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        assert g[1] == pytest.approx(w[1], abs=1e-9)
+
+
+def test_term_positions_agree_with_term_frequencies(spark, corpus):
+    from mahout_spark.operators import stats
+
+    sample = corpus.filter(F.col("doc_id") < 50)
+    tp = stats.term_positions(sample, "content", mode="simple")
+    tf = stats.term_frequencies(sample, "content", mode="simple")
+    a = {
+        (r["doc_id"], r["term"]): (r["tf"], r["doclen"], r["positions"])
+        for r in tp.collect()
+    }
+    b = {
+        (r["doc_id"], r["term"]): (r["tf"], r["doclen"])
+        for r in tf.collect()
+    }
+    assert set(a) == set(b)
+    for key, (tf_a, dl_a, pos) in a.items():
+        assert (tf_a, dl_a) == b[key]
+        assert len(pos) == tf_a
+        assert pos == sorted(pos)
