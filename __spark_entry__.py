@@ -332,6 +332,59 @@ def q_engine_phrase_search(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+PROX_TERMS = ["data", "merge"]
+PROX_WINDOW = 8
+SNIPPET_CONTEXT = 3
+
+
+def q_engine_proximity_search(spark, sf_dir):
+    """Unordered within-window retrieval (NEAR/W, X39) over the positional
+    index: docs where PROX_TERMS co-occur within PROX_WINDOW + 1
+    consecutive token positions, scored by the BM25 sum of the terms
+    (index/phrase.py proximity kernel: AND intersection -> composite
+    occurrence keys -> one searchsorted window probe per term per anchor).
+    The DuckDB oracle joins per-term 0-based token positions
+    (generate_subscripts) on |p1 - p2| <= window — exact for the two
+    distinct query terms — fully independent of the kernel's key
+    arithmetic."""
+    import shutil
+    import tempfile
+
+    from mahout_spark.index.build import build_index
+    from mahout_spark.index.phrase import proximity_topk
+
+    docs = _load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="msdrv_prox_")
+    try:
+        cat = build_index(
+            spark, docs, out_dir=out, content_col="text",
+            id_cols=["doc_id"], mode="simple", resume=False,
+            positions=True,
+        )
+        result = proximity_topk(
+            spark, cat, PROX_TERMS, PROX_WINDOW, k=10
+        ).select("doc_id", F.round("score", 6).alias("score"))
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def q_phrase_snippets(spark, sf_dir):
+    """Snippet extraction (X40): for every doc containing PHRASE_QUERY as
+    a contiguous token sequence, the first occurrence's 0-based token
+    index and a ±SNIPPET_CONTEXT-token window — the engine analog of the
+    reference's snippet report (MahoutTermFinderMwkSnpt*.java renders
+    matched docs as the matching region). Pure JVM expressions, one
+    narrow scan (operators/snippets.py)."""
+    from mahout_spark.operators.snippets import phrase_snippets
+
+    docs = _load(spark, sf_dir, "documents")
+    return phrase_snippets(
+        docs, PHRASE_QUERY, content_col="text", context=SNIPPET_CONTEXT
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline operators (textstats / dedup / similarity /
 # multimodal) — SURVEY.md §2 extension set
@@ -775,6 +828,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_indexed_bm25": q_engine_indexed_bm25,
         "engine_indexed_bm25_simple": q_engine_indexed_bm25_simple,
         "engine_phrase_search": q_engine_phrase_search,
+        "engine_proximity_search": q_engine_proximity_search,
+        "phrase_snippets": q_phrase_snippets,
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
@@ -1231,6 +1286,71 @@ def _base_oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, score FROM agg
         ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        # proximity oracle: per-term 0-based token positions via
+        # generate_subscripts; for the two distinct query terms, "some
+        # window+1-position span contains both" is exactly |p1-p2| <=
+        # window. Independent of the kernel's composite-key probing.
+        "engine_proximity_search": _TOK_CTE + f"""
+        , tk AS (
+            SELECT doc_id, list_filter(
+                string_split_regex(lower(text), '[^a-z0-9]+'),
+                t -> t <> '') AS tk
+            FROM documents WHERE text IS NOT NULL
+        ), poss AS (
+            SELECT doc_id, unnest(tk) AS term,
+                   generate_subscripts(tk, 1) - 1 AS p
+            FROM tk
+        ), prox_docs AS (
+            SELECT DISTINCT a.doc_id
+            FROM (SELECT doc_id, p FROM poss WHERE term = '{PROX_TERMS[0]}') a
+            JOIN (SELECT doc_id, p FROM poss WHERE term = '{PROX_TERMS[1]}') b
+              USING (doc_id)
+            WHERE abs(a.p - b.p) <= {PROX_WINDOW}
+        ), contrib AS (
+            SELECT tf.doc_id, {_BM25_CONTRIB} AS c
+            FROM tf
+            JOIN dfreq USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN scal
+            WHERE tf.term IN ('{PROX_TERMS[0]}', '{PROX_TERMS[1]}')
+        ), agg AS (
+            SELECT doc_id, round(sum(c), 6) AS score
+            FROM contrib JOIN prox_docs USING (doc_id)
+            GROUP BY doc_id
+        )
+        SELECT doc_id, score FROM agg
+        ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        # snippet oracle: stream-strpos locates the phrase, the space
+        # count over the stream prefix recovers the 0-based token index,
+        # and a 1-based inclusive list slice re-renders the window — the
+        # same relation computed by an independent SQL idiom.
+        "phrase_snippets": f"""
+        WITH tk AS (
+            SELECT doc_id, list_filter(
+                string_split_regex(lower(text), '[^a-z0-9]+'),
+                t -> t <> '') AS tk
+            FROM documents WHERE text IS NOT NULL
+        ), hit AS (
+            SELECT doc_id, tk,
+                   ' ' || array_to_string(tk, ' ') || ' ' AS s
+            FROM tk
+        ), loc AS (
+            SELECT doc_id, tk, strpos(s, ' {' '.join(PHRASE_QUERY)} ') AS loc, s
+            FROM hit WHERE strpos(s, ' {' '.join(PHRASE_QUERY)} ') > 0
+        ), pos AS (
+            SELECT doc_id, tk,
+                   CAST(length(substr(s, 1, loc))
+                        - length(replace(substr(s, 1, loc), ' ', ''))
+                        - 1 AS BIGINT) AS first_pos
+            FROM loc
+        )
+        SELECT doc_id, first_pos,
+               array_to_string(tk[greatest(first_pos - {SNIPPET_CONTEXT}, 0) + 1
+                   : least(first_pos + {len(PHRASE_QUERY) + SNIPPET_CONTEXT},
+                           len(tk))], ' ') AS snippet
+        FROM pos ORDER BY doc_id
         """,
         "dedup_exact": """
         SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies

@@ -111,6 +111,7 @@ def main() -> None:
         "lang_id",
         "fingerprint",
         "chunk_documents",
+        "phrase_snippets",
         "jaccard_neardup",
         "engine_minhash_neardup",
         "engine_simhash_neardup",
@@ -191,6 +192,19 @@ def main() -> None:
         timed("indexed_phrase_topk", lambda: phrase_topk(
             spark, pcat, ["table", "scan"], k=10
         ).collect())
+
+        from mahout_spark.index.phrase import proximity_topk
+
+        timed("indexed_proximity_topk", lambda: proximity_topk(
+            spark, pcat, ["data", "merge"], 8, k=10
+        ).collect())
+
+        # warm-cache interactive phrase latency (Searcher query-node path)
+        psearcher = Searcher(spark, pcat)
+        psearcher.phrase_topk_rows(["table", "scan"], k=10)  # warm
+        timed("indexed_phrase_topk_cached", lambda: psearcher.phrase_topk_rows(
+            ["table", "scan"], k=10
+        ))
     except Exception as exc:
         errors["positional_path"] = f"{type(exc).__name__}: {exc}"[:200]
 

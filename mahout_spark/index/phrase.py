@@ -61,108 +61,238 @@ def _sorted_member(values: np.ndarray, table: np.ndarray) -> np.ndarray:
     return table[idx] == values
 
 
-def _make_phrase_kernel(
-    phrase: list[str], idf_by_term: dict, k1: float, b: float,
-    avgdl: float, k: int, docs_per_shard: int,
-):
+def _empty_result() -> pd.DataFrame:
+    return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                         "score": pd.Series([], dtype="float64")})
+
+
+def _check_shard_budget(docs_per_shard: int) -> None:
     if docs_per_shard > _MAX_LOCAL_DOC:
         raise ValueError(
             f"docs_per_shard={docs_per_shard} exceeds the positional key "
             f"budget ({_MAX_LOCAL_DOC}); rebuild with smaller shards"
         )
+
+
+def _decode_intersect(pdf: pd.DataFrame, distinct_terms: list[str],
+                      docs_per_shard: int):
+    """Shared front half of every positional kernel: group one shard's
+    block rows by term, decode rarest-first with block range-skipping, and
+    AND-intersect the terms' doc sets (a doc missing any term can satisfy
+    neither adjacency nor proximity). Returns ``(decoded, cand, base)``
+    with ``decoded[t] = (docs, tfs, dls, pos_counts, flat_positions)``,
+    or None when a term is absent / the intersection is empty."""
+    groups = {t: g for t, g in pdf.groupby("term")}
+    if any(t not in groups for t in distinct_terms):
+        return None
+    shard = int(pdf["shard"].iloc[0])
+    base = np.uint64(shard * docs_per_shard)
+
+    def decode_term(t, cand=None):
+        g = groups[t]
+        if cand is not None and len(cand):
+            lo = np.searchsorted(cand, g["first_docid"].to_numpy(np.uint64))
+            hi = np.searchsorted(
+                cand, g["block_max_docid"].to_numpy(np.uint64), "right"
+            )
+            g = g[hi > lo]
+        d_p, tf_p, dl_p, c_p, p_p = [], [], [], [], []
+        for r in g.itertuples(index=False):
+            d, tf_, dl_ = decode_doc_block(r.doc_ids, r.tfs, r.doclens)
+            cnt, pos = decode_positions_block(r.pos_counts, r.positions)
+            d_p.append(d); tf_p.append(tf_); dl_p.append(dl_)
+            # int64 counts: np.repeat rejects uint64 repeat args
+            c_p.append(cnt.astype(np.int64)); p_p.append(pos)
+        if not d_p:
+            e = np.empty(0, np.uint64)
+            return e, e, e, e, e
+        return tuple(np.concatenate(x) for x in (d_p, tf_p, dl_p, c_p, p_p))
+
+    by_size = sorted(
+        distinct_terms, key=lambda t: int(groups[t]["count"].sum())
+    )
+    decoded: dict[str, tuple] = {}
+    cand = None
+    for t in by_size:
+        d, tf_, dl_, cnt, pos = decode_term(t, cand)
+        if cand is not None:
+            keep = _sorted_member(d, cand)
+            d, tf_, dl_ = d[keep], tf_[keep], dl_[keep]
+            pos = pos[np.repeat(keep, cnt)]
+            cnt = cnt[keep]
+        decoded[t] = (d, tf_, dl_, cnt, pos)
+        cand = np.sort(d) if cand is None else np.intersect1d(cand, d)
+        if len(cand) == 0:
+            return None
+    return decoded, cand, base
+
+
+def _occurrence_keys(decoded: dict, cand: np.ndarray, base: np.uint64,
+                     distinct_terms: list[str]) -> dict:
+    """Per term, the sorted composite ``local_doc << POS_BITS | position``
+    keys of its occurrences in candidate docs."""
+    keys: dict[str, np.ndarray] = {}
+    for t in distinct_terms:
+        d, _, _, cnt, pos = decoded[t]
+        keep = _sorted_member(d, cand)
+        pos_k = pos[np.repeat(keep, cnt)]
+        cnt_k = cnt[keep]
+        local = (d[keep] - base).astype(np.uint64)
+        kk = (np.repeat(local, cnt_k) << np.uint64(POS_BITS)) | pos_k
+        keys[t] = np.sort(kk)
+    return keys
+
+
+def _score_match_docs(decoded: dict, match_docs: np.ndarray,
+                      distinct_terms: list[str], idf_by_term: dict,
+                      k1: float, b: float, avgdl: float,
+                      k: int) -> pd.DataFrame:
+    """Exact BM25 sum of the distinct terms over ``match_docs``, in the
+    engine-wide deterministic (sorted-term, doc-ascending) reduction
+    order, then top-k with (score desc, doc_id asc) tie-breaks."""
+    doc_parts, contrib_parts = [], []
+    for t in distinct_terms:
+        d, tf_, dl_, _, _ = decoded[t]
+        m = _sorted_member(d, match_docs)
+        if not m.any():
+            continue
+        doc_parts.append(d[m])
+        contrib_parts.append(
+            _score_arrays(d[m], tf_[m], dl_[m], idf_by_term[t], k1, b, avgdl)
+        )
+    docs = np.concatenate(doc_parts)
+    contribs = np.concatenate(contrib_parts)
+    order = np.argsort(docs, kind="stable")
+    docs, contribs = docs[order], contribs[order]
+    bnd = np.concatenate([[0], np.flatnonzero(docs[1:] != docs[:-1]) + 1])
+    uniq = docs[bnd]
+    sums = np.add.reduceat(contribs, bnd)
+    d_out, s_out = _topk_arrays(uniq.astype(np.int64), sums, k)
+    return pd.DataFrame({"doc_id": d_out, "score": s_out})
+
+
+def _make_phrase_kernel(
+    phrase: list[str], idf_by_term: dict, k1: float, b: float,
+    avgdl: float, k: int, docs_per_shard: int,
+):
+    _check_shard_budget(docs_per_shard)
     distinct_terms = sorted(dict.fromkeys(phrase))
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                              "score": pd.Series([], dtype="float64")})
-        groups = {t: g for t, g in pdf.groupby("term")}
-        if any(t not in groups for t in distinct_terms):
-            return empty  # AND semantics: every phrase term must be present
-        shard = int(pdf["shard"].iloc[0])
-        base = np.uint64(shard * docs_per_shard)
+        front = _decode_intersect(pdf, distinct_terms, docs_per_shard)
+        if front is None:
+            return _empty_result()
+        decoded, cand, base = front
 
-        def decode_term(t, cand=None):
-            """-> (docs, tfs, dls, pos_counts, flat_positions), optionally
-            pre-filtered to candidate docs with block range-skipping."""
-            g = groups[t]
-            if cand is not None and len(cand):
-                lo = np.searchsorted(cand, g["first_docid"].to_numpy(np.uint64))
-                hi = np.searchsorted(
-                    cand, g["block_max_docid"].to_numpy(np.uint64), "right"
-                )
-                g = g[hi > lo]
-            d_p, tf_p, dl_p, c_p, p_p = [], [], [], [], []
-            for r in g.itertuples(index=False):
-                d, tf_, dl_ = decode_doc_block(r.doc_ids, r.tfs, r.doclens)
-                cnt, pos = decode_positions_block(r.pos_counts, r.positions)
-                d_p.append(d); tf_p.append(tf_); dl_p.append(dl_)
-                # int64 counts: np.repeat rejects uint64 repeat args
-                c_p.append(cnt.astype(np.int64)); p_p.append(pos)
-            if not d_p:
-                e = np.empty(0, np.uint64)
-                return e, e, e, e, e
-            return tuple(np.concatenate(x) for x in (d_p, tf_p, dl_p, c_p, p_p))
-
-        # 1. candidate docs: rarest-first AND intersection
-        by_size = sorted(
-            distinct_terms, key=lambda t: int(groups[t]["count"].sum())
-        )
-        decoded: dict[str, tuple] = {}
-        cand = None
-        for t in by_size:
-            d, tf_, dl_, cnt, pos = decode_term(t, cand)
-            if cand is not None:
-                keep = _sorted_member(d, cand)
-                d, tf_, dl_ = d[keep], tf_[keep], dl_[keep]
-                pos = pos[np.repeat(keep, cnt)]
-                cnt = cnt[keep]
-            decoded[t] = (d, tf_, dl_, cnt, pos)
-            cand = np.sort(d) if cand is None else np.intersect1d(cand, d)
-            if len(cand) == 0:
-                return empty
-
-        # 2. adjacency over composite occurrence keys
-        keys: dict[str, np.ndarray] = {}
-        for t in distinct_terms:
-            d, _, _, cnt, pos = decoded[t]
-            keep = _sorted_member(d, cand)
-            pos_k = pos[np.repeat(keep, cnt)]
-            cnt_k = cnt[keep]
-            local = (d[keep] - base).astype(np.uint64)
-            kk = (np.repeat(local, cnt_k) << np.uint64(POS_BITS)) | pos_k
-            keys[t] = np.sort(kk)
+        # adjacency over composite occurrence keys: phrase starts are
+        # term[0] occurrences s.t. key+i is an occurrence of term[i] for
+        # every slot i — duplicate phrase terms need no special casing.
+        keys = _occurrence_keys(decoded, cand, base, distinct_terms)
         starts = keys[phrase[0]]
         for i, t in enumerate(phrase[1:], start=1):
             if len(starts) == 0:
-                return empty
+                return _empty_result()
             starts = starts[_sorted_member(starts + np.uint64(i), keys[t])]
         if len(starts) == 0:
-            return empty
-        match_local = np.unique(starts >> np.uint64(POS_BITS))
-        match_docs = match_local + base
-
-        # 3. exact BM25 over matching docs, deterministic reduction order
-        doc_parts, contrib_parts = [], []
-        for t in distinct_terms:
-            d, tf_, dl_, _, _ = decoded[t]
-            m = _sorted_member(d, match_docs)
-            if not m.any():
-                continue
-            doc_parts.append(d[m])
-            contrib_parts.append(
-                _score_arrays(d[m], tf_[m], dl_[m], idf_by_term[t], k1, b, avgdl)
-            )
-        docs = np.concatenate(doc_parts)
-        contribs = np.concatenate(contrib_parts)
-        order = np.argsort(docs, kind="stable")
-        docs, contribs = docs[order], contribs[order]
-        bnd = np.concatenate([[0], np.flatnonzero(docs[1:] != docs[:-1]) + 1])
-        uniq = docs[bnd]
-        sums = np.add.reduceat(contribs, bnd)
-        d_out, s_out = _topk_arrays(uniq.astype(np.int64), sums, k)
-        return pd.DataFrame({"doc_id": d_out, "score": s_out})
+            return _empty_result()
+        match_docs = np.unique(starts >> np.uint64(POS_BITS)) + base
+        return _score_match_docs(
+            decoded, match_docs, distinct_terms, idf_by_term, k1, b, avgdl, k
+        )
 
     return kernel
+
+
+def _make_proximity_kernel(
+    terms: list[str], window: int, idf_by_term: dict, k1: float, b: float,
+    avgdl: float, k: int, docs_per_shard: int,
+):
+    """Unordered within-window kernel: a doc matches when some span of
+    ``window + 1`` consecutive token positions contains ALL distinct
+    terms. Exactness of the anchor set: a minimal valid span starts at an
+    occurrence of one of the terms, so testing the window anchored at
+    EVERY occurrence of every term is exhaustive. Each test is one
+    searchsorted probe per term over its sorted composite keys — the
+    window [a, a+window] never crosses a doc boundary because doc ids
+    live in the key's high bits and positions are < 2^POS_BITS."""
+    _check_shard_budget(docs_per_shard)
+    distinct_terms = sorted(dict.fromkeys(terms))
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        front = _decode_intersect(pdf, distinct_terms, docs_per_shard)
+        if front is None:
+            return _empty_result()
+        decoded, cand, base = front
+        keys = _occurrence_keys(decoded, cand, base, distinct_terms)
+        anchors = np.sort(np.concatenate([keys[t] for t in distinct_terms]))
+        if len(anchors) == 0:
+            return _empty_result()
+        ok = np.ones(len(anchors), dtype=bool)
+        w = np.uint64(window)
+        for t in distinct_terms:
+            kt = keys[t]
+            idx = np.searchsorted(kt, anchors)
+            ok &= (idx < len(kt)) & (
+                kt[np.minimum(idx, len(kt) - 1)] <= anchors + w
+            )
+        if not ok.any():
+            return _empty_result()
+        match_docs = np.unique(anchors[ok] >> np.uint64(POS_BITS)) + base
+        return _score_match_docs(
+            decoded, match_docs, distinct_terms, idf_by_term, k1, b, avgdl, k
+        )
+
+    return kernel
+
+
+def _positional_query_plan(spark, cat, qterms, lex_rows):
+    """Shared public-entry plumbing: meta guard, lexicon lookup (or the
+    caller's cached rows), idf table, and the bucket-pruned + term-filtered
+    postings scan. Returns ``(meta, idf_by_term, blocks)`` or None when
+    some query term is absent from the corpus (no doc can match)."""
+    meta = cat.read_meta("postings")
+    if not meta.get("positional"):
+        raise ValueError(
+            f"index at {cat.root} was built without positions=True; "
+            "phrase/proximity queries need a positional index"
+        )
+    n_buckets = int(meta["n_buckets"])
+    from mahout_spark.functions.xxhash import term_bucket
+
+    if lex_rows is None:
+        qbuckets = sorted({term_bucket(t, n_buckets) for t in qterms})
+        lex = _read_query_lexicon(spark, cat, qbuckets)
+        lex_rows = (
+            lex.filter(F.col("term").isin(qterms))
+            .select("term", "bucket", "df")
+            .collect()
+            if lex is not None
+            else []
+        )
+    if len({r["term"] for r in lex_rows}) < len(qterms):
+        return None
+    n_docs = meta["n_docs"]
+    idf_by_term = {
+        r["term"]: float(np.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5)))
+        for r in lex_rows
+    }
+    buckets = sorted({r["bucket"] for r in lex_rows})
+    blocks = cat.read_partitions(spark, "postings", "bucket", buckets).filter(
+        F.col("term").isin(qterms)
+    )
+    return meta, idf_by_term, blocks
+
+
+def _run_positional_kernel(spark, blocks, kernel, k, merge) -> DataFrame:
+    per_shard = blocks.groupBy("shard").applyInPandas(
+        kernel, "doc_id long, score double"
+    )
+    if merge == "driver":
+        rows = sorted(
+            per_shard.collect(), key=lambda r: (-r["score"], r["doc_id"])
+        )[:k]
+        return spark.createDataFrame(rows, "doc_id long, score double")
+    return per_shard.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
 
 
 def phrase_topk(
@@ -176,51 +306,45 @@ def phrase_topk(
     """Top-k docs containing the exact token sequence ``phrase``, scored by
     BM25 over the phrase's terms. Requires an index built with
     ``positions=True``."""
-    meta = cat.read_meta("postings")
-    if not meta.get("positional"):
-        raise ValueError(
-            f"index at {cat.root} was built without positions=True; "
-            "phrase queries need a positional index"
-        )
     if not phrase:
         raise ValueError("empty phrase")
-    avgdl, n_docs = meta["avgdl"], meta["n_docs"]
-    k1, b = meta["k1"], meta["b"]
-    n_buckets = int(meta["n_buckets"])
     qterms = sorted(dict.fromkeys(phrase))
-    from mahout_spark.functions.xxhash import term_bucket
-
-    empty = spark.createDataFrame([], "doc_id long, score double")
-    if lex_rows is None:
-        qbuckets = sorted({term_bucket(t, n_buckets) for t in qterms})
-        lex = _read_query_lexicon(spark, cat, qbuckets)
-        lex_rows = (
-            lex.filter(F.col("term").isin(qterms))
-            .select("term", "bucket", "df")
-            .collect()
-            if lex is not None
-            else []
-        )
-    if len({r["term"] for r in lex_rows}) < len(qterms):
-        return empty  # some phrase term absent from the corpus
-    idf_by_term = {
-        r["term"]: float(np.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5)))
-        for r in lex_rows
-    }
-    buckets = sorted({r["bucket"] for r in lex_rows})
-    blocks = cat.read_partitions(spark, "postings", "bucket", buckets).filter(
-        F.col("term").isin(qterms)
-    )
+    plan = _positional_query_plan(spark, cat, qterms, lex_rows)
+    if plan is None:
+        return spark.createDataFrame([], "doc_id long, score double")
+    meta, idf_by_term, blocks = plan
     kernel = _make_phrase_kernel(
-        list(phrase), idf_by_term, k1, b, avgdl, k,
+        list(phrase), idf_by_term, meta["k1"], meta["b"], meta["avgdl"], k,
         int(meta["docs_per_shard"]),
     )
-    per_shard = blocks.groupBy("shard").applyInPandas(
-        kernel, "doc_id long, score double"
+    return _run_positional_kernel(spark, blocks, kernel, k, merge)
+
+
+def proximity_topk(
+    spark: SparkSession,
+    cat: ParquetCatalog,
+    terms: list[str],
+    window: int,
+    k: int = 10,
+    lex_rows: list | None = None,
+    merge: str = "spark",
+) -> DataFrame:
+    """Top-k docs where ALL distinct ``terms`` co-occur within a span of
+    ``window + 1`` consecutive token positions (unordered — the NEAR/W
+    operator), scored by the BM25 sum of the terms. ``window=len(terms)-1``
+    with distinct terms is an unordered phrase; large windows degrade
+    toward AND. Requires an index built with ``positions=True``."""
+    if not terms:
+        raise ValueError("empty term list")
+    if window < 0:
+        raise ValueError("window must be >= 0")
+    qterms = sorted(dict.fromkeys(terms))
+    plan = _positional_query_plan(spark, cat, qterms, lex_rows)
+    if plan is None:
+        return spark.createDataFrame([], "doc_id long, score double")
+    meta, idf_by_term, blocks = plan
+    kernel = _make_proximity_kernel(
+        qterms, window, idf_by_term, meta["k1"], meta["b"], meta["avgdl"],
+        k, int(meta["docs_per_shard"]),
     )
-    if merge == "driver":
-        rows = sorted(
-            per_shard.collect(), key=lambda r: (-r["score"], r["doc_id"])
-        )[:k]
-        return spark.createDataFrame(rows, "doc_id long, score double")
-    return per_shard.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+    return _run_positional_kernel(spark, blocks, kernel, k, merge)

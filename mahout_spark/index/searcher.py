@@ -193,3 +193,77 @@ class Searcher:
             self.spark, self.cat, queries, k=k, mode_all=mode_all,
             lex_rows=self._lex_rows(all_terms),
         )
+
+    # -- phrase (positional indexes) ----------------------------------------
+
+    def phrase_topk(
+        self, phrase: list[str], k: int = 10, merge: str = "spark",
+    ) -> DataFrame:
+        """Exact-phrase top-k as a DataFrame; lexicon rows come from the
+        warm cache (zero lexicon jobs on repeat queries)."""
+        self._ensure_fresh()
+        from mahout_spark.index import phrase as phrase_mod
+
+        return phrase_mod.phrase_topk(
+            self.spark, self.cat, list(phrase), k=k,
+            lex_rows=self._lex_rows(sorted(dict.fromkeys(phrase))),
+            merge=merge,
+        )
+
+    def phrase_topk_rows(self, phrase: list[str], k: int = 10) -> list[Row]:
+        """Interactive exact-phrase top-k, same regimes as ``topk_rows``:
+        Σdf under the query-node cap runs the phrase kernel driver-side
+        over the terms' collected block rows (positions ride along — a
+        phrase payload is ~2-4 bytes/posting vs ~1-2 plain, still MBs at
+        the cap); monster terms fall back to the distributed kernel with
+        a driver merge of per-shard ≤k rows."""
+        self._ensure_fresh()
+        meta = self._meta
+        if not meta.get("positional"):
+            raise ValueError(
+                "index was built without positions=True; phrase queries "
+                "need a positional index"
+            )
+        if not phrase:
+            raise ValueError("empty phrase")
+        from mahout_spark.index import phrase as phrase_mod
+
+        qterms = sorted(dict.fromkeys(phrase))
+        lex = self._lex_rows(qterms)
+        if len(lex) < len(qterms):
+            return []  # some phrase term absent -> no doc can match
+        if sum(r["df"] for r in lex) > DRIVER_EXEC_MAX_POSTINGS:
+            return phrase_mod.phrase_topk(
+                self.spark, self.cat, list(phrase), k=k, lex_rows=lex,
+                merge="driver",
+            ).collect()
+        idf = {
+            r["term"]: float(np.log(
+                1.0 + (meta["n_docs"] - r["df"] + 0.5) / (r["df"] + 0.5)
+            ))
+            for r in lex
+        }
+        buckets = sorted({r["bucket"] for r in lex})
+        pdf = (
+            self.cat.read_partitions(self.spark, "postings", "bucket", buckets)
+            .filter(F.col("term").isin(qterms))
+            .toPandas()
+        )
+        if not len(pdf):
+            return []
+        kernel = phrase_mod._make_phrase_kernel(
+            list(phrase), idf, meta["k1"], meta["b"], meta["avgdl"], k,
+            int(meta["docs_per_shard"]),
+        )
+        import pandas as pd
+
+        merged = pd.concat(
+            [kernel(g) for _, g in pdf.groupby("shard")], ignore_index=True
+        )
+        merged = merged.sort_values(
+            ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        return [
+            Row(doc_id=int(d), score=float(s))
+            for d, s in zip(merged["doc_id"], merged["score"])
+        ]

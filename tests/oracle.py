@@ -91,6 +91,43 @@ class OracleIndex:
         results.sort(key=lambda r: (-r[1], r[0]))
         return results[:k]
 
+    def proximity_search(self, terms: list, window: int, k=10):
+        """Unordered within-window top-k: docs where some span of
+        ``window + 1`` consecutive token positions contains ALL distinct
+        terms, scored like phrase_search. Brute-force over every anchor
+        position — independent of the kernel's composite-key probing."""
+        qt = sorted(set(terms))
+        results = []
+        for doc_id, toks in self.tokens.items():
+            pos = {t: [i for i, x in enumerate(toks) if x == t] for t in qt}
+            if any(not p for p in pos.values()):
+                continue
+            if not any(
+                all(any(a <= p <= a + window for p in pos[t]) for t in qt)
+                for t0 in qt
+                for a in pos[t0]
+            ):
+                continue
+            score = sum(self.bm25(doc_id, t) for t in qt)
+            results.append((doc_id, score))
+        results.sort(key=lambda r: (-r[1], r[0]))
+        return results[:k]
+
+    def snippets(self, phrase: list, context: int = 3) -> dict:
+        """{doc_id: (first_pos, snippet)} for docs containing ``phrase``
+        contiguously — list-slice scan, independent of the engine's
+        stream-LIKE relation."""
+        out = {}
+        L = len(phrase)
+        for doc_id, toks in self.tokens.items():
+            for i in range(len(toks) - L + 1):
+                if toks[i:i + L] == list(phrase):
+                    lo = max(i - context, 0)
+                    hi = min(i + L + context, len(toks))
+                    out[doc_id] = (i, " ".join(toks[lo:hi]))
+                    break
+        return out
+
     def positions(self, doc_id, term) -> list:
         """0-based token indices of term in the doc's surviving stream."""
         return [i for i, t in enumerate(self.tokens[doc_id]) if t == term]

@@ -190,3 +190,130 @@ def test_term_positions_agree_with_term_frequencies(spark, corpus):
         assert (tf_a, dl_a) == b[key]
         assert len(pos) == tf_a
         assert pos == sorted(pos)
+
+
+# -- proximity (NEAR/W) -----------------------------------------------------
+
+PROX_CASES = [
+    (["table", "scan"], 1),     # adjacency-tight: unordered phrase
+    (["table", "scan"], 4),
+    (["data", "merge"], 8),
+    (["the", "fast", "key"], 6),
+    (["spark"], 0),             # single term: any occurrence matches
+    (["spark", "zzznosuchterm"], 5),  # absent term -> empty
+    (["batch", "batch"], 3),    # duplicate collapses to single term
+]
+
+
+@pytest.mark.parametrize("terms,window", PROX_CASES)
+def test_proximity_matches_brute_force_oracle(
+    spark, pos_built, oracle, terms, window
+):
+    from mahout_spark.index.phrase import proximity_topk
+
+    got = _rows(proximity_topk(spark, pos_built, terms, window, k=10))
+    want = oracle.proximity_search(terms, window, k=10)
+    assert [g[0] for g in got] == [w[0] for w in want], (terms, window)
+    for g, w in zip(got, want):
+        assert g[1] == pytest.approx(w[1], abs=1e-9)
+
+
+def test_proximity_huge_window_equals_and_query(spark, pos_built, oracle):
+    """window >= max doclen degrades proximity to the AND query over the
+    same terms (identical candidate set AND identical scores)."""
+    from mahout_spark.index.phrase import proximity_topk
+
+    terms = ["table", "scan"]
+    big = max(oracle.doclen.values()) + 1
+    got = _rows(proximity_topk(spark, pos_built, terms, big, k=10))
+    want = oracle.search(terms, k=10, mode_all=True)
+    assert got == [
+        (w[0], pytest.approx(w[1], abs=1e-9)) for w in want
+    ] or [g[0] for g in got] == [w[0] for w in want]
+
+
+def test_proximity_window_zero_multi_term_empty(spark, pos_built):
+    """Two distinct terms cannot share one position: window=0 -> empty."""
+    from mahout_spark.index.phrase import proximity_topk
+
+    assert _rows(proximity_topk(spark, pos_built, ["table", "scan"], 0)) == []
+
+
+def test_proximity_rejects_negative_window(spark, pos_built):
+    from mahout_spark.index.phrase import proximity_topk
+
+    with pytest.raises(ValueError, match="window"):
+        proximity_topk(spark, pos_built, ["table"], -1)
+
+
+# -- Searcher phrase front-ends --------------------------------------------
+
+
+def test_searcher_phrase_topk_matches_direct(spark, pos_built):
+    from mahout_spark.index.searcher import Searcher
+
+    s = Searcher(spark, pos_built)
+    for phrase in (["table", "scan"], ["the", "fast", "key"]):
+        direct = _rows(phrase_topk(spark, pos_built, phrase, k=10))
+        via = _rows(s.phrase_topk(phrase, k=10))
+        rows = [(r["doc_id"], r["score"]) for r in s.phrase_topk_rows(phrase, k=10)]
+        assert via == direct, phrase
+        assert [(d, pytest.approx(sc, abs=1e-12)) for d, sc in direct] == rows
+
+
+def test_searcher_phrase_rows_distributed_fallback(spark, pos_built):
+    """Force the over-cap regime: the distributed-kernel fallback must
+    return the same rows as the driver-side query-node path."""
+    import mahout_spark.index.searcher as S
+
+    s = S.Searcher(spark, pos_built)
+    want = [(r["doc_id"], r["score"]) for r in s.phrase_topk_rows(["table", "scan"])]
+    old = S.DRIVER_EXEC_MAX_POSTINGS
+    S.DRIVER_EXEC_MAX_POSTINGS = 1
+    try:
+        s2 = S.Searcher(spark, pos_built)
+        got = [(r["doc_id"], r["score"]) for r in s2.phrase_topk_rows(["table", "scan"])]
+    finally:
+        S.DRIVER_EXEC_MAX_POSTINGS = old
+    assert [(d, pytest.approx(sc, abs=1e-12)) for d, sc in want] == got
+
+
+def test_searcher_phrase_absent_term_empty(spark, pos_built):
+    from mahout_spark.index.searcher import Searcher
+
+    s = Searcher(spark, pos_built)
+    assert s.phrase_topk_rows(["table", "zzznosuchterm"]) == []
+
+
+# -- snippets ---------------------------------------------------------------
+
+
+def test_phrase_snippets_match_list_slice_oracle(spark, corpus, oracle):
+    from mahout_spark.operators.snippets import phrase_snippets
+
+    for phrase, ctx in ([(["table", "scan"], 3), (["the", "fast", "key"], 1)]):
+        got = {
+            r["doc_id"]: (r["first_pos"], r["snippet"])
+            for r in phrase_snippets(
+                corpus, phrase, content_col="content", context=ctx
+            ).collect()
+        }
+        assert got == oracle.snippets(phrase, context=ctx), phrase
+
+
+def test_phrase_snippets_edge_clipping(spark):
+    from mahout_spark.operators.snippets import phrase_snippets
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "x alpha beta gamma y z"),
+         (3, "no match here"), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["first_pos"], r["snippet"])
+        for r in phrase_snippets(docs, ["alpha", "beta"], context=2).collect()
+    }
+    assert got == {
+        1: (0, "alpha beta gamma"),
+        2: (1, "x alpha beta gamma y"),
+    }

@@ -160,3 +160,54 @@ def test_skewed_hot_term_shards(spark, tmp_path_factory):
         for r in topk(spark, cat, ["hot", "filler3"], k=20).collect()
     ]
     assert [d for d, _ in got] == [d for d, _ in exp]
+
+
+@pytest.mark.parametrize("seed", [13, 61])
+def test_positional_ops_equal_oracle_on_random_corpus(
+    spark, tmp_path_factory, seed
+):
+    """Random phrases (half sampled from real doc windows so matches
+    exist, half random so misses exist) and random proximity windows must
+    match the brute-force oracle rank- and score-identically on skewed
+    random corpora with planted duplicates and empty docs."""
+    from mahout_spark.index.build import build_index
+    from mahout_spark.index.phrase import phrase_topk, proximity_topk
+
+    docs = _random_corpus(seed, 100)
+    oracle = OracleIndex(docs, mode="simple")
+    sdf = spark.createDataFrame(
+        [(k, v) for k, v in docs.items()], ["doc_id", "content"]
+    )
+    out = str(tmp_path_factory.mktemp(f"pos_rand{seed}"))
+    cat = build_index(
+        spark, sdf, out, content_col="content", mode="simple",
+        n_buckets=4, docs_per_shard=32, block_size=8, resume=False,
+        positions=True,
+    )
+
+    rng = random.Random(seed * 13)
+    nonempty = [d for d in docs.values() if d]
+    for i in range(6):
+        if i % 2 == 0:  # sample a real contiguous window -> guaranteed hit
+            toks = []
+            while len(toks) < 2:
+                toks = nonempty[rng.randrange(len(nonempty))].split()
+            st = rng.randrange(len(toks) - 1)
+            phrase = toks[st:st + rng.randint(2, 3)]
+        else:
+            phrase = [rng.choice(list(oracle.df)) for _ in range(rng.randint(1, 3))]
+        exp = oracle.phrase_search(phrase, k=10)
+        got = [(r["doc_id"], r["score"])
+               for r in phrase_topk(spark, cat, phrase, k=10).collect()]
+        assert [d for d, _ in got] == [d for d, _ in exp], phrase
+        for (_, s1), (_, s2) in zip(got, exp):
+            assert s1 == pytest.approx(s2, rel=1e-9)
+
+        terms = sorted(set(phrase))
+        w = rng.choice([1, 3, 9])
+        exp = oracle.proximity_search(terms, w, k=10)
+        got = [(r["doc_id"], r["score"])
+               for r in proximity_topk(spark, cat, terms, w, k=10).collect()]
+        assert [d for d, _ in got] == [d for d, _ in exp], (terms, w)
+        for (_, s1), (_, s2) in zip(got, exp):
+            assert s1 == pytest.approx(s2, rel=1e-9)
