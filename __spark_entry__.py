@@ -335,6 +335,68 @@ def q_engine_phrase_search(spark, sf_dir):
 PROX_TERMS = ["data", "merge"]
 PROX_WINDOW = 8
 SNIPPET_CONTEXT = 3
+BOOL_QUERY = '("table scan" OR merge) AND data NOT stream'
+PREFIX_QUERY = "s* AND window"
+
+
+def q_engine_boolean_search(spark, sf_dir):
+    """Boolean query-language retrieval (X41) over the positional index:
+    BOOL_QUERY exercises every connective — a phrase leaf, OR, AND, and
+    NOT subtraction — compiled by queryparse.parse onto the shard kernel
+    (index/boolquery.py); scoring is the BM25 sum of the query's positive
+    terms. The DuckDB oracle evaluates the same tree with SQL set
+    operations (UNION / INTERSECT / EXCEPT over per-term doc sets, LIKE
+    on the token stream for the phrase leaf) — a fully independent
+    relation."""
+    import shutil
+    import tempfile
+
+    from mahout_spark.index.boolquery import boolean_topk
+    from mahout_spark.index.build import build_index
+
+    docs = _load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="msdrv_bool_")
+    try:
+        cat = build_index(
+            spark, docs, out_dir=out, content_col="text",
+            id_cols=["doc_id"], mode="simple", resume=False,
+            positions=True,
+        )
+        result = boolean_topk(spark, cat, BOOL_QUERY, k=10).select(
+            "doc_id", F.round("score", 6).alias("score")
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def q_engine_prefix_search(spark, sf_dir):
+    """Prefix (wildcard) retrieval (X42): PREFIX_QUERY's ``s*`` expands
+    against the index lexicon (capped at the 64 highest-df matches — the
+    sf0.01 vocabulary has 6, so expansion is exhaustive and the SQL
+    LIKE-relation oracle is exact) and the expanded OR is AND-ed with a
+    plain term. No positions needed — runs on the standard index."""
+    import shutil
+    import tempfile
+
+    from mahout_spark.index.boolquery import boolean_topk
+    from mahout_spark.index.build import build_index
+
+    docs = _load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="msdrv_pfx_")
+    try:
+        cat = build_index(
+            spark, docs, out_dir=out, content_col="text",
+            id_cols=["doc_id"], mode="simple", resume=False,
+        )
+        result = boolean_topk(spark, cat, PREFIX_QUERY, k=10).select(
+            "doc_id", F.round("score", 6).alias("score")
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
 
 
 def q_engine_proximity_search(spark, sf_dir):
@@ -829,6 +891,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_indexed_bm25_simple": q_engine_indexed_bm25_simple,
         "engine_phrase_search": q_engine_phrase_search,
         "engine_proximity_search": q_engine_proximity_search,
+        "engine_boolean_search": q_engine_boolean_search,
+        "engine_prefix_search": q_engine_prefix_search,
         "phrase_snippets": q_phrase_snippets,
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
@@ -1317,6 +1381,66 @@ def _base_oracle_sql() -> dict[str, str]:
         ), agg AS (
             SELECT doc_id, round(sum(c), 6) AS score
             FROM contrib JOIN prox_docs USING (doc_id)
+            GROUP BY doc_id
+        )
+        SELECT doc_id, score FROM agg
+        ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        # boolean oracle: the query tree ("table scan" OR merge) AND data
+        # NOT stream evaluated with SQL set ops — INTERSECT binds tighter
+        # than EXCEPT, so or_docs INTERSECT data EXCEPT stream is exactly
+        # (or ∩ data) \ stream. Scoring = BM25 sum of the positive terms.
+        "engine_boolean_search": _TOK_CTE + f"""
+        , stream_s AS (
+            SELECT doc_id,
+                   ' ' || array_to_string(list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9]+'),
+                       t -> t <> ''), ' ') || ' ' AS s
+            FROM documents WHERE text IS NOT NULL
+        ), or_docs AS (
+            SELECT doc_id FROM stream_s WHERE s LIKE '% table scan %'
+            UNION
+            SELECT doc_id FROM tf WHERE term = 'merge'
+        ), matched AS (
+            SELECT doc_id FROM or_docs
+            INTERSECT
+            SELECT doc_id FROM tf WHERE term = 'data'
+            EXCEPT
+            SELECT doc_id FROM tf WHERE term = 'stream'
+        ), contrib AS (
+            SELECT tf.doc_id, {_BM25_CONTRIB} AS c
+            FROM tf
+            JOIN dfreq USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN scal
+            WHERE tf.term IN ('data', 'merge', 'scan', 'table')
+        ), agg AS (
+            SELECT doc_id, round(sum(c), 6) AS score
+            FROM contrib JOIN matched USING (doc_id)
+            GROUP BY doc_id
+        )
+        SELECT doc_id, score FROM agg
+        ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        # prefix oracle: s* AND window. The LIKE relation is exact because
+        # the sf-vocabulary's s-prefix terms (6) fit the engine's
+        # 64-expansion cap — scoring sums the expanded terms plus the
+        # AND-ed term.
+        "engine_prefix_search": _TOK_CTE + f"""
+        , matched AS (
+            SELECT DISTINCT doc_id FROM tf WHERE term LIKE 's%'
+            INTERSECT
+            SELECT doc_id FROM tf WHERE term = 'window'
+        ), contrib AS (
+            SELECT tf.doc_id, {_BM25_CONTRIB} AS c
+            FROM tf
+            JOIN dfreq USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN scal
+            WHERE tf.term LIKE 's%' OR tf.term = 'window'
+        ), agg AS (
+            SELECT doc_id, round(sum(c), 6) AS score
+            FROM contrib JOIN matched USING (doc_id)
             GROUP BY doc_id
         )
         SELECT doc_id, score FROM agg

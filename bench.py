@@ -149,6 +149,13 @@ def main() -> None:
             spark, cat, batch_queries, k=10
         ).collect())
 
+        # boolean / prefix query language over the standard index
+        from mahout_spark.index.boolquery import boolean_topk
+
+        timed("indexed_prefix_topk", lambda: boolean_topk(
+            spark, cat, entry.PREFIX_QUERY, k=10
+        ).collect())
+
         # warm lexicon-cached query path (Searcher.topk_rows): repeated-
         # query / interactive latency — zero lexicon jobs on a warm
         # cache, and the scoring kernel runs on the driver over the
@@ -197,6 +204,12 @@ def main() -> None:
 
         timed("indexed_proximity_topk", lambda: proximity_topk(
             spark, pcat, ["data", "merge"], 8, k=10
+        ).collect())
+
+        from mahout_spark.index.boolquery import boolean_topk
+
+        timed("indexed_boolean_topk", lambda: boolean_topk(
+            spark, pcat, entry.BOOL_QUERY, k=10
         ).collect())
 
         # warm-cache interactive phrase latency (Searcher query-node path)

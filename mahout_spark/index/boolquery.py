@@ -1,0 +1,347 @@
+"""Boolean query execution over the posting-block index.
+
+Compiles a parsed query tree (queryparse.py) onto the same distributed
+plan every retrieval kernel in this engine uses: driver-side lexicon
+routing (tiny collect) -> bucket-pruned, term-filtered postings scan ->
+shuffle blocks by shard -> per-shard numpy kernel -> global top-k merge.
+Wall-clock scales with the QUERY TERMS' postings, never corpus size.
+
+Semantics (the conventional ranked-boolean model):
+
+* the tree defines the MATCH SET — term leaves are posting doc sets,
+  phrase/proximity leaves reuse the positional machinery (composite
+  occurrence keys, phrase.py), AND/OR are sorted-array intersection/
+  union, NOT is subtraction against its positive AND-siblings;
+* the SCORE of a matching doc is the BM25 sum of the query's POSITIVE
+  terms (those not under NOT) it contains — so `a OR b` ranks exactly
+  like the OR query, `a AND b` like mode_all, and a NOT branch filters
+  without perturbing scores;
+* prefix leaves (`word*`) are expanded against the lexicon before the
+  kernel compiles: per prefix, the ``max_expansions`` highest-df terms
+  (df desc, term asc — the deterministic cap every engine applies as
+  maxClauseCount). The lexicon is hash-bucketed for point lookups, so a
+  prefix pays one column-pruned lexicon scan per prefix (a
+  TakeOrderedAndProject job, no shuffle); a term-sorted dictionary
+  tier would remove that at 100 TB and slots behind this same API.
+
+Unlike the single-shape AND/OR kernels (wand.py) there is no block-max
+pruning here — a boolean tree has no single monotone bound — but the
+scan is still bucket-pruned and term-filtered, so the kernel only ever
+decodes the query terms' postings: per-query cost is the same
+postings-bounded shape, minus the skip optimization.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mahout_spark.index.codec import decode_doc_block, decode_positions_block
+from mahout_spark.index.phrase import (
+    POS_BITS,
+    _adjacency_start_keys,
+    _check_shard_budget,
+    _empty_result,
+    _occurrence_keys,
+    _run_positional_kernel,
+    _score_match_docs,
+    _window_anchor_keys,
+)
+from mahout_spark.index.queryparse import (
+    all_terms,
+    expand_prefixes,
+    has_phrase,
+    parse,
+    positive_terms,
+    prefixes,
+    validate,
+)
+from mahout_spark.index.wand import _read_query_lexicon
+from mahout_spark.sources.catalog import ParquetCatalog
+
+MAX_EXPANSIONS = 64
+
+
+def _decode_shard(pdf: pd.DataFrame, terms: list[str], positional: bool):
+    """Decode each query term's postings in one shard ONCE, into the
+    5-tuple layout the positional helpers share: (docs, tfs, dls,
+    pos_counts, flat_positions) — empty position arrays when the query
+    has no positional leaf (or the index stores none)."""
+    groups = {t: g for t, g in pdf.groupby("term")}
+    decoded: dict[str, tuple] = {}
+    for t in terms:
+        g = groups.get(t)
+        if g is None:
+            continue
+        d_p, tf_p, dl_p, c_p, p_p = [], [], [], [], []
+        for r in g.itertuples(index=False):
+            d, tf_, dl_ = decode_doc_block(r.doc_ids, r.tfs, r.doclens)
+            d_p.append(d)
+            tf_p.append(tf_)
+            dl_p.append(dl_)
+            if positional:
+                cnt, pos = decode_positions_block(r.pos_counts, r.positions)
+                c_p.append(cnt.astype(np.int64))
+                p_p.append(pos)
+        if not d_p:
+            continue
+        d = np.concatenate(d_p)
+        tf_ = np.concatenate(tf_p)
+        dl_ = np.concatenate(dl_p)
+        if positional:
+            cnt = np.concatenate(c_p)
+            pos = np.concatenate(p_p)
+        else:
+            cnt = np.empty(0, np.int64)
+            pos = np.empty(0, np.uint64)
+        decoded[t] = (d, tf_, dl_, cnt, pos)
+    return decoded
+
+
+def _eval_tree(node, decoded: dict, base: np.uint64) -> np.ndarray:
+    """Evaluate a query tree over one shard's decoded postings to the
+    sorted array of matching doc ids."""
+    empty = np.empty(0, np.uint64)
+
+    def term_docs(t):
+        return np.sort(decoded[t][0]) if t in decoded else empty
+
+    def phrase_docs(seq, window):
+        distinct = sorted(set(seq))
+        if any(t not in decoded for t in distinct):
+            return empty
+        cand = term_docs(distinct[0])
+        for t in distinct[1:]:
+            cand = np.intersect1d(cand, term_docs(t))
+        if len(cand) == 0:
+            return empty
+        keys = _occurrence_keys(decoded, cand, base, distinct)
+        if window is None:
+            hits = _adjacency_start_keys(keys, list(seq))
+        else:
+            hits = _window_anchor_keys(keys, distinct, window)
+        if len(hits) == 0:
+            return empty
+        return np.unique(hits >> np.uint64(POS_BITS)) + base
+
+    def ev(n) -> np.ndarray:
+        kind = n[0]
+        if kind == "term":
+            return term_docs(n[1])
+        if kind == "phrase":
+            return phrase_docs(n[1], n[2])
+        if kind == "or":
+            out = empty
+            for c in n[1]:
+                out = np.union1d(out, ev(c))
+            return out
+        if kind == "and":
+            pos_children = [c for c in n[1] if c[0] != "not"]
+            neg_children = [c[1] for c in n[1] if c[0] == "not"]
+            out = ev(pos_children[0])
+            for c in pos_children[1:]:
+                if len(out) == 0:
+                    return out
+                out = np.intersect1d(out, ev(c))
+            for c in neg_children:
+                if len(out) == 0:
+                    return out
+                out = np.setdiff1d(out, ev(c))
+            return out
+        raise ValueError(f"unexpected node in kernel: {kind!r}")
+
+    return ev(node)
+
+
+def _make_boolean_kernel(node, score_terms: list[str], idf_by_term: dict,
+                         k1: float, b: float, avgdl: float, k: int,
+                         docs_per_shard: int, positional: bool):
+    if positional:
+        _check_shard_budget(docs_per_shard)
+    qterms = all_terms(node)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["shard"].iloc[0])
+        base = np.uint64(shard * docs_per_shard)
+        decoded = _decode_shard(pdf, qterms, positional)
+        matched = _eval_tree(node, decoded, base)
+        present_scores = [t for t in score_terms if t in decoded]
+        if len(matched) == 0 or not present_scores:
+            return _empty_result()
+        return _score_match_docs(
+            decoded, matched, present_scores, idf_by_term, k1, b, avgdl, k
+        )
+
+    return kernel
+
+
+def _compile_query(spark, cat, query, max_expansions, lex_rows, normalize):
+    """Shared front half of every boolean entry point: parse/validate,
+    expand prefixes against the lexicon, resolve lexicon rows, and build
+    the term-filtered bucket-pruned blocks scan. Returns ``(node, meta,
+    by_term, blocks, positional)`` or None when no query term exists in
+    the corpus (nothing can match)."""
+    if isinstance(query, str):
+        node = parse(query) if normalize is None else parse(query, normalize)
+    else:
+        validate(query)
+        node = query
+    meta = cat.read_meta("postings")
+    positional_needed = has_phrase(node)
+    if positional_needed and not meta.get("positional"):
+        raise ValueError(
+            f"index at {cat.root} was built without positions=True; "
+            "phrase/slop leaves need a positional index"
+        )
+
+    pres = prefixes(node)
+    prefix_lex: list = []
+    if pres:
+        lex = cat.read(spark, "lexicon")
+        expansions: dict = {}
+        for p in pres:
+            rows = (
+                lex.filter(F.col("term").startswith(p))
+                .select("term", "bucket", "df")
+                .orderBy(F.col("df").desc(), F.col("term").asc())
+                .limit(max_expansions)
+                .collect()
+            )
+            expansions[p] = [r["term"] for r in rows]
+            prefix_lex.extend(rows)
+        node = expand_prefixes(node, expansions)
+
+    qterms = all_terms(node)
+    if not qterms:
+        return None
+
+    if lex_rows is None:
+        from mahout_spark.functions.xxhash import term_bucket
+
+        known = {r["term"] for r in prefix_lex}
+        missing = [t for t in qterms if t not in known]
+        lex_rows = list(prefix_lex)
+        if missing:
+            n_buckets = int(meta["n_buckets"])
+            qbuckets = sorted({term_bucket(t, n_buckets) for t in missing})
+            lexq = _read_query_lexicon(spark, cat, qbuckets)
+            if lexq is not None:
+                lex_rows += (
+                    lexq.filter(F.col("term").isin(missing))
+                    .select("term", "bucket", "df")
+                    .collect()
+                )
+    by_term = {r["term"]: r for r in lex_rows if r["term"] in set(qterms)}
+    if not by_term:
+        return None
+    buckets = sorted({r["bucket"] for r in by_term.values()})
+    blocks = cat.read_partitions(spark, "postings", "bucket", buckets).filter(
+        F.col("term").isin(sorted(by_term))
+    )
+    return node, meta, by_term, blocks, (
+        positional_needed and bool(meta.get("positional"))
+    )
+
+
+def boolean_topk(
+    spark: SparkSession,
+    cat: ParquetCatalog,
+    query,
+    k: int = 10,
+    max_expansions: int = MAX_EXPANSIONS,
+    lex_rows: list | None = None,
+    merge: str = "spark",
+    normalize=None,
+) -> DataFrame:
+    """Top-k docs matching a boolean ``query`` (string, parsed by
+    queryparse.parse, or an already-built node tree), scored by the BM25
+    sum of the query's positive terms. Phrase/slop leaves require an
+    index built with ``positions=True``; plain boolean trees run on any
+    index."""
+    schema = "doc_id long, score double"
+    plan = _compile_query(spark, cat, query, max_expansions, lex_rows,
+                          normalize)
+    if plan is None:
+        return spark.createDataFrame([], schema)
+    node, meta, by_term, blocks, positional = plan
+    score_terms = [t for t in positive_terms(node) if t in by_term]
+    if not score_terms:
+        return spark.createDataFrame([], schema)
+    n_docs = meta["n_docs"]
+    idf_by_term = {
+        t: float(np.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5)))
+        for t, r in by_term.items()
+    }
+    kernel = _make_boolean_kernel(
+        node, score_terms, idf_by_term, meta["k1"], meta["b"],
+        meta["avgdl"], k, int(meta["docs_per_shard"]), positional,
+    )
+    return _run_positional_kernel(spark, blocks, kernel, k, merge)
+
+
+def matching_docs(
+    spark: SparkSession,
+    cat: ParquetCatalog,
+    query,
+    max_expansions: int = MAX_EXPANSIONS,
+    lex_rows: list | None = None,
+    normalize=None,
+) -> DataFrame:
+    """ALL doc ids matching a boolean ``query`` — no scoring, no top-k
+    cut. This is the relational bridge: the result is a distributed
+    ``DataFrame[doc_id long]`` that composes into larger plans (semi-join
+    a corpus table on it to get "WHERE matches(query)" semantics, feed it
+    to facet_counts, export it as a training-set manifest). The match set
+    stays fully distributed — never collected — so broad queries are
+    as scale-safe as the index scan itself."""
+    schema = "doc_id long"
+    plan = _compile_query(spark, cat, query, max_expansions, lex_rows,
+                          normalize)
+    if plan is None:
+        return spark.createDataFrame([], schema)
+    node, meta, by_term, blocks, positional = plan
+    if not any(t in by_term for t in positive_terms(node)):
+        return spark.createDataFrame([], schema)
+    kernel = _make_match_kernel(
+        node, int(meta["docs_per_shard"]), positional
+    )
+    return blocks.groupBy("shard").applyInPandas(kernel, schema)
+
+
+def _make_match_kernel(node, docs_per_shard: int, positional: bool):
+    if positional:
+        _check_shard_budget(docs_per_shard)
+    qterms = all_terms(node)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["shard"].iloc[0])
+        base = np.uint64(shard * docs_per_shard)
+        decoded = _decode_shard(pdf, qterms, positional)
+        matched = _eval_tree(node, decoded, base)
+        return pd.DataFrame({"doc_id": matched.astype(np.int64)})
+
+    return kernel
+
+
+def facet_counts(
+    spark: SparkSession,
+    cat: ParquetCatalog,
+    docs: DataFrame,
+    query,
+    facet_cols: list[str],
+    id_col: str = "doc_id",
+    max_expansions: int = MAX_EXPANSIONS,
+) -> DataFrame:
+    """Facet aggregation over the FULL match set of ``query`` (top-k
+    would bias facets): semi-join the corpus table on matching_docs, then
+    count per facet value. One shuffle for the join (AQE may broadcast
+    the match set when small), one partial-aggregated count — the
+    standard facet plan at any scale."""
+    m = matching_docs(spark, cat, query, max_expansions=max_expansions)
+    return (
+        docs.join(m.withColumnRenamed("doc_id", id_col), id_col, "leftsemi")
+        .groupBy(*facet_cols)
+        .agg(F.count("*").alias("n_docs"))
+    )

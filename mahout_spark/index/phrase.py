@@ -143,6 +143,39 @@ def _occurrence_keys(decoded: dict, cand: np.ndarray, base: np.uint64,
     return keys
 
 
+def _adjacency_start_keys(keys: dict, phrase: list[str]) -> np.ndarray:
+    """Composite occurrence keys where ``phrase`` starts: term[0]
+    occurrences s.t. ``key + i`` is an occurrence of term[i] for every
+    slot i. ``keys[t]`` = sorted composite keys of t's occurrences."""
+    starts = keys[phrase[0]]
+    for i, t in enumerate(phrase[1:], start=1):
+        if len(starts) == 0:
+            return starts
+        starts = starts[_sorted_member(starts + np.uint64(i), keys[t])]
+    return starts
+
+
+def _window_anchor_keys(keys: dict, distinct_terms: list[str],
+                        window: int) -> np.ndarray:
+    """Composite keys ``a`` s.t. every distinct term occurs in
+    ``[a, a + window]``. Anchoring at every occurrence of every term is
+    exhaustive: a minimal valid span starts at some term's occurrence.
+    The window never crosses a doc boundary (doc ids live in the key's
+    high bits and positions are < 2^POS_BITS)."""
+    anchors = np.sort(np.concatenate([keys[t] for t in distinct_terms]))
+    if len(anchors) == 0:
+        return anchors
+    ok = np.ones(len(anchors), dtype=bool)
+    w = np.uint64(window)
+    for t in distinct_terms:
+        kt = keys[t]
+        idx = np.searchsorted(kt, anchors)
+        ok &= (idx < len(kt)) & (
+            kt[np.minimum(idx, len(kt) - 1)] <= anchors + w
+        )
+    return anchors[ok]
+
+
 def _score_match_docs(decoded: dict, match_docs: np.ndarray,
                       distinct_terms: list[str], idf_by_term: dict,
                       k1: float, b: float, avgdl: float,
@@ -184,15 +217,10 @@ def _make_phrase_kernel(
             return _empty_result()
         decoded, cand, base = front
 
-        # adjacency over composite occurrence keys: phrase starts are
-        # term[0] occurrences s.t. key+i is an occurrence of term[i] for
-        # every slot i — duplicate phrase terms need no special casing.
+        # adjacency over composite occurrence keys — duplicate phrase
+        # terms need no special casing (each slot probes independently).
         keys = _occurrence_keys(decoded, cand, base, distinct_terms)
-        starts = keys[phrase[0]]
-        for i, t in enumerate(phrase[1:], start=1):
-            if len(starts) == 0:
-                return _empty_result()
-            starts = starts[_sorted_member(starts + np.uint64(i), keys[t])]
+        starts = _adjacency_start_keys(keys, phrase)
         if len(starts) == 0:
             return _empty_result()
         match_docs = np.unique(starts >> np.uint64(POS_BITS)) + base
@@ -224,20 +252,10 @@ def _make_proximity_kernel(
             return _empty_result()
         decoded, cand, base = front
         keys = _occurrence_keys(decoded, cand, base, distinct_terms)
-        anchors = np.sort(np.concatenate([keys[t] for t in distinct_terms]))
-        if len(anchors) == 0:
+        hits = _window_anchor_keys(keys, distinct_terms, window)
+        if len(hits) == 0:
             return _empty_result()
-        ok = np.ones(len(anchors), dtype=bool)
-        w = np.uint64(window)
-        for t in distinct_terms:
-            kt = keys[t]
-            idx = np.searchsorted(kt, anchors)
-            ok &= (idx < len(kt)) & (
-                kt[np.minimum(idx, len(kt) - 1)] <= anchors + w
-            )
-        if not ok.any():
-            return _empty_result()
-        match_docs = np.unique(anchors[ok] >> np.uint64(POS_BITS)) + base
+        match_docs = np.unique(hits >> np.uint64(POS_BITS)) + base
         return _score_match_docs(
             decoded, match_docs, distinct_terms, idf_by_term, k1, b, avgdl, k
         )

@@ -1,0 +1,297 @@
+"""Boolean query language for the fulltext index.
+
+The reference engine exposes hardcoded call sequences only; a user of a
+fulltext index expects a query STRING. This is the standard surface
+(Lucene's classic parser is the public model — behavior re-derived, no
+code shared):
+
+    table AND (scan OR merge) NOT stream
+    "table scan" OR prefix*
+    "data merge"~8 AND window
+
+Grammar (recursive descent, precedence NOT > AND > OR):
+
+    query   := or_expr
+    or_expr := and_expr (OR and_expr)*
+    and_expr:= unary (AND? unary)*        # adjacency = implicit AND
+    unary   := NOT unary | atom
+    atom    := '(' or_expr ')' | '"' words '"' ('~' int)? | word'*' | word
+
+* Operator keywords are UPPERCASE-only (``AND``/``OR``/``NOT``); the
+  lowercase words stay queryable terms, as in Lucene.
+* ``"a b"`` is exact adjacency (the phrase kernel); ``"a b"~w`` relaxes
+  to the engine's proximity semantics — all DISTINCT quoted terms
+  co-occur within a span of ``w+1`` consecutive token positions,
+  unordered (so ``~1`` means adjacent in either order). ``w`` must be
+  >= 1; exact phrase is the no-tilde form.
+* ``word*`` expands (at execution time) to the index's matching lexicon
+  terms, capped and OR-scored.
+* Bare words are normalized by the caller-supplied ``normalize`` (default:
+  the SQL-expressible simple tokenizer); a word that normalizes to
+  several tokens becomes their AND (inside quotes: spliced into the
+  phrase sequence).
+* ``NOT`` is set-subtraction and is only meaningful against positive
+  siblings: it must appear inside an AND with at least one positive
+  branch. Pure-negative queries (``NOT x``, ``NOT x OR y``) are rejected
+  at parse time, mirroring every production engine.
+
+Node forms (plain tuples — cheap to ship into the shard kernel):
+
+    ("term", t)
+    ("phrase", (t0, t1, ...), window_or_None)
+    ("prefix", p)
+    ("and", [children...])      # children may include ("not", node)
+    ("or", [children...])
+    ("not", node)
+"""
+
+from __future__ import annotations
+
+import re
+
+
+def _simple_normalize(word: str) -> list[str]:
+    return [t for t in re.split(r"[^a-z0-9]+", word.lower()) if t]
+
+
+_TOKEN_RE = re.compile(
+    r'\s*(?:(?P<lpar>\()|(?P<rpar>\))|"(?P<quoted>[^"]*)"(?:~(?P<slop>\d+))?'
+    r"|(?P<word>[^\s()\"]+))"
+)
+
+
+class QueryParseError(ValueError):
+    pass
+
+
+def _lex(q: str) -> list[tuple]:
+    out, i = [], 0
+    while i < len(q):
+        m = _TOKEN_RE.match(q, i)
+        if not m or m.end() == i:
+            if q[i:].strip():
+                raise QueryParseError(f"cannot tokenize query at: {q[i:]!r}")
+            break
+        i = m.end()
+        if m.group("lpar"):
+            out.append(("(",))
+        elif m.group("rpar"):
+            out.append((")",))
+        elif m.group("quoted") is not None:
+            slop = m.group("slop")
+            out.append(("quote", m.group("quoted"), int(slop) if slop else None))
+        else:
+            out.append(("word", m.group("word")))
+    return out
+
+
+class _Parser:
+    def __init__(self, tokens: list, normalize):
+        self.toks = tokens
+        self.pos = 0
+        self.norm = normalize
+
+    def peek(self):
+        return self.toks[self.pos] if self.pos < len(self.toks) else None
+
+    def next(self):
+        t = self.peek()
+        self.pos += 1
+        return t
+
+    def parse(self):
+        node = self.or_expr()
+        if self.peek() is not None:
+            raise QueryParseError(f"unexpected token: {self.peek()}")
+        return node
+
+    def or_expr(self):
+        parts = [self.and_expr()]
+        while self.peek() == ("word", "OR"):
+            self.next()
+            parts.append(self.and_expr())
+        return parts[0] if len(parts) == 1 else ("or", parts)
+
+    def and_expr(self):
+        parts = [self.unary()]
+        while True:
+            t = self.peek()
+            if t == ("word", "AND"):
+                self.next()
+                parts.append(self.unary())
+            elif t is not None and t != ("word", "OR") and t[0] != ")":
+                parts.append(self.unary())  # implicit AND
+            else:
+                break
+        return parts[0] if len(parts) == 1 else ("and", parts)
+
+    def unary(self):
+        if self.peek() == ("word", "NOT"):
+            self.next()
+            return ("not", self.unary())
+        return self.atom()
+
+    def atom(self):
+        t = self.next()
+        if t is None:
+            raise QueryParseError("unexpected end of query")
+        if t[0] == "(":
+            node = self.or_expr()
+            if self.next() != (")",):
+                raise QueryParseError("missing closing parenthesis")
+            return node
+        if t[0] == ")":
+            raise QueryParseError("unexpected ')'")
+        if t[0] == "quote":
+            seq = []
+            for w in t[1].split():
+                seq.extend(self.norm(w))
+            if not seq:
+                raise QueryParseError(f"empty phrase: {t[1]!r}")
+            window = t[2]
+            if window is not None and window < 1:
+                raise QueryParseError("phrase slop must be >= 1")
+            if len(seq) == 1 and window is None:
+                return ("term", seq[0])
+            return ("phrase", tuple(seq), window)
+        word = t[1]
+        if word in ("AND", "OR", "NOT"):
+            raise QueryParseError(f"operator {word} needs an operand")
+        if word.endswith("*") and len(word) > 1 and "*" not in word[:-1]:
+            stem = self.norm(word[:-1])
+            if len(stem) != 1:
+                raise QueryParseError(f"bad prefix pattern: {word!r}")
+            return ("prefix", stem[0])
+        if "*" in word:
+            raise QueryParseError(
+                f"only trailing-* prefix patterns are supported: {word!r}"
+            )
+        toks = self.norm(word)
+        if not toks:
+            raise QueryParseError(f"word normalizes to nothing: {word!r}")
+        if len(toks) == 1:
+            return ("term", toks[0])
+        return ("and", [("term", x) for x in toks])
+
+
+def parse(query: str, normalize=_simple_normalize):
+    """Parse a query string into a validated node tree."""
+    tokens = _lex(query)
+    if not tokens:
+        raise QueryParseError("empty query")
+    node = _Parser(tokens, normalize).parse()
+    validate(node)
+    return node
+
+
+def validate(node) -> None:
+    """Reject trees no engine can answer without the doc universe: NOT at
+    the top level, under OR, or in an AND with no positive sibling."""
+
+    def rec(n, ctx):
+        kind = n[0]
+        if kind == "not":
+            if ctx != "and":
+                raise QueryParseError(
+                    "NOT is only supported inside an AND with at least "
+                    "one positive branch"
+                )
+            rec(n[1], "not")
+        elif kind == "and":
+            children = n[1]
+            if all(c[0] == "not" for c in children):
+                raise QueryParseError(
+                    "AND of only NOT branches is a pure-negative query"
+                )
+            for c in children:
+                rec(c, "and")
+        elif kind == "or":
+            for c in n[1]:
+                rec(c, "or")
+        elif kind not in ("term", "phrase", "prefix"):
+            raise QueryParseError(f"unknown node kind: {kind!r}")
+
+    rec(node, "top")
+
+
+def all_terms(node) -> list[str]:
+    """Every concrete term in the tree (negated included; prefixes are
+    not terms until expanded) — sorted, distinct."""
+    out: set = set()
+
+    def rec(n):
+        if n[0] == "term":
+            out.add(n[1])
+        elif n[0] == "phrase":
+            out.update(n[1])
+        elif n[0] == "not":
+            rec(n[1])
+        elif n[0] in ("and", "or"):
+            for c in n[1]:
+                rec(c)
+
+    rec(node)
+    return sorted(out)
+
+
+def positive_terms(node) -> list[str]:
+    """Terms NOT under any NOT — the BM25 scoring set — sorted, distinct."""
+    out: set = set()
+
+    def rec(n, neg):
+        if n[0] == "term":
+            if not neg:
+                out.add(n[1])
+        elif n[0] == "phrase":
+            if not neg:
+                out.update(n[1])
+        elif n[0] == "not":
+            rec(n[1], True)
+        elif n[0] in ("and", "or"):
+            for c in n[1]:
+                rec(c, neg)
+
+    rec(node, False)
+    return sorted(out)
+
+
+def prefixes(node) -> list[str]:
+    out: set = set()
+
+    def rec(n):
+        if n[0] == "prefix":
+            out.add(n[1])
+        elif n[0] == "not":
+            rec(n[1])
+        elif n[0] in ("and", "or"):
+            for c in n[1]:
+                rec(c)
+
+    rec(node)
+    return sorted(out)
+
+
+def has_phrase(node) -> bool:
+    if node[0] == "phrase":
+        return True
+    if node[0] == "not":
+        return has_phrase(node[1])
+    if node[0] in ("and", "or"):
+        return any(has_phrase(c) for c in node[1])
+    return False
+
+
+def expand_prefixes(node, expansions: dict):
+    """Replace every ("prefix", p) with the OR of its expansion terms
+    (("or", []) when nothing matched — evaluates to the empty set)."""
+    kind = node[0]
+    if kind == "prefix":
+        terms = expansions.get(node[1], [])
+        if len(terms) == 1:
+            return ("term", terms[0])
+        return ("or", [("term", t) for t in terms])
+    if kind == "not":
+        return ("not", expand_prefixes(node[1], expansions))
+    if kind in ("and", "or"):
+        return (kind, [expand_prefixes(c, expansions) for c in node[1]])
+    return node

@@ -50,6 +50,8 @@ class Searcher:
         self._epoch: tuple | None = None
         # term -> (bucket, df) | None for known-absent terms
         self._terms: dict[str, tuple | None] = {}
+        # (prefix, cap) -> [(term, bucket, df)] lexicon expansions
+        self._prefix: dict[tuple, list] = {}
         self._meta: dict = {}
 
     # -- cache epoch --------------------------------------------------------
@@ -71,6 +73,7 @@ class Searcher:
         if epoch != self._epoch:
             self._epoch = epoch
             self._terms.clear()
+            self._prefix.clear()
             self._meta = meta
 
     # -- lexicon ------------------------------------------------------------
@@ -267,3 +270,52 @@ class Searcher:
             Row(doc_id=int(d), score=float(s))
             for d, s in zip(merged["doc_id"], merged["score"])
         ]
+
+    # -- boolean query language ---------------------------------------------
+
+    def _prefix_rows(self, prefix: str, cap: int) -> list:
+        """Epoch-cached lexicon expansion of ``prefix*``: the ``cap``
+        highest-df matching terms (df desc, term asc). First hit pays one
+        column-pruned lexicon scan (TakeOrderedAndProject, no shuffle);
+        repeats are free until the index mutates."""
+        key = (prefix, cap)
+        if key not in self._prefix:
+            lex = self.cat.read(self.spark, "lexicon")
+            self._prefix[key] = (
+                lex.filter(F.col("term").startswith(prefix))
+                .select("term", "bucket", "df")
+                .orderBy(F.col("df").desc(), F.col("term").asc())
+                .limit(cap)
+                .collect()
+            )
+            for r in self._prefix[key]:
+                self._terms[r["term"]] = (int(r["bucket"]), int(r["df"]))
+        return self._prefix[key]
+
+    def query(
+        self, q, k: int = 10, max_expansions: int | None = None,
+        merge: str = "spark",
+    ) -> DataFrame:
+        """Boolean query-string retrieval (queryparse grammar: AND/OR/NOT,
+        "exact phrase", "slop phrase"~w, prefix*) over the warm caches:
+        term lookups hit the per-term lexicon cache, prefix expansions an
+        epoch-keyed expansion cache — a fully warm boolean query launches
+        ZERO lexicon jobs before the postings scan."""
+        from mahout_spark.index import boolquery
+        from mahout_spark.index import queryparse as qp
+
+        self._ensure_fresh()
+        cap = boolquery.MAX_EXPANSIONS if max_expansions is None else max_expansions
+        node = qp.parse(q) if isinstance(q, str) else q
+        qp.validate(node)
+        pres = qp.prefixes(node)
+        if pres:
+            expansions = {
+                p: [r["term"] for r in self._prefix_rows(p, cap)]
+                for p in pres
+            }
+            node = qp.expand_prefixes(node, expansions)
+        lex = self._lex_rows(qp.all_terms(node))
+        return boolquery.boolean_topk(
+            self.spark, self.cat, node, k=k, lex_rows=lex, merge=merge,
+        )

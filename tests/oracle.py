@@ -128,6 +128,72 @@ class OracleIndex:
                     break
         return out
 
+    def boolean_search(self, node, k=10, max_expansions=64):
+        """Ranked-boolean oracle: brute-force tree evaluation per doc,
+        scored by the BM25 sum of the tree's positive terms the doc
+        contains. Prefix leaves expand to the corpus's matching terms
+        (df desc, term asc, capped) — mirroring the engine's lexicon
+        expansion so results are comparable."""
+        from mahout_spark.index import queryparse as qp
+
+        if isinstance(node, str):
+            node = qp.parse(node)
+        exp = {}
+        for p in qp.prefixes(node):
+            cands = sorted(
+                (t for t in self.df if t.startswith(p)),
+                key=lambda t: (-self.df[t], t),
+            )[:max_expansions]
+            exp[p] = cands
+        node = qp.expand_prefixes(node, exp)
+        score_terms = qp.positive_terms(node)
+
+        def matches(doc_id, n):
+            kind = n[0]
+            if kind == "term":
+                return self.tf[doc_id][n[1]] > 0
+            if kind == "phrase":
+                seq, window = list(n[1]), n[2]
+                toks = self.tokens[doc_id]
+                if window is None:
+                    L = len(seq)
+                    return any(
+                        toks[i:i + L] == seq
+                        for i in range(len(toks) - L + 1)
+                    )
+                qt = sorted(set(seq))
+                pos = {
+                    t: [i for i, x in enumerate(toks) if x == t] for t in qt
+                }
+                if any(not v for v in pos.values()):
+                    return False
+                return any(
+                    all(any(a <= p <= a + window for p in pos[t]) for t in qt)
+                    for t0 in qt
+                    for a in pos[t0]
+                )
+            if kind == "or":
+                return any(matches(doc_id, c) for c in n[1])
+            if kind == "and":
+                return all(
+                    not matches(doc_id, c[1]) if c[0] == "not"
+                    else matches(doc_id, c)
+                    for c in n[1]
+                )
+            raise ValueError(kind)
+
+        results = []
+        for doc_id in self.tokens:
+            if not matches(doc_id, node):
+                continue
+            present = [t for t in score_terms if self.tf[doc_id][t] > 0]
+            if not present:
+                continue
+            score = sum(self.bm25(doc_id, t) for t in sorted(present))
+            results.append((doc_id, score))
+        results.sort(key=lambda r: (-r[1], r[0]))
+        return results[:k]
+
     def positions(self, doc_id, term) -> list:
         """0-based token indices of term in the doc's surviving stream."""
         return [i for i, t in enumerate(self.tokens[doc_id]) if t == term]

@@ -1,0 +1,200 @@
+"""Boolean query language: parser unit tests + ranked-boolean execution
+vs the brute-force oracle (match set AND scores), incl. phrase/slop
+leaves, NOT subtraction, prefix expansion, and both index layouts."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mahout_spark.index import queryparse as qp
+from mahout_spark.index.boolquery import boolean_topk
+from mahout_spark.index.build import build_index
+from tests.oracle import OracleIndex
+
+# -- parser -----------------------------------------------------------------
+
+
+def test_parse_precedence_not_and_or():
+    assert qp.parse("a b OR c") == (
+        "or", [("and", [("term", "a"), ("term", "b")]), ("term", "c")]
+    )
+    assert qp.parse("a AND NOT b OR c") == (
+        "or", [("and", [("term", "a"), ("not", ("term", "b"))]), ("term", "c")]
+    )
+    assert qp.parse("(a OR b) c") == (
+        "and", [("or", [("term", "a"), ("term", "b")]), ("term", "c")]
+    )
+
+
+def test_parse_phrase_and_slop():
+    assert qp.parse('"table scan"') == ("phrase", ("table", "scan"), None)
+    assert qp.parse('"table scan"~3') == ("phrase", ("table", "scan"), 3)
+    assert qp.parse('"solo"') == ("term", "solo")  # 1-word quote collapses
+    with pytest.raises(qp.QueryParseError):
+        qp.parse('"a b"~0')
+
+
+def test_parse_prefix_and_normalization():
+    assert qp.parse("mer*") == ("prefix", "mer")
+    assert qp.parse("Foo-Bar") == (
+        "and", [("term", "foo"), ("term", "bar")]
+    )  # normalizer splits; lowercase keywords stay terms
+    assert qp.parse("a or b") == (
+        "and", [("term", "a"), ("term", "or"), ("term", "b")]
+    )
+
+
+@pytest.mark.parametrize("bad", [
+    "", "NOT a", "NOT a OR b", "a OR NOT b", "(a", "a)", "AND", "a AND",
+    "*", "a*b", "NOT NOT a",
+])
+def test_parse_rejects(bad):
+    with pytest.raises(qp.QueryParseError):
+        qp.parse(bad)
+
+
+def test_parse_not_needs_positive_sibling():
+    with pytest.raises(qp.QueryParseError):
+        qp.parse("NOT a NOT b")
+    assert qp.parse("a NOT b") == (
+        "and", [("term", "a"), ("not", ("term", "b"))]
+    )
+
+
+def test_tree_helpers():
+    n = qp.parse('("table scan" OR mer*) AND data NOT stream')
+    assert qp.all_terms(n) == ["data", "scan", "stream", "table"]
+    assert qp.positive_terms(n) == ["data", "scan", "table"]
+    assert qp.prefixes(n) == ["mer"]
+    assert qp.has_phrase(n)
+    e = qp.expand_prefixes(n, {"mer": ["merge", "merged"]})
+    assert qp.all_terms(e) == ["data", "merge", "merged", "scan", "stream", "table"]
+    assert qp.prefixes(e) == []
+
+
+# -- execution --------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    return docs.select("doc_id", F.col("text").alias("content"))
+
+
+@pytest.fixture(scope="module")
+def pos_built(spark, corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("boolidx"))
+    return build_index(
+        spark, corpus, out, content_col="content", id_cols=["doc_id"],
+        mode="simple", n_buckets=4, docs_per_shard=64, block_size=16,
+        positions=True,
+    )
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    rows = corpus.collect()
+    return OracleIndex(
+        {r["doc_id"]: r["content"] for r in rows}, mode="simple"
+    )
+
+
+def _rows(df):
+    return [(r["doc_id"], r["score"]) for r in df.collect()]
+
+
+BOOL_QUERIES = [
+    "table AND scan",
+    "table OR scan OR merge",
+    "table scan NOT merge",
+    '("table scan" OR merge) AND data NOT stream',
+    '"data merge"~8 OR "table scan"',
+    "data AND (merge OR window) NOT (batch OR row)",
+    "zzznosuchterm OR table",
+    "zzznosuchterm AND table",
+    "table NOT zzznosuchterm",
+]
+
+
+@pytest.mark.parametrize("q", BOOL_QUERIES)
+def test_boolean_matches_oracle(spark, pos_built, oracle, q):
+    got = _rows(boolean_topk(spark, pos_built, q, k=10))
+    want = oracle.boolean_search(q, k=10)
+    assert [g[0] for g in got] == [w[0] for w in want], q
+    for g, w in zip(got, want):
+        assert g[1] == pytest.approx(w[1], abs=1e-9)
+
+
+def test_boolean_prefix_expansion_matches_oracle(spark, pos_built, oracle):
+    q = "mer* AND data"
+    got = _rows(boolean_topk(spark, pos_built, q, k=10))
+    want = oracle.boolean_search(q, k=10)
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        assert g[1] == pytest.approx(w[1], abs=1e-9)
+
+
+def test_boolean_prefix_no_match_is_empty(spark, pos_built):
+    assert _rows(boolean_topk(spark, pos_built, "zzzq* AND table", k=10)) == []
+
+
+def test_boolean_or_equals_wand_or(spark, pos_built):
+    """`a OR b` must rank exactly like the OR retrieval kernel."""
+    from mahout_spark.index.wand import topk
+
+    got = _rows(boolean_topk(spark, pos_built, "table OR scan", k=10))
+    want = _rows(topk(spark, pos_built, ["table", "scan"], k=10))
+    assert got == want
+
+
+def test_boolean_and_equals_wand_and(spark, pos_built):
+    from mahout_spark.index.wand import topk
+
+    got = _rows(boolean_topk(spark, pos_built, "table AND scan", k=10))
+    want = _rows(topk(spark, pos_built, ["table", "scan"], k=10,
+                      mode_all=True))
+    assert got == want
+
+
+def test_boolean_phrase_only_equals_phrase_topk(spark, pos_built):
+    from mahout_spark.index.phrase import phrase_topk
+
+    got = _rows(boolean_topk(spark, pos_built, '"table scan"', k=10))
+    want = _rows(phrase_topk(spark, pos_built, ["table", "scan"], k=10))
+    assert got == want
+
+
+def test_boolean_on_nonpositional_index(spark, corpus, tmp_path_factory,
+                                        oracle):
+    """Plain boolean trees run on a positionless index; phrase leaves
+    raise the positional requirement."""
+    out = str(tmp_path_factory.mktemp("boolnopos"))
+    cat = build_index(
+        spark, corpus, out, content_col="content", id_cols=["doc_id"],
+        mode="simple", n_buckets=4, docs_per_shard=64, block_size=16,
+    )
+    q = "table scan NOT merge"
+    got = _rows(boolean_topk(spark, cat, q, k=10))
+    want = oracle.boolean_search(q, k=10)
+    assert [g[0] for g in got] == [w[0] for w in want]
+    with pytest.raises(ValueError, match="positions=True"):
+        boolean_topk(spark, cat, '"table scan"')
+
+
+def test_boolean_driver_merge_matches_spark_merge(spark, pos_built):
+    q = '("table scan" OR merge) AND data'
+    assert _rows(boolean_topk(spark, pos_built, q, k=10)) == _rows(
+        boolean_topk(spark, pos_built, q, k=10, merge="driver")
+    )
+
+
+def test_searcher_query_matches_boolean_topk(spark, pos_built):
+    from mahout_spark.index.searcher import Searcher
+
+    s = Searcher(spark, pos_built)
+    for q in ('("table scan" OR merge) AND data NOT stream',
+              "mer* OR table",
+              '"data merge"~8'):
+        direct = _rows(boolean_topk(spark, pos_built, q, k=10))
+        assert _rows(s.query(q, k=10)) == direct, q
+        # warm repeat serves from the term + prefix caches
+        assert _rows(s.query(q, k=10)) == direct, q

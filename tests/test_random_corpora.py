@@ -211,3 +211,58 @@ def test_positional_ops_equal_oracle_on_random_corpus(
         assert [d for d, _ in got] == [d for d, _ in exp], (terms, w)
         for (_, s1), (_, s2) in zip(got, exp):
             assert s1 == pytest.approx(s2, rel=1e-9)
+
+
+def _random_tree(rng, vocab, depth=0):
+    r = rng.random()
+    if depth >= 2 or r < 0.45:
+        if r < 0.12:
+            t = rng.choice(vocab)
+            pl = min(len(t), rng.randint(1, 2))
+            return ("prefix", t[:pl])
+        return ("term", rng.choice(vocab))
+    kids = [_random_tree(rng, vocab, depth + 1)
+            for _ in range(rng.randint(2, 3))]
+    if r < 0.7:
+        return ("or", kids)
+    if rng.random() < 0.5:  # AND with one negated branch
+        kids.append(("not", _random_tree(rng, vocab, depth + 1)))
+    return ("and", kids)
+
+
+@pytest.mark.parametrize("seed", [7, 31])
+def test_boolean_trees_equal_oracle_on_random_corpus(
+    spark, tmp_path_factory, seed
+):
+    """Random boolean trees (nested AND/OR, NOT branches, prefix leaves)
+    must match the brute-force oracle on skewed random corpora."""
+    from mahout_spark.index.boolquery import boolean_topk
+    from mahout_spark.index.build import build_index
+    from mahout_spark.index.queryparse import validate
+
+    docs = _random_corpus(seed, 110)
+    oracle = OracleIndex(docs, mode="simple")
+    sdf = spark.createDataFrame(
+        [(k, v) for k, v in docs.items()], ["doc_id", "content"]
+    )
+    out = str(tmp_path_factory.mktemp(f"bool_rand{seed}"))
+    cat = build_index(
+        spark, sdf, out, content_col="content", mode="simple",
+        n_buckets=4, docs_per_shard=32, block_size=8, resume=False,
+    )
+    rng = random.Random(seed * 17)
+    vocab = sorted(oracle.df)
+    done = 0
+    while done < 6:
+        tree = _random_tree(rng, vocab)
+        try:
+            validate(tree)
+        except Exception:
+            continue
+        done += 1
+        exp = oracle.boolean_search(tree, k=15)
+        got = [(r["doc_id"], r["score"])
+               for r in boolean_topk(spark, cat, tree, k=15).collect()]
+        assert [d for d, _ in got] == [d for d, _ in exp], tree
+        for (_, s1), (_, s2) in zip(got, exp):
+            assert s1 == pytest.approx(s2, rel=1e-9)
