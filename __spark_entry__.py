@@ -297,6 +297,81 @@ def q_engine_indexed_bm25_simple(spark, sf_dir):
 
 
 PHRASE_QUERY = ["table", "scan"]
+DELETE_MOD = 7
+
+
+def q_engine_delete_search(spark, sf_dir):
+    """Tombstone deletion (X43, index/delete.py): build the simple-mode
+    index, delete every doc with doc_id % DELETE_MOD == 0 (an O(1)
+    metadata write — postings untouched), and run the standard BM25
+    query. Lucene semantics, oracle-pinned: deleted docs vanish from
+    results immediately, but df/avgdl/N keep their PRE-delete values
+    until compaction — so the oracle is the full-corpus BM25 relation
+    with only the final candidate set restricted to live docs."""
+    import shutil
+    import tempfile
+
+    from mahout_spark.index.build import build_index
+    from mahout_spark.index.delete import delete_docs
+    from mahout_spark.index.wand import topk
+
+    docs = _load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="msdrv_del_")
+    try:
+        cat = build_index(
+            spark, docs, out_dir=out, content_col="text",
+            id_cols=["doc_id"], mode="simple", resume=False,
+        )
+        delete_docs(
+            spark, cat,
+            docs.filter(F.col("doc_id") % DELETE_MOD == 0)
+            .select("doc_id"),
+        )
+        result = topk(spark, cat, BM25_QUERY_TERMS, k=10).select(
+            "doc_id", F.round("score", 6).alias("score")
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def q_engine_delete_purge_search(spark, sf_dir):
+    """Purge-at-compaction (X43's reclamation half): same deletes as
+    engine_delete_search, then compact_index(purge_deleted=True) — tf_raw
+    and docstats shed the tombstoned rows, df/avgdl/N recompute, postings
+    re-encode. The oracle is therefore the BM25 relation computed over
+    the LIVE corpus only: post-purge scores must equal a from-scratch
+    build over the surviving docs (block-level equality is pytest-gated
+    in tests/test_delete.py; this pins the score side to DuckDB)."""
+    import shutil
+    import tempfile
+
+    from mahout_spark.index.build import build_index
+    from mahout_spark.index.compact import compact_index
+    from mahout_spark.index.delete import delete_docs
+    from mahout_spark.index.wand import topk
+
+    docs = _load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="msdrv_prg_")
+    try:
+        cat = build_index(
+            spark, docs, out_dir=out, content_col="text",
+            id_cols=["doc_id"], mode="simple", resume=False,
+        )
+        delete_docs(
+            spark, cat,
+            docs.filter(F.col("doc_id") % DELETE_MOD == 0)
+            .select("doc_id"),
+        )
+        compact_index(spark, cat)
+        result = topk(spark, cat, BM25_QUERY_TERMS, k=10).select(
+            "doc_id", F.round("score", 6).alias("score")
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
 
 
 def q_engine_phrase_search(spark, sf_dir):
@@ -392,6 +467,39 @@ def q_engine_prefix_search(spark, sf_dir):
         )
         result = boolean_topk(spark, cat, PREFIX_QUERY, k=10).select(
             "doc_id", F.round("score", 6).alias("score")
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def q_engine_facet_search(spark, sf_dir):
+    """Facet aggregation over the FULL boolean match set (X45,
+    boolquery.matching_docs + facet_counts): BOOL_QUERY's match set
+    stays a distributed DataFrame, the corpus table is semi-joined on
+    it, and counts roll up per (lang, source) — the standard search-
+    engine facet plan (Lucene facets over a filter), here expressed as
+    one shuffle join + one partial-aggregated count. The DuckDB oracle
+    recomputes the same boolean tree with SQL set ops and groups the
+    matching documents directly."""
+    import shutil
+    import tempfile
+
+    from mahout_spark.index.boolquery import facet_counts
+    from mahout_spark.index.build import build_index
+
+    docs = _load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="msdrv_fct_")
+    try:
+        cat = build_index(
+            spark, docs, out_dir=out, content_col="text",
+            id_cols=["doc_id"], mode="simple", resume=False,
+            positions=True,
+        )
+        result = (
+            facet_counts(spark, cat, docs, BOOL_QUERY, ["lang", "source"])
+            .orderBy("lang", "source")
         )
         rows = result.collect()
         return spark.createDataFrame(rows, result.schema)
@@ -889,10 +997,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_bm25_search": q_engine_bm25_search,
         "engine_indexed_bm25": q_engine_indexed_bm25,
         "engine_indexed_bm25_simple": q_engine_indexed_bm25_simple,
+        "engine_delete_search": q_engine_delete_search,
+        "engine_delete_purge_search": q_engine_delete_purge_search,
         "engine_phrase_search": q_engine_phrase_search,
         "engine_proximity_search": q_engine_proximity_search,
         "engine_boolean_search": q_engine_boolean_search,
         "engine_prefix_search": q_engine_prefix_search,
+        "engine_facet_search": q_engine_facet_search,
         "phrase_snippets": q_phrase_snippets,
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
@@ -1310,6 +1421,29 @@ def _base_oracle_sql() -> dict[str, str]:
         SELECT doc_id, score FROM agg
         ORDER BY score DESC, doc_id ASC LIMIT 10
         """,
+        # tombstone deletion: stats stay pre-delete (full-corpus BM25
+        # relation), only the candidate set loses the deleted docs —
+        # exactly Lucene's delete-before-merge contract
+        "engine_delete_search": _BM25_BASE + f"""
+        SELECT doc_id, score FROM agg
+        WHERE doc_id % {DELETE_MOD} <> 0
+        ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        # purge-at-compaction: the whole BM25 relation (tf/df/dl/scal)
+        # recomputes over the LIVE corpus — the engine's compacted index
+        # must score as if the deleted docs never existed
+        "engine_delete_purge_search": _BM25_BASE.replace(
+            "FROM documents WHERE text IS NOT NULL",
+            f"FROM documents WHERE text IS NOT NULL "
+            f"AND doc_id % {DELETE_MOD} <> 0",
+        ).replace(
+            "(SELECT count(*) FROM documents) AS n_docs",
+            f"(SELECT count(*) FROM documents "
+            f"WHERE doc_id % {DELETE_MOD} <> 0) AS n_docs",
+        ) + """
+        SELECT doc_id, score FROM agg
+        ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
         # identical oracle text: the indexed engine must reproduce the
         # naive scorer's answer exactly (build->encode->prune->WAND)
         "engine_indexed_bm25_simple": _BM25_BASE + """
@@ -1445,6 +1579,33 @@ def _base_oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, score FROM agg
         ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        # facet oracle: the boolean tree re-evaluated with SQL set ops
+        # (same relation as engine_boolean_search's matched CTE), then
+        # the matching documents grouped per (lang, source) directly —
+        # no top-k cut, facets aggregate the FULL match set
+        "engine_facet_search": _TOK_CTE + """
+        , stream_s AS (
+            SELECT doc_id,
+                   ' ' || array_to_string(list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9]+'),
+                       t -> t <> ''), ' ') || ' ' AS s
+            FROM documents WHERE text IS NOT NULL
+        ), or_docs AS (
+            SELECT doc_id FROM stream_s WHERE s LIKE '% table scan %'
+            UNION
+            SELECT doc_id FROM tf WHERE term = 'merge'
+        ), matched AS (
+            SELECT doc_id FROM or_docs
+            INTERSECT
+            SELECT doc_id FROM tf WHERE term = 'data'
+            EXCEPT
+            SELECT doc_id FROM tf WHERE term = 'stream'
+        )
+        SELECT d.lang, d.source, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents d JOIN matched USING (doc_id)
+        GROUP BY d.lang, d.source
+        ORDER BY d.lang, d.source
         """,
         # snippet oracle: stream-strpos locates the phrase, the space
         # count over the stream prefix recovers the 0-based token index,

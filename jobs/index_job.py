@@ -1,0 +1,165 @@
+"""Cluster entrypoint for the index engine, run via spark-submit.
+
+This is the operational surface the north rule names::
+
+    spark-submit --master <cluster> --py-files dist/mahout_spark.zip \
+        jobs/index_job.py build --input <docs parquet/dir> --out <index dir>
+
+    spark-submit ... jobs/index_job.py query --out <index dir> \
+        --terms data,merge --k 10
+
+    spark-submit ... jobs/index_job.py compact --out <index dir>
+
+The script carries NO engine logic — it parses arguments, obtains the
+session spark-submit configured (master/conf come from the submit
+command line, not from here), calls the library, and prints exactly one
+JSON metrics line to stdout so schedulers and the bench harness can
+scrape results uniformly. ``mahout_spark`` must arrive via --py-files
+(or an image); tests/test_submit.py runs this file through a real
+spark-submit with a clean interpreter to prove the zip is sufficient.
+
+Subcommands:
+
+* ``build``   — tokenize + index a docs table; emits n_docs, wall
+  seconds, docs/sec and the index meta stats.
+* ``query``   — BM25 top-k (OR or AND) against a built index; emits the
+  ranked (doc_id, score) rows.
+* ``compact`` — re-encode postings after appends/deletes (tight bounds
+  again; purges tombstones unless --no-purge).
+* ``delete``  — tombstone doc_ids (O(1) metadata write, index/delete.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _json_line(obj: dict) -> None:
+    sys.stdout.write(json.dumps(obj, sort_keys=True) + "\n")
+    sys.stdout.flush()
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(description="mahout_spark index jobs")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--input", required=True,
+                   help="docs table: parquet file/dir")
+    b.add_argument("--out", required=True, help="index output dir")
+    b.add_argument("--content-col", default="content")
+    b.add_argument("--id-cols", default=None,
+                   help="comma-separated id columns (default: engine "
+                        "derives dense ids)")
+    b.add_argument("--mode", default="text",
+                   choices=["text", "simple", "code"])
+    b.add_argument("--lang-col", default=None)
+    b.add_argument("--n-buckets", type=int, default=8)
+    b.add_argument("--positions", action="store_true")
+    b.add_argument("--no-resume", action="store_true")
+    b.add_argument("--build-commit", default="")
+
+    q = sub.add_parser("query")
+    q.add_argument("--out", required=True, help="index dir")
+    q.add_argument("--terms", required=True,
+                   help="comma-separated query terms")
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--all", action="store_true",
+                   help="AND semantics (default OR)")
+
+    c = sub.add_parser("compact")
+    c.add_argument("--out", required=True, help="index dir")
+    c.add_argument("--no-purge", action="store_true",
+                   help="keep tombstoned docs (skip purge)")
+
+    d = sub.add_parser("delete")
+    d.add_argument("--out", required=True, help="index dir")
+    d.add_argument("--ids", required=True,
+                   help="comma-separated doc_ids to tombstone")
+
+    ns = ap.parse_args(argv)
+
+    # Import AFTER argparse so `--help` works without the zip; under
+    # spark-submit the --py-files archive is already on sys.path here.
+    from pyspark.sql import SparkSession
+
+    from mahout_spark.index.build import build_index
+    from mahout_spark.index.compact import compact_index
+    from mahout_spark.index.delete import delete_docs
+    from mahout_spark.index.wand import topk
+    from mahout_spark.sources.catalog import ParquetCatalog
+
+    # spark-submit owns master/deploy-mode/conf; take the session as-is.
+    spark = SparkSession.builder.appName(
+        f"mahout_spark-{ns.cmd}"
+    ).getOrCreate()
+    try:
+        if ns.cmd == "build":
+            started = time.time()
+            docs = spark.read.parquet(ns.input)
+            cat = build_index(
+                spark, docs, out_dir=ns.out,
+                content_col=ns.content_col,
+                id_cols=ns.id_cols.split(",") if ns.id_cols else None,
+                mode=ns.mode, lang_col=ns.lang_col,
+                n_buckets=ns.n_buckets, positions=ns.positions,
+                resume=not ns.no_resume,
+                build_commit=ns.build_commit,
+            )
+            meta = cat.read_meta("postings")
+            wall = time.time() - started
+            _json_line({
+                "job": "build", "out": ns.out, "sec": round(wall, 4),
+                "n_docs": meta["n_docs"],
+                "docs_per_sec": round(meta["n_docs"] / wall, 2),
+                "avgdl": meta["avgdl"], "n_buckets": meta["n_buckets"],
+                "positional": bool(meta.get("positional")),
+            })
+        elif ns.cmd == "query":
+            cat = ParquetCatalog(ns.out)
+            terms = [t for t in ns.terms.split(",") if t]
+            started = time.time()
+            rows = topk(
+                spark, cat, terms, k=ns.k, mode_all=ns.all
+            ).collect()
+            _json_line({
+                "job": "query", "terms": terms, "k": ns.k,
+                "mode": "and" if ns.all else "or",
+                "sec": round(time.time() - started, 4),
+                "results": [
+                    {"doc_id": r["doc_id"], "score": round(r["score"], 6)}
+                    for r in rows
+                ],
+            })
+        elif ns.cmd == "compact":
+            cat = ParquetCatalog(ns.out)
+            started = time.time()
+            meta = compact_index(
+                spark, cat, purge_deleted=not ns.no_purge
+            )
+            _json_line({
+                "job": "compact", "out": ns.out,
+                "sec": round(time.time() - started, 4),
+                "n_docs": meta["n_docs"], "appends": meta["appends"],
+                "deletes": int(meta.get("deletes", 0)),
+            })
+        else:  # delete
+            cat = ParquetCatalog(ns.out)
+            started = time.time()
+            meta = delete_docs(
+                spark, cat, [int(x) for x in ns.ids.split(",") if x]
+            )
+            _json_line({
+                "job": "delete", "out": ns.out,
+                "sec": round(time.time() - started, 4),
+                "deletes": int(meta["deletes"]),
+            })
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -157,7 +157,8 @@ def _eval_tree(node, decoded: dict, base: np.uint64) -> np.ndarray:
 
 def _make_boolean_kernel(node, score_terms: list[str], idf_by_term: dict,
                          k1: float, b: float, avgdl: float, k: int,
-                         docs_per_shard: int, positional: bool):
+                         docs_per_shard: int, positional: bool,
+                         deleted: np.ndarray | None = None):
     if positional:
         _check_shard_budget(docs_per_shard)
     qterms = all_terms(node)
@@ -171,7 +172,8 @@ def _make_boolean_kernel(node, score_terms: list[str], idf_by_term: dict,
         if len(matched) == 0 or not present_scores:
             return _empty_result()
         return _score_match_docs(
-            decoded, matched, present_scores, idf_by_term, k1, b, avgdl, k
+            decoded, matched, present_scores, idf_by_term, k1, b, avgdl,
+            k, deleted=deleted,
         )
 
     return kernel
@@ -240,9 +242,14 @@ def _compile_query(spark, cat, query, max_expansions, lex_rows, normalize):
     blocks = cat.read_partitions(spark, "postings", "bucket", buckets).filter(
         F.col("term").isin(sorted(by_term))
     )
+    deleted = None
+    if int(meta.get("deletes", 0)):
+        from mahout_spark.index.delete import deleted_array
+
+        deleted = deleted_array(spark, cat, meta)
     return node, meta, by_term, blocks, (
         positional_needed and bool(meta.get("positional"))
-    )
+    ), deleted
 
 
 def boolean_topk(
@@ -265,7 +272,7 @@ def boolean_topk(
                           normalize)
     if plan is None:
         return spark.createDataFrame([], schema)
-    node, meta, by_term, blocks, positional = plan
+    node, meta, by_term, blocks, positional, deleted = plan
     score_terms = [t for t in positive_terms(node) if t in by_term]
     if not score_terms:
         return spark.createDataFrame([], schema)
@@ -277,6 +284,7 @@ def boolean_topk(
     kernel = _make_boolean_kernel(
         node, score_terms, idf_by_term, meta["k1"], meta["b"],
         meta["avgdl"], k, int(meta["docs_per_shard"]), positional,
+        deleted=deleted,
     )
     return _run_positional_kernel(spark, blocks, kernel, k, merge)
 
@@ -301,16 +309,17 @@ def matching_docs(
                           normalize)
     if plan is None:
         return spark.createDataFrame([], schema)
-    node, meta, by_term, blocks, positional = plan
+    node, meta, by_term, blocks, positional, deleted = plan
     if not any(t in by_term for t in positive_terms(node)):
         return spark.createDataFrame([], schema)
     kernel = _make_match_kernel(
-        node, int(meta["docs_per_shard"]), positional
+        node, int(meta["docs_per_shard"]), positional, deleted=deleted,
     )
     return blocks.groupBy("shard").applyInPandas(kernel, schema)
 
 
-def _make_match_kernel(node, docs_per_shard: int, positional: bool):
+def _make_match_kernel(node, docs_per_shard: int, positional: bool,
+                       deleted: np.ndarray | None = None):
     if positional:
         _check_shard_budget(docs_per_shard)
     qterms = all_terms(node)
@@ -320,6 +329,8 @@ def _make_match_kernel(node, docs_per_shard: int, positional: bool):
         base = np.uint64(shard * docs_per_shard)
         decoded = _decode_shard(pdf, qterms, positional)
         matched = _eval_tree(node, decoded, base)
+        if deleted is not None and len(matched):
+            matched = matched[~np.isin(matched, deleted)]
         return pd.DataFrame({"doc_id": matched.astype(np.int64)})
 
     return kernel

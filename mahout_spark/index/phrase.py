@@ -179,10 +179,18 @@ def _window_anchor_keys(keys: dict, distinct_terms: list[str],
 def _score_match_docs(decoded: dict, match_docs: np.ndarray,
                       distinct_terms: list[str], idf_by_term: dict,
                       k1: float, b: float, avgdl: float,
-                      k: int) -> pd.DataFrame:
+                      k: int,
+                      deleted: np.ndarray | None = None) -> pd.DataFrame:
     """Exact BM25 sum of the distinct terms over ``match_docs``, in the
     engine-wide deterministic (sorted-term, doc-ascending) reduction
-    order, then top-k with (score desc, doc_id asc) tie-breaks."""
+    order, then top-k with (score desc, doc_id asc) tie-breaks.
+    ``deleted`` (sorted tombstone set, index/delete.py) masks matches
+    before selection — the single live-docs seam for every positional
+    and boolean kernel."""
+    if deleted is not None and len(match_docs):
+        match_docs = match_docs[~np.isin(match_docs, deleted)]
+    if len(match_docs) == 0:
+        return _empty_result()
     doc_parts, contrib_parts = [], []
     for t in distinct_terms:
         d, tf_, dl_, _, _ = decoded[t]
@@ -207,6 +215,7 @@ def _score_match_docs(decoded: dict, match_docs: np.ndarray,
 def _make_phrase_kernel(
     phrase: list[str], idf_by_term: dict, k1: float, b: float,
     avgdl: float, k: int, docs_per_shard: int,
+    deleted: np.ndarray | None = None,
 ):
     _check_shard_budget(docs_per_shard)
     distinct_terms = sorted(dict.fromkeys(phrase))
@@ -225,7 +234,8 @@ def _make_phrase_kernel(
             return _empty_result()
         match_docs = np.unique(starts >> np.uint64(POS_BITS)) + base
         return _score_match_docs(
-            decoded, match_docs, distinct_terms, idf_by_term, k1, b, avgdl, k
+            decoded, match_docs, distinct_terms, idf_by_term, k1, b, avgdl,
+            k, deleted=deleted,
         )
 
     return kernel
@@ -234,6 +244,7 @@ def _make_phrase_kernel(
 def _make_proximity_kernel(
     terms: list[str], window: int, idf_by_term: dict, k1: float, b: float,
     avgdl: float, k: int, docs_per_shard: int,
+    deleted: np.ndarray | None = None,
 ):
     """Unordered within-window kernel: a doc matches when some span of
     ``window + 1`` consecutive token positions contains ALL distinct
@@ -257,7 +268,8 @@ def _make_proximity_kernel(
             return _empty_result()
         match_docs = np.unique(hits >> np.uint64(POS_BITS)) + base
         return _score_match_docs(
-            decoded, match_docs, distinct_terms, idf_by_term, k1, b, avgdl, k
+            decoded, match_docs, distinct_terms, idf_by_term, k1, b, avgdl,
+            k, deleted=deleted,
         )
 
     return kernel
@@ -265,9 +277,10 @@ def _make_proximity_kernel(
 
 def _positional_query_plan(spark, cat, qterms, lex_rows):
     """Shared public-entry plumbing: meta guard, lexicon lookup (or the
-    caller's cached rows), idf table, and the bucket-pruned + term-filtered
-    postings scan. Returns ``(meta, idf_by_term, blocks)`` or None when
-    some query term is absent from the corpus (no doc can match)."""
+    caller's cached rows), idf table, the bucket-pruned + term-filtered
+    postings scan, and the tombstone set. Returns
+    ``(meta, idf_by_term, blocks, deleted)`` or None when some query term
+    is absent from the corpus (no doc can match)."""
     meta = cat.read_meta("postings")
     if not meta.get("positional"):
         raise ValueError(
@@ -298,7 +311,12 @@ def _positional_query_plan(spark, cat, qterms, lex_rows):
     blocks = cat.read_partitions(spark, "postings", "bucket", buckets).filter(
         F.col("term").isin(qterms)
     )
-    return meta, idf_by_term, blocks
+    deleted = None
+    if int(meta.get("deletes", 0)):
+        from mahout_spark.index.delete import deleted_array
+
+        deleted = deleted_array(spark, cat, meta)
+    return meta, idf_by_term, blocks, deleted
 
 
 def _run_positional_kernel(spark, blocks, kernel, k, merge) -> DataFrame:
@@ -330,10 +348,10 @@ def phrase_topk(
     plan = _positional_query_plan(spark, cat, qterms, lex_rows)
     if plan is None:
         return spark.createDataFrame([], "doc_id long, score double")
-    meta, idf_by_term, blocks = plan
+    meta, idf_by_term, blocks, deleted = plan
     kernel = _make_phrase_kernel(
         list(phrase), idf_by_term, meta["k1"], meta["b"], meta["avgdl"], k,
-        int(meta["docs_per_shard"]),
+        int(meta["docs_per_shard"]), deleted=deleted,
     )
     return _run_positional_kernel(spark, blocks, kernel, k, merge)
 
@@ -360,9 +378,9 @@ def proximity_topk(
     plan = _positional_query_plan(spark, cat, qterms, lex_rows)
     if plan is None:
         return spark.createDataFrame([], "doc_id long, score double")
-    meta, idf_by_term, blocks = plan
+    meta, idf_by_term, blocks, deleted = plan
     kernel = _make_proximity_kernel(
         qterms, window, idf_by_term, meta["k1"], meta["b"], meta["avgdl"],
-        k, int(meta["docs_per_shard"]),
+        k, int(meta["docs_per_shard"]), deleted=deleted,
     )
     return _run_positional_kernel(spark, blocks, kernel, k, merge)

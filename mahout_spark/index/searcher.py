@@ -52,6 +52,9 @@ class Searcher:
         self._terms: dict[str, tuple | None] = {}
         # (prefix, cap) -> [(term, bucket, df)] lexicon expansions
         self._prefix: dict[tuple, list] = {}
+        # tombstone set (sorted uint64) | None; loaded lazily per epoch
+        self._deleted = None
+        self._deleted_loaded = False
         self._meta: dict = {}
 
     # -- cache epoch --------------------------------------------------------
@@ -74,7 +77,22 @@ class Searcher:
             self._epoch = epoch
             self._terms.clear()
             self._prefix.clear()
+            self._deleted = None
+            self._deleted_loaded = False
             self._meta = meta
+
+    def _deleted_set(self):
+        """Epoch-cached tombstone array (index/delete.py) for the
+        driver-side kernels; a delete bumps meta_version, so staleness is
+        impossible past ``_ensure_fresh``."""
+        if not self._deleted_loaded:
+            from mahout_spark.index.delete import deleted_array
+
+            self._deleted = deleted_array(
+                self.spark, self.cat, self._meta
+            )
+            self._deleted_loaded = True
+        return self._deleted
 
     # -- lexicon ------------------------------------------------------------
 
@@ -172,6 +190,7 @@ class Searcher:
             idf, meta["k1"], meta["b"], meta["avgdl"], k, mode_all,
             len(qterms), prune,
             use_stored_bounds=int(meta.get("appends", 0)) == 0,
+            deleted=self._deleted_set(),
         )
         import pandas as pd
 
@@ -256,7 +275,7 @@ class Searcher:
             return []
         kernel = phrase_mod._make_phrase_kernel(
             list(phrase), idf, meta["k1"], meta["b"], meta["avgdl"], k,
-            int(meta["docs_per_shard"]),
+            int(meta["docs_per_shard"]), deleted=self._deleted_set(),
         )
         import pandas as pd
 

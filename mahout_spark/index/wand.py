@@ -92,7 +92,8 @@ def _topk_arrays(docs: np.ndarray, scores: np.ndarray, k: int):
 
 def _make_shard_kernel(idf_by_term: dict, k1: float, b: float, avgdl: float,
                        k: int, mode_all: bool, n_terms: int, prune: bool,
-                       use_stored_bounds: bool = True):
+                       use_stored_bounds: bool = True,
+                       deleted: np.ndarray | None = None):
     terms_sorted = sorted(idf_by_term)  # deterministic reduction order
 
     def block_bounds(g: pd.DataFrame, t: str) -> np.ndarray:
@@ -170,6 +171,12 @@ def _make_shard_kernel(idf_by_term: dict, k1: float, b: float, avgdl: float,
                     top_row.doc_ids, top_row.tfs, top_row.doclens
                 )
                 lb = _score_arrays(d, tf_, dl_, idf_by_term[best_t], k1, b, avgdl)
+                if deleted is not None and len(d):
+                    # θ must come from LIVE docs only: a threshold seeded
+                    # by a tombstoned doc could over-prune (fewer than k
+                    # live docs might clear it) — see index/delete.py.
+                    live = ~np.isin(d, deleted)
+                    lb = lb[live]
                 if len(lb) >= k:
                     theta = float(np.partition(lb, len(lb) - k)[len(lb) - k])
             # decode: surviving blocks, then pruned blocks overlapping C
@@ -233,6 +240,9 @@ def _make_shard_kernel(idf_by_term: dict, k1: float, b: float, avgdl: float,
         )
         uniq = docs[boundaries]
         sums = np.add.reduceat(contribs, boundaries)
+        if deleted is not None:
+            live = ~np.isin(uniq, deleted)
+            uniq, sums = uniq[live], sums[live]
         d_out, s_out = _topk_arrays(uniq.astype(np.int64), sums, k)
         return pd.DataFrame({"doc_id": d_out, "score": s_out})
 
@@ -248,6 +258,7 @@ def topk(
     prune: bool = True,
     lex_rows: list | None = None,
     merge: str = "spark",
+    deleted: np.ndarray | None = None,
 ) -> DataFrame:
     """BM25 top-k over the built index; rank-identical to the naive scorer.
 
@@ -268,6 +279,10 @@ def topk(
     # stored block_max_score was computed with build-time stats; after any
     # append df/avgdl may have moved, so switch to the append-safe bounds.
     use_stored_bounds = int(meta.get("appends", 0)) == 0
+    if deleted is None and int(meta.get("deletes", 0)):
+        from mahout_spark.index.delete import deleted_array
+
+        deleted = deleted_array(spark, cat, meta)
     qterms = list(dict.fromkeys(terms))
     # term -> bucket is pure hash math (pmod(xxhash64)), replicated driver-
     # side by the bit-compatible pure-Python XXH64 (functions/xxhash.py,
@@ -302,7 +317,7 @@ def topk(
     )
     kernel = _make_shard_kernel(
         idf_by_term, k1, b, avgdl, k, mode_all, len(qterms), prune,
-        use_stored_bounds=use_stored_bounds,
+        use_stored_bounds=use_stored_bounds, deleted=deleted,
     )
     per_shard = blocks.groupBy("shard").applyInPandas(
         kernel, "doc_id long, score double"
@@ -322,6 +337,7 @@ def topk_batch(
     k: int = 10,
     mode_all: bool = False,
     lex_rows: list | None = None,
+    deleted: np.ndarray | None = None,
 ) -> DataFrame:
     """Answer MANY queries in ONE job: (query_id, doc_id, score, rank).
 
@@ -375,8 +391,13 @@ def topk_batch(
     blocks = cat.read_partitions(spark, "postings", "bucket", buckets).filter(
         F.col("term").isin(sorted(present_terms))
     )
+    if deleted is None and int(meta.get("deletes", 0)):
+        from mahout_spark.index.delete import deleted_array
+
+        deleted = deleted_array(spark, cat, meta)
     kernel = _make_batch_shard_kernel(
-        live_queries, idf_by_term, k1, b, avgdl, k, mode_all
+        live_queries, idf_by_term, k1, b, avgdl, k, mode_all,
+        deleted=deleted,
     )
     per_shard = blocks.groupBy("shard").applyInPandas(kernel, out_schema)
     from pyspark.sql import Window
@@ -393,6 +414,7 @@ def topk_batch(
 def _make_batch_shard_kernel(
     queries: dict[str, list[str]], idf_by_term: dict, k1: float, b: float,
     avgdl: float, k: int, mode_all: bool,
+    deleted: np.ndarray | None = None,
 ):
     """Shared-decode multi-query kernel: decode each term's blocks once per
     shard, then answer every query from the cached per-term arrays with
@@ -444,6 +466,9 @@ def _make_batch_shard_kernel(
                 uniq, sums = uniq[keep], sums[keep]
                 if len(uniq) == 0:
                     continue
+            if deleted is not None:
+                live = ~np.isin(uniq, deleted)
+                uniq, sums = uniq[live], sums[live]
             d_out, s_out = _topk_arrays(uniq.astype(np.int64), sums, k)
             out_q.extend([qid] * len(d_out))
             out_d.extend(d_out.tolist())

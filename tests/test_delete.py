@@ -1,0 +1,205 @@
+"""Document deletion (index/delete.py): Lucene-model tombstones.
+
+Semantics under test, in order of subtlety:
+* deleted docs vanish from every retrieval path immediately; surviving
+  docs' scores DO NOT move (stats stay pre-delete until purge);
+* WAND's θ seed must ignore tombstoned docs — a duplicate-heavy corpus
+  where the entire seed block is deleted would otherwise over-prune;
+* compact(purge_deleted=True) produces the index a fresh build over the
+  surviving corpus would — block-for-block — and reopens the doc_id for
+  append;
+* Searcher caches invalidate on delete (meta_version epoch).
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mahout_spark.index.build import build_index
+from mahout_spark.index.delete import delete_docs, deleted_array
+from mahout_spark.index.wand import topk, topk_batch
+
+
+def _rows(df):
+    return [
+        (r["doc_id"], round(r["score"], 9))
+        for r in df.collect()
+    ]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    return docs.select("doc_id", F.col("text").alias("content"))
+
+
+def _build(spark, corpus, tmp_path, **kw):
+    kw.setdefault("mode", "simple")
+    kw.setdefault("n_buckets", 4)
+    kw.setdefault("docs_per_shard", 64)
+    kw.setdefault("block_size", 16)
+    return build_index(
+        spark, corpus, str(tmp_path), content_col="content",
+        id_cols=["doc_id"], resume=False, **kw,
+    )
+
+
+def test_delete_excludes_docs_scores_unchanged(spark, corpus, tmp_path):
+    cat = _build(spark, corpus, tmp_path / "idx")
+    terms = ["data", "merge"]
+    base = _rows(topk(spark, cat, terms, k=30))
+    base_and = _rows(topk(spark, cat, terms, k=30, mode_all=True))
+    assert len(base) == 30
+    dead = [base[0][0], base[2][0]]
+
+    meta = delete_docs(spark, cat, dead)
+    assert meta["deletes"] == 2
+    got = _rows(topk(spark, cat, terms, k=28))
+    # exactly the baseline minus the tombstoned docs, scores untouched
+    assert got == [r for r in base if r[0] not in set(dead)][:28]
+
+    # pruning stays exact under deletion, and AND agrees too
+    nop = _rows(topk(spark, cat, terms, k=28, prune=False))
+    assert got == nop
+    got_and = _rows(topk(spark, cat, terms, k=28, mode_all=True))
+    assert got_and == [r for r in base_and if r[0] not in set(dead)][:28]
+
+    # idempotent: re-deleting changes nothing
+    meta = delete_docs(spark, cat, dead)
+    assert meta["deletes"] == 2
+    arr = deleted_array(spark, cat)
+    assert arr is not None and sorted(arr.tolist()) == sorted(dead)
+
+
+def test_theta_seed_ignores_tombstones(spark, tmp_path):
+    """Duplicate-heavy corpus: the seed block's docs all get deleted.
+    A θ seeded from those (dead) lower bounds would over-prune the
+    lower-scoring live docs; the kernel must still return them, and
+    pruned ≡ unpruned exactly."""
+    heavy = "signal " * 8  # high-tf docs that dominate every seed
+    light = "signal noise filler words here"
+    docs = [(i, heavy) for i in range(40)] + [
+        (100 + i, light + " extra" * i) for i in range(6)
+    ]
+    sdf = spark.createDataFrame(docs, ["doc_id", "content"])
+    cat = _build(spark, sdf, tmp_path / "dup", docs_per_shard=32,
+                 block_size=8)
+    delete_docs(spark, cat, [i for i in range(40)])
+
+    got = _rows(topk(spark, cat, ["signal", "noise"], k=6))
+    ref = _rows(topk(spark, cat, ["signal", "noise"], k=6, prune=False))
+    assert got == ref
+    assert {d for d, _ in got} == {100 + i for i in range(6)}
+
+
+def test_positional_and_boolean_respect_deletes(spark, tmp_path):
+    from mahout_spark.index.boolquery import boolean_topk, matching_docs
+    from mahout_spark.index.phrase import phrase_topk, proximity_topk
+
+    docs = [
+        (1, "the table scan runs fast"),
+        (2, "the table scan is slow today"),
+        (3, "a scan of the table works"),
+        (4, "data table scan data merge"),
+    ]
+    sdf = spark.createDataFrame(docs, ["doc_id", "content"])
+    cat = _build(spark, sdf, tmp_path / "pos", positions=True)
+
+    assert {r[0] for r in _rows(phrase_topk(spark, cat, ["table", "scan"]))} \
+        == {1, 2, 4}
+    assert {r["doc_id"] for r in
+            matching_docs(spark, cat, "table AND scan").collect()} \
+        == {1, 2, 3, 4}
+
+    delete_docs(spark, cat, [2, 4])
+    assert {r[0] for r in _rows(phrase_topk(spark, cat, ["table", "scan"]))} \
+        == {1}
+    assert {r[0] for r in
+            _rows(proximity_topk(spark, cat, ["table", "scan"], 4))} \
+        == {1, 3}
+    assert {r[0] for r in _rows(boolean_topk(spark, cat, "table AND scan"))} \
+        == {1, 3}
+    assert {r["doc_id"] for r in
+            matching_docs(spark, cat, "table AND scan").collect()} \
+        == {1, 3}
+
+
+def test_searcher_and_batch_respect_deletes(spark, corpus, tmp_path):
+    from mahout_spark.index.searcher import Searcher
+
+    cat = _build(spark, corpus, tmp_path / "srch")
+    s = Searcher(spark, cat)
+    terms = ["data", "merge"]
+    warm = s.topk_rows(terms, k=10)  # warms term + postings caches
+    dead = warm[0]["doc_id"]
+    delete_docs(spark, cat, [dead])
+
+    after = s.topk_rows(terms, k=9)
+    assert [r["doc_id"] for r in after] == \
+        [r["doc_id"] for r in warm[1:10]]
+    assert [round(r["score"], 9) for r in after] == \
+        [round(r["score"], 9) for r in warm[1:10]]
+
+    batch = topk_batch(spark, cat, {"q0": terms}, k=9)
+    assert [(r["doc_id"], round(r["score"], 9)) for r in batch.collect()] \
+        == [(r["doc_id"], round(r["score"], 9)) for r in after]
+
+
+def test_purge_compact_equals_fresh_rebuild(spark, corpus, tmp_path):
+    from mahout_spark.index.append import append_to_index
+    from mahout_spark.index.compact import compact_index
+
+    cat = _build(spark, corpus, tmp_path / "full")
+    dead_ids = [r["doc_id"] for r in
+                corpus.filter(F.col("doc_id") % 5 == 0).collect()]
+    delete_docs(spark, cat, dead_ids)
+    meta = compact_index(spark, cat)
+    assert meta["deletes"] == 0 and meta["appends"] == 0
+    assert not cat.exists("tombstones")
+
+    live = corpus.filter(F.col("doc_id") % 5 != 0)
+    fresh = _build(spark, live, tmp_path / "fresh")
+    fmeta = fresh.read_meta("postings")
+    assert meta["n_docs"] == fmeta["n_docs"]
+    assert meta["avgdl"] == pytest.approx(fmeta["avgdl"], rel=1e-12)
+
+    cols = ["term", "shard", "block_id", "count", "first_docid",
+            "block_max_docid", "doc_ids", "tfs", "doclens"]
+    a = {tuple(r) for r in cat.read(spark, "postings")
+         .select(*cols).collect()}
+    b = {tuple(r) for r in fresh.read(spark, "postings")
+         .select(*cols).collect()}
+    assert a == b
+
+    terms = ["data", "merge"]
+    assert _rows(topk(spark, cat, terms, k=15)) == \
+        _rows(topk(spark, fresh, terms, k=15))
+
+    # the purged doc_id is re-addable; pre-purge it was rejected
+    one = corpus.filter(F.col("doc_id") == dead_ids[0])
+    append_to_index(spark, cat, one, content_col="content",
+                    batch_id="readd")
+    assert cat.read_meta("postings")["n_docs"] == fmeta["n_docs"] + 1
+
+
+def test_append_of_tombstoned_id_still_rejected(spark, tmp_path):
+    from mahout_spark.index.append import append_to_index
+
+    docs = [(1, "alpha beta"), (2, "beta gamma")]
+    sdf = spark.createDataFrame(docs, ["doc_id", "content"])
+    cat = _build(spark, sdf, tmp_path / "guard")
+    delete_docs(spark, cat, [2])
+    dup = spark.createDataFrame([(2, "new text")], ["doc_id", "content"])
+    with pytest.raises(ValueError, match="already present"):
+        append_to_index(spark, cat, dup, content_col="content",
+                        batch_id="dup")
+
+
+def test_live_mask_helper():
+    from mahout_spark.index.delete import live_mask
+
+    docs = np.array([1, 5, 9, 12], dtype=np.uint64)
+    deleted = np.array([5, 12], dtype=np.uint64)
+    assert live_mask(docs, deleted).tolist() == [True, False, True, False]
+    assert live_mask(docs, None).all()
+    assert live_mask(np.array([], dtype=np.uint64), deleted).tolist() == []
