@@ -507,6 +507,41 @@ def q_engine_facet_search(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+FIELD_QUERY = "lang:es table scan"
+
+
+def q_engine_field_search(spark, sf_dir):
+    """Fielded search (X46, Lucene `field:value` syntax): the parser
+    compiles `lang:es` to the synthetic tag term the indexer posts per
+    document (`lang:<lower(lang_col)>`, tf=1, excluded from doclen), so
+    the query is an AND of the tag with the text terms and the tag
+    SCORES like any BM25 leaf. The DuckDB oracle recomputes the tag's
+    contribution from first principles: df(tag) = count of indexed docs
+    with that lang, tf=1, the doc's text-token doclen — fully
+    independent of the posting machinery."""
+    import shutil
+    import tempfile
+
+    from mahout_spark.index.boolquery import boolean_topk
+    from mahout_spark.index.build import build_index
+
+    docs = _load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="msdrv_fld_")
+    try:
+        cat = build_index(
+            spark, docs, out_dir=out, content_col="text",
+            id_cols=["doc_id"], mode="simple", lang_col="lang",
+            resume=False,
+        )
+        result = boolean_topk(spark, cat, FIELD_QUERY, k=10).select(
+            "doc_id", F.round("score", 6).alias("score")
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def q_engine_proximity_search(spark, sf_dir):
     """Unordered within-window retrieval (NEAR/W, X39) over the positional
     index: docs where PROX_TERMS co-occur within PROX_WINDOW + 1
@@ -1004,6 +1039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_boolean_search": q_engine_boolean_search,
         "engine_prefix_search": q_engine_prefix_search,
         "engine_facet_search": q_engine_facet_search,
+        "engine_field_search": q_engine_field_search,
         "phrase_snippets": q_phrase_snippets,
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
@@ -1606,6 +1642,49 @@ def _base_oracle_sql() -> dict[str, str]:
         FROM documents d JOIN matched USING (doc_id)
         GROUP BY d.lang, d.source
         ORDER BY d.lang, d.source
+        """,
+        # field-search oracle: the lang:es tag scored from first
+        # principles — df(tag) = indexed docs with that lang, tf = 1,
+        # doclen = the doc's TEXT token count (tags are excluded from
+        # length norm) — summed with the ordinary text-term contributions
+        # over the three-way AND match set
+        "engine_field_search": _TOK_CTE + f"""
+        , tagdf AS (
+            SELECT count(*) AS df FROM documents
+            WHERE text IS NOT NULL AND lower(lang) = 'es'
+        ), contrib AS (
+            SELECT tf.doc_id, {_BM25_CONTRIB} AS c
+            FROM tf
+            JOIN dfreq USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN scal
+            WHERE tf.term IN ('table', 'scan')
+        ), tagc AS (
+            SELECT d.doc_id,
+                   ln(1.0 + (scal.n_docs - tagdf.df + 0.5)
+                      / (tagdf.df + 0.5)) *
+                   {BM25_K1 + 1.0} /
+                   (1.0 + {BM25_K1} * (1.0 - {BM25_B}
+                    + {BM25_B} * dl.doclen / scal.avgdl)) AS c
+            FROM documents d
+            JOIN dl ON d.doc_id = dl.doc_id
+            CROSS JOIN scal CROSS JOIN tagdf
+            WHERE lower(d.lang) = 'es'
+        ), matched AS (
+            SELECT doc_id FROM tf WHERE term = 'table'
+            INTERSECT
+            SELECT doc_id FROM tf WHERE term = 'scan'
+            INTERSECT
+            SELECT doc_id FROM tagc
+        ), agg AS (
+            SELECT doc_id, round(sum(c), 6) AS score
+            FROM (SELECT doc_id, c FROM contrib
+                  UNION ALL SELECT doc_id, c FROM tagc) u
+            JOIN matched USING (doc_id)
+            GROUP BY doc_id
+        )
+        SELECT doc_id, score FROM agg
+        ORDER BY score DESC, doc_id ASC LIMIT 10
         """,
         # snippet oracle: stream-strpos locates the phrase, the space
         # count over the stream prefix recovers the 0-based token index,

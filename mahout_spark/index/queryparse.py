@@ -34,6 +34,18 @@ Grammar (recursive descent, precedence NOT > AND > OR):
   siblings: it must appear inside an AND with at least one positive
   branch. Pure-negative queries (``NOT x``, ``NOT x OR y``) are rejected
   at parse time, mirroring every production engine.
+* ``field:value`` (Lucene field syntax) compiles to the index's synthetic
+  tag term ``field:<lowercased raw value>`` — e.g. ``lang:Java`` becomes
+  the term ``lang:java`` that code-mode builds post per document
+  (operators/stats.py tag emission; the value is raw-lowercased, NOT
+  tokenized, mirroring the indexer — so ``lang:C++`` reaches
+  ``lang:c++``). Only WHITELISTED field names (default: ``lang``, the one
+  tag family the indexer emits) get this treatment; any other ``x:y``
+  word falls back to plain normalization (split on the colon), so
+  URL-ish inputs keep their pre-field behavior. ``field:pre*`` composes
+  with prefix expansion (lexicon startswith on the tag namespace). Like
+  Lucene's classic parser, a field term SCORES (BM25 over the tf=1 tag
+  posting) — it is a query leaf, not a filter API.
 
 Node forms (plain tuples — cheap to ship into the shard kernel):
 
@@ -52,6 +64,13 @@ import re
 
 def _simple_normalize(word: str) -> list[str]:
     return [t for t in re.split(r"[^a-z0-9]+", word.lower()) if t]
+
+
+#: Field names the parser maps to synthetic tag terms. ``lang`` is the
+#: one tag family build_index emits (stats.term_frequencies lang_col).
+DEFAULT_FIELDS = frozenset({"lang"})
+
+_FIELD_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):(.+)$")
 
 
 _TOKEN_RE = re.compile(
@@ -86,10 +105,11 @@ def _lex(q: str) -> list[tuple]:
 
 
 class _Parser:
-    def __init__(self, tokens: list, normalize):
+    def __init__(self, tokens: list, normalize, fields=DEFAULT_FIELDS):
         self.toks = tokens
         self.pos = 0
         self.norm = normalize
+        self.fields = fields
 
     def peek(self):
         return self.toks[self.pos] if self.pos < len(self.toks) else None
@@ -157,6 +177,21 @@ class _Parser:
         word = t[1]
         if word in ("AND", "OR", "NOT"):
             raise QueryParseError(f"operator {word} needs an operand")
+        fm = _FIELD_RE.match(word)
+        if fm and fm.group(1).lower() in self.fields:
+            # tag values are RAW-lowercased to mirror the indexer exactly
+            # (stats.py: concat('lang:', lower(lang_col)) — no tokenizer
+            # pass), so e.g. lang:C++ reaches the tag 'lang:c++'
+            fname, rest = fm.group(1).lower(), fm.group(2)
+            if (rest.endswith("*") and len(rest) > 1
+                    and "*" not in rest[:-1]):
+                return ("prefix", f"{fname}:{rest[:-1].lower()}")
+            if "*" in rest:
+                raise QueryParseError(
+                    f"only trailing-* prefix patterns are supported: "
+                    f"{word!r}"
+                )
+            return ("term", f"{fname}:{rest.lower()}")
         if word.endswith("*") and len(word) > 1 and "*" not in word[:-1]:
             stem = self.norm(word[:-1])
             if len(stem) != 1:
@@ -174,12 +209,14 @@ class _Parser:
         return ("and", [("term", x) for x in toks])
 
 
-def parse(query: str, normalize=_simple_normalize):
-    """Parse a query string into a validated node tree."""
+def parse(query: str, normalize=_simple_normalize, fields=DEFAULT_FIELDS):
+    """Parse a query string into a validated node tree. ``fields`` is the
+    whitelist of ``field:value`` names mapped to synthetic tag terms;
+    pass ``frozenset()`` to disable field syntax entirely."""
     tokens = _lex(query)
     if not tokens:
         raise QueryParseError("empty query")
-    node = _Parser(tokens, normalize).parse()
+    node = _Parser(tokens, normalize, fields).parse()
     validate(node)
     return node
 

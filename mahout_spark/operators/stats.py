@@ -54,11 +54,36 @@ def term_frequencies(
         # encode -> WAND) oracle-checkable end-to-end.
         if id_cols != ["doc_id"]:
             raise ValueError("mode='simple' supports id_cols=['doc_id'] only")
-        if lang_col is not None or tok_kw:
-            raise ValueError(
-                "mode='simple' takes no lang_col/tokenizer options"
+        if tok_kw:
+            raise ValueError("mode='simple' takes no tokenizer options")
+        base = simple_term_frequencies(docs, content_col, "doc_id")
+        if lang_col is None:
+            return base
+        # lang tags in simple mode: a unioned tf=1 row per doc keeps the
+        # stream SQL-expressible (the oracle adds the same constant-term
+        # rows); doclen recomputed by the same split expression — one
+        # extra narrow pass over one row per doc, no shuffle, and tags
+        # stay excluded from length normalization exactly as in the
+        # analyzer modes above.
+        dl = F.size(F.filter(
+            F.split(F.lower(F.col(content_col)), "[^a-z0-9]+"),
+            lambda t: t != "",
+        ))
+        tags = (
+            docs.filter(
+                F.col(content_col).isNotNull()
+                & F.col(lang_col).isNotNull()
             )
-        return simple_term_frequencies(docs, content_col, "doc_id")
+            .select(
+                F.col("doc_id"),
+                F.concat(
+                    F.lit("lang:"), F.lower(F.col(lang_col))
+                ).alias("term"),
+                F.lit(1).cast("long").alias("tf"),
+                dl.cast("long").alias("doclen"),
+            )
+        )
+        return base.unionByName(tags)
     tfm = tf_map_udf(mode=mode, **tok_kw)
     with_map = docs.withColumn("_tf_map", tfm(F.col(content_col))).withColumn(
         "_doclen",
@@ -146,8 +171,9 @@ def term_positions(
     if mode == "simple":
         if id_cols != ["doc_id"]:
             raise ValueError("mode='simple' supports id_cols=['doc_id'] only")
-        if lang_col is not None or tok_kw:
-            raise ValueError("mode='simple' takes no lang_col/tokenizer options")
+        if tok_kw:
+            raise ValueError("mode='simple' takes no tokenizer options")
+        # lang_col composes: the tag-append below is tokenizer-agnostic
         toks_col = F.filter(
             F.split(F.lower(F.col(content_col)), "[^a-z0-9]+"),
             lambda x: x != "",

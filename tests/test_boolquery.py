@@ -60,6 +60,33 @@ def test_parse_not_needs_positive_sibling():
     )
 
 
+def test_parse_field_syntax():
+    # whitelisted field -> synthetic tag term, raw-lowercased value
+    assert qp.parse("lang:Java") == ("term", "lang:java")
+    assert qp.parse("lang:C++") == ("term", "lang:c++")
+    assert qp.parse("lang:java user-service") == (
+        "and", [("term", "lang:java"),
+                ("and", [("term", "user"), ("term", "service")])]
+    )
+    # field prefix expands in the tag namespace
+    assert qp.parse("lang:ja*") == ("prefix", "lang:ja")
+    with pytest.raises(qp.QueryParseError):
+        qp.parse("lang:j*a")
+    # non-whitelisted x:y keeps pre-field behavior (colon splits)
+    assert qp.parse("http://example.com") == (
+        "and", [("term", "http"), ("term", "example"), ("term", "com")]
+    )
+    # trailing colon is not field syntax (regex needs a value)
+    assert qp.parse("lang:") == ("term", "lang")
+    # whitelist is configurable; empty set disables field syntax
+    assert qp.parse("lang:java", fields=frozenset()) == (
+        "and", [("term", "lang"), ("term", "java")]
+    )
+    assert qp.parse("repo:a-b", fields=frozenset({"repo"})) == (
+        "term", "repo:a-b"
+    )
+
+
 def test_tree_helpers():
     n = qp.parse('("table scan" OR mer*) AND data NOT stream')
     assert qp.all_terms(n) == ["data", "scan", "stream", "table"]

@@ -85,6 +85,40 @@ class TestCodeCorpus:
         assert ("repo_a", "src/user_store.py") in all_user
         assert java_user == {("repo_a", "src/UserService.java")}
 
+    def test_field_query_syntax_scopes_language(self, spark, code_index):
+        """`lang:java user` through the query language ≡ the hand-built
+        tag-term AND: the field leaf compiles to the same posting term
+        the indexer emits, so the parser path and the raw topk path must
+        return identical docs and scores."""
+        from mahout_spark.index.boolquery import boolean_topk
+        from mahout_spark.index.wand import topk
+
+        cat, _ = code_index
+        via_parser = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in boolean_topk(spark, cat, "lang:java user").collect()
+        ]
+        via_topk = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in topk(
+                spark, cat, ["user", "lang:java"], k=10, mode_all=True
+            ).collect()
+        ]
+        assert via_parser == via_topk and len(via_parser) == 1
+
+        # field prefix expands inside the tag namespace: lang:p* -> python
+        via_prefix = [
+            r["doc_id"]
+            for r in boolean_topk(spark, cat, "lang:p* store").collect()
+        ]
+        py_store = [
+            r["doc_id"]
+            for r in topk(
+                spark, cat, ["store", "lang:python"], k=10, mode_all=True
+            ).collect()
+        ]
+        assert via_prefix == py_store and len(via_prefix) == 1
+
     def test_lang_tag_excluded_from_doclen(self, spark, code_index):
         """The synthetic term must not perturb BM25 length normalization:
         doclen == content token count, not +1."""
