@@ -182,6 +182,31 @@ def test_purge_compact_equals_fresh_rebuild(spark, corpus, tmp_path):
     assert cat.read_meta("postings")["n_docs"] == fmeta["n_docs"] + 1
 
 
+def test_purge_positional_index_preserves_phrase_results(spark, corpus,
+                                                         tmp_path):
+    """Purge must re-encode POSITIONS too: after delete+compact on a
+    positional index, phrase and proximity retrieval equal a fresh
+    positional build over the survivors."""
+    from mahout_spark.index.compact import compact_index
+    from mahout_spark.index.phrase import phrase_topk, proximity_topk
+
+    cat = _build(spark, corpus, tmp_path / "pfull", positions=True)
+    delete_docs(spark, cat,
+                [r["doc_id"] for r in
+                 corpus.filter(F.col("doc_id") % 4 == 0).collect()])
+    meta = compact_index(spark, cat)
+    assert bool(meta.get("positional"))
+
+    live = corpus.filter(F.col("doc_id") % 4 != 0)
+    fresh = _build(spark, live, tmp_path / "pfresh", positions=True)
+
+    for phrase in (["table", "scan"], ["data", "merge"]):
+        assert _rows(phrase_topk(spark, cat, phrase, k=15)) == \
+            _rows(phrase_topk(spark, fresh, phrase, k=15))
+    assert _rows(proximity_topk(spark, cat, ["table", "scan"], 4, k=15)) \
+        == _rows(proximity_topk(spark, fresh, ["table", "scan"], 4, k=15))
+
+
 def test_append_of_tombstoned_id_still_rejected(spark, tmp_path):
     from mahout_spark.index.append import append_to_index
 
