@@ -121,6 +121,29 @@ class TestIndexPlans:
         assert 1 <= n_buckets_seen <= qbuckets + 1  # "... N entries" elision
         assert "TakeOrderedAndProject" in p
 
+    def test_prefix_expansion_scan_is_pushed_and_pruned(self, spark, built):
+        """X42's lexicon expansion: the startswith predicate must reach
+        the parquet scan (StringStartsWith prunes row groups via min/max
+        term stats — dense_ids range-partitions the lexicon by term, so
+        each bucket dir's files carry tight term ranges), and the scan
+        must project only the three expansion columns, compiling to
+        TakeOrderedAndProject (no shuffle)."""
+        from pyspark.sql import functions as F
+
+        lex = built.read(spark, "lexicon")
+        q = (
+            lex.filter(F.col("term").startswith("sp"))
+            .select("term", "bucket", "df")
+            .orderBy(F.col("df").desc(), F.col("term").asc())
+            .limit(64)
+        )
+        p = _plan(q)
+        assert "StringStartsWith(term,sp)" in p
+        assert "TakeOrderedAndProject" in p
+        # column pruning: the lexicon's other columns stay out of the scan
+        read = p.split("ReadSchema")[1][:200]
+        assert "term" in read and "cf" not in read and "term_id" not in read
+
     def test_postings_scan_skips_payload_until_needed(self, spark, built):
         from mahout_spark.index.wand import topk
 
