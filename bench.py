@@ -49,6 +49,23 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
     n_docs = docs.count()
 
+    # warm the Arrow python-worker pool (one task per core) before any
+    # timed work — worker spawn + numpy/pandas imports otherwise land on
+    # whichever UDF query runs first and read as a 10-40 s phantom cost
+    # (measured: the minhash signature stage alone swings 16.6 -> 0.5 s
+    # across executions in one session purely from worker warmup; same
+    # protocol as BENCH/scaling_run.py)
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    def _warm_fn(x):
+        return x.astype("int32")
+
+    _warm = F.pandas_udf(_warm_fn, T.IntegerType())
+    spark.range(10_000, numPartitions=cpus).select(
+        F.sum(_warm(F.col("id")))
+    ).first()
+
     best: dict[str, float] = {}
     trials: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
