@@ -474,6 +474,41 @@ def q_engine_prefix_search(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+FUZZY_QUERY = "slot~2 AND group"
+
+
+def q_engine_fuzzy_search(spark, sf_dir):
+    """Fuzzy (edit-distance) retrieval (X47): FUZZY_QUERY's ``slot~2``
+    expands against the index lexicon to the terms within Levenshtein
+    distance 2 (ranked distance asc, df desc, term asc, capped at 64 —
+    the sf0.01 vocabulary has 2 matches, slow at d=1 and sort at d=2, so
+    expansion is exhaustive and the SQL levenshtein relation is exact),
+    OR-scored and AND-ed with a plain term. 'slot' itself is NOT in the
+    corpus, so this exercises pure-fuzzy recall. The DuckDB oracle
+    recomputes the expansion set with its own independent levenshtein
+    implementation."""
+    import shutil
+    import tempfile
+
+    from mahout_spark.index.boolquery import boolean_topk
+    from mahout_spark.index.build import build_index
+
+    docs = _load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="msdrv_fzy_")
+    try:
+        cat = build_index(
+            spark, docs, out_dir=out, content_col="text",
+            id_cols=["doc_id"], mode="simple", resume=False,
+        )
+        result = boolean_topk(spark, cat, FUZZY_QUERY, k=10).select(
+            "doc_id", F.round("score", 6).alias("score")
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def q_engine_facet_search(spark, sf_dir):
     """Facet aggregation over the FULL boolean match set (X45,
     boolquery.matching_docs + facet_counts): BOOL_QUERY's match set
@@ -1038,6 +1073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_proximity_search": q_engine_proximity_search,
         "engine_boolean_search": q_engine_boolean_search,
         "engine_prefix_search": q_engine_prefix_search,
+        "engine_fuzzy_search": q_engine_fuzzy_search,
         "engine_facet_search": q_engine_facet_search,
         "engine_field_search": q_engine_field_search,
         "phrase_snippets": q_phrase_snippets,
@@ -1608,6 +1644,35 @@ def _base_oracle_sql() -> dict[str, str]:
             JOIN dl ON tf.doc_id = dl.doc_id
             CROSS JOIN scal
             WHERE tf.term LIKE 's%' OR tf.term = 'window'
+        ), agg AS (
+            SELECT doc_id, round(sum(c), 6) AS score
+            FROM contrib JOIN matched USING (doc_id)
+            GROUP BY doc_id
+        )
+        SELECT doc_id, score FROM agg
+        ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        # fuzzy oracle: slot~2 AND group. The expansion relation (terms
+        # within Levenshtein distance 2, length-banded exactly like the
+        # engine) is exact because the vocabulary's matches (2) fit the
+        # 64-expansion cap; DuckDB's levenshtein is an independent
+        # implementation of the same ins/del/sub distance.
+        "engine_fuzzy_search": _TOK_CTE + f"""
+        , fz AS (
+            SELECT DISTINCT term FROM dfreq
+            WHERE abs(length(term) - 4) <= 2
+              AND levenshtein(term, 'slot') <= 2
+        ), matched AS (
+            SELECT DISTINCT doc_id FROM tf WHERE term IN (SELECT term FROM fz)
+            INTERSECT
+            SELECT doc_id FROM tf WHERE term = 'group'
+        ), contrib AS (
+            SELECT tf.doc_id, {_BM25_CONTRIB} AS c
+            FROM tf
+            JOIN dfreq USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN scal
+            WHERE tf.term IN (SELECT term FROM fz) OR tf.term = 'group'
         ), agg AS (
             SELECT doc_id, round(sum(c), 6) AS score
             FROM contrib JOIN matched USING (doc_id)

@@ -22,7 +22,11 @@ Semantics (the conventional ranked-boolean model):
   maxClauseCount). The lexicon is hash-bucketed for point lookups, so a
   prefix pays one column-pruned lexicon scan per prefix (a
   TakeOrderedAndProject job, no shuffle); a term-sorted dictionary
-  tier would remove that at 100 TB and slots behind this same API.
+  tier would remove that at 100 TB and slots behind this same API;
+* fuzzy leaves (``word~n``) expand the same way, ranked (edit distance
+  asc, df desc, term asc) via the threshold form of the JVM
+  ``levenshtein`` — expanded terms score as plain BM25 OR members (no
+  similarity downweighting; see queryparse docstring).
 
 Unlike the single-shape AND/OR kernels (wand.py) there is no block-max
 pruning here — a boolean tree has no single monotone bound — but the
@@ -51,7 +55,9 @@ from mahout_spark.index.phrase import (
 )
 from mahout_spark.index.queryparse import (
     all_terms,
+    expand_fuzzies,
     expand_prefixes,
+    fuzzies,
     has_phrase,
     parse,
     positive_terms,
@@ -179,6 +185,25 @@ def _make_boolean_kernel(node, score_terms: list[str], idf_by_term: dict,
     return kernel
 
 
+def _fuzzy_expansion_rows(lex, stem: str, n: int, cap: int) -> list:
+    """Lexicon expansion of ``stem~n``: the ``cap`` nearest terms within
+    Levenshtein distance ``n`` (distance asc, df desc, term asc — closer
+    terms win the cap, Lucene's FuzzyQuery ordering). One column-pruned
+    TakeOrderedAndProject scan, no shuffle; the length band is a cheap
+    JVM pre-filter and the threshold form of levenshtein early-exits the
+    DP row past ``n``. Rows carry (term, bucket, df) plus the distance."""
+    dist = F.levenshtein(F.col("term"), F.lit(stem), n)
+    return (
+        lex.filter(F.length("term").between(len(stem) - n, len(stem) + n))
+        .select("term", "bucket", "df", dist.alias("dist"))
+        .filter(F.col("dist") >= 0)
+        .orderBy(F.col("dist").asc(), F.col("df").desc(),
+                 F.col("term").asc())
+        .limit(cap)
+        .collect()
+    )
+
+
 def _compile_query(spark, cat, query, max_expansions, lex_rows, normalize):
     """Shared front half of every boolean entry point: parse/validate,
     expand prefixes against the lexicon, resolve lexicon rows, and build
@@ -199,21 +224,30 @@ def _compile_query(spark, cat, query, max_expansions, lex_rows, normalize):
         )
 
     pres = prefixes(node)
+    fzs = fuzzies(node)
     prefix_lex: list = []
-    if pres:
+    if pres or fzs:
         lex = cat.read(spark, "lexicon")
-        expansions: dict = {}
-        for p in pres:
-            rows = (
-                lex.filter(F.col("term").startswith(p))
-                .select("term", "bucket", "df")
-                .orderBy(F.col("df").desc(), F.col("term").asc())
-                .limit(max_expansions)
-                .collect()
-            )
-            expansions[p] = [r["term"] for r in rows]
-            prefix_lex.extend(rows)
-        node = expand_prefixes(node, expansions)
+        if pres:
+            expansions: dict = {}
+            for p in pres:
+                rows = (
+                    lex.filter(F.col("term").startswith(p))
+                    .select("term", "bucket", "df")
+                    .orderBy(F.col("df").desc(), F.col("term").asc())
+                    .limit(max_expansions)
+                    .collect()
+                )
+                expansions[p] = [r["term"] for r in rows]
+                prefix_lex.extend(rows)
+            node = expand_prefixes(node, expansions)
+        if fzs:
+            fexp: dict = {}
+            for stem, n in fzs:
+                rows = _fuzzy_expansion_rows(lex, stem, n, max_expansions)
+                fexp[stem, n] = [r["term"] for r in rows]
+                prefix_lex.extend(rows)
+            node = expand_fuzzies(node, fexp)
 
     qterms = all_terms(node)
     if not qterms:

@@ -26,6 +26,15 @@ Grammar (recursive descent, precedence NOT > AND > OR):
   >= 1; exact phrase is the no-tilde form.
 * ``word*`` expands (at execution time) to the index's matching lexicon
   terms, capped and OR-scored.
+* ``word~`` / ``word~N`` is fuzzy matching (Lucene's tilde syntax):
+  expands to the lexicon terms within Levenshtein edit distance ``N``
+  (default 2, the Lucene default; max 2 — the bound every production
+  engine enforces because the expansion set explodes past it). ``~0``
+  is the plain term. Expansions are capped like prefixes, ordered
+  (distance asc, df desc, term asc) so closer terms win the cap, and
+  OR-scored by plain BM25 — this engine does NOT similarity-downweight
+  fuzzy matches (Lucene does), keeping scores identical to the
+  equivalent explicit OR and the relation SQL-expressible.
 * Bare words are normalized by the caller-supplied ``normalize`` (default:
   the SQL-expressible simple tokenizer); a word that normalizes to
   several tokens becomes their AND (inside quotes: spliced into the
@@ -52,6 +61,7 @@ Node forms (plain tuples — cheap to ship into the shard kernel):
     ("term", t)
     ("phrase", (t0, t1, ...), window_or_None)
     ("prefix", p)
+    ("fuzzy", stem, max_edits)
     ("and", [children...])      # children may include ("not", node)
     ("or", [children...])
     ("not", node)
@@ -71,6 +81,12 @@ def _simple_normalize(word: str) -> list[str]:
 DEFAULT_FIELDS = frozenset({"lang"})
 
 _FIELD_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):(.+)$")
+
+#: Lucene caps fuzzy edit distance at 2 (LevenshteinAutomata bound); we
+#: enforce the same limit — expansion sets explode combinatorially past it.
+MAX_FUZZY_EDITS = 2
+
+_FUZZY_RE = re.compile(r"^(.+?)~(\d*)$")
 
 
 _TOKEN_RE = re.compile(
@@ -183,6 +199,12 @@ class _Parser:
             # (stats.py: concat('lang:', lower(lang_col)) — no tokenizer
             # pass), so e.g. lang:C++ reaches the tag 'lang:c++'
             fname, rest = fm.group(1).lower(), fm.group(2)
+            if _FUZZY_RE.match(rest):
+                raise QueryParseError(
+                    f"fuzzy (~) is not supported on field values: {word!r} "
+                    "(tag terms carry the field prefix, so raw edit "
+                    "distance would cross field namespaces)"
+                )
             if (rest.endswith("*") and len(rest) > 1
                     and "*" not in rest[:-1]):
                 return ("prefix", f"{fname}:{rest[:-1].lower()}")
@@ -192,6 +214,25 @@ class _Parser:
                     f"{word!r}"
                 )
             return ("term", f"{fname}:{rest.lower()}")
+        fz = _FUZZY_RE.match(word)
+        if fz:
+            stem_raw, digits = fz.group(1), fz.group(2)
+            n = int(digits) if digits else MAX_FUZZY_EDITS
+            if n > MAX_FUZZY_EDITS:
+                raise QueryParseError(
+                    f"fuzzy edit distance is capped at {MAX_FUZZY_EDITS}: "
+                    f"{word!r}"
+                )
+            if "*" in stem_raw:
+                raise QueryParseError(
+                    f"fuzzy and wildcard cannot combine: {word!r}"
+                )
+            stem = self.norm(stem_raw)
+            if len(stem) != 1:
+                raise QueryParseError(f"bad fuzzy pattern: {word!r}")
+            if n == 0:
+                return ("term", stem[0])
+            return ("fuzzy", stem[0], n)
         if word.endswith("*") and len(word) > 1 and "*" not in word[:-1]:
             stem = self.norm(word[:-1])
             if len(stem) != 1:
@@ -245,7 +286,7 @@ def validate(node) -> None:
         elif kind == "or":
             for c in n[1]:
                 rec(c, "or")
-        elif kind not in ("term", "phrase", "prefix"):
+        elif kind not in ("term", "phrase", "prefix", "fuzzy"):
             raise QueryParseError(f"unknown node kind: {kind!r}")
 
     rec(node, "top")
@@ -306,6 +347,40 @@ def prefixes(node) -> list[str]:
 
     rec(node)
     return sorted(out)
+
+
+def fuzzies(node) -> list[tuple]:
+    """Every ("fuzzy", stem, n) leaf as (stem, n) — sorted, distinct."""
+    out: set = set()
+
+    def rec(n):
+        if n[0] == "fuzzy":
+            out.add((n[1], n[2]))
+        elif n[0] == "not":
+            rec(n[1])
+        elif n[0] in ("and", "or"):
+            for c in n[1]:
+                rec(c)
+
+    rec(node)
+    return sorted(out)
+
+
+def expand_fuzzies(node, expansions: dict):
+    """Replace every ("fuzzy", stem, n) with the OR of its expansion
+    terms, keyed by (stem, n) — the fuzzy analog of expand_prefixes
+    (("or", []) when nothing is within distance)."""
+    kind = node[0]
+    if kind == "fuzzy":
+        terms = expansions.get((node[1], node[2]), [])
+        if len(terms) == 1:
+            return ("term", terms[0])
+        return ("or", [("term", t) for t in terms])
+    if kind == "not":
+        return ("not", expand_fuzzies(node[1], expansions))
+    if kind in ("and", "or"):
+        return (kind, [expand_fuzzies(c, expansions) for c in node[1]])
+    return node
 
 
 def has_phrase(node) -> bool:

@@ -52,6 +52,8 @@ class Searcher:
         self._terms: dict[str, tuple | None] = {}
         # (prefix, cap) -> [(term, bucket, df)] lexicon expansions
         self._prefix: dict[tuple, list] = {}
+        # (stem, n, cap) -> [(term, bucket, df)] fuzzy expansions
+        self._fuzzy: dict[tuple, list] = {}
         # tombstone set (sorted uint64) | None; loaded lazily per epoch
         self._deleted = None
         self._deleted_loaded = False
@@ -77,6 +79,7 @@ class Searcher:
             self._epoch = epoch
             self._terms.clear()
             self._prefix.clear()
+            self._fuzzy.clear()
             self._deleted = None
             self._deleted_loaded = False
             self._meta = meta
@@ -311,6 +314,21 @@ class Searcher:
                 self._terms[r["term"]] = (int(r["bucket"]), int(r["df"]))
         return self._prefix[key]
 
+    def _fuzzy_rows(self, stem: str, n: int, cap: int) -> list:
+        """Epoch-cached lexicon expansion of ``stem~n`` (boolquery.
+        _fuzzy_expansion_rows ordering: distance asc, df desc, term asc).
+        First hit pays one column-pruned lexicon scan; repeats are free
+        until the index mutates."""
+        key = (stem, n, cap)
+        if key not in self._fuzzy:
+            from mahout_spark.index.boolquery import _fuzzy_expansion_rows
+
+            lex = self.cat.read(self.spark, "lexicon")
+            self._fuzzy[key] = _fuzzy_expansion_rows(lex, stem, n, cap)
+            for r in self._fuzzy[key]:
+                self._terms[r["term"]] = (int(r["bucket"]), int(r["df"]))
+        return self._fuzzy[key]
+
     def query(
         self, q, k: int = 10, max_expansions: int | None = None,
         merge: str = "spark",
@@ -334,6 +352,12 @@ class Searcher:
                 for p in pres
             }
             node = qp.expand_prefixes(node, expansions)
+        fzs = qp.fuzzies(node)
+        if fzs:
+            node = qp.expand_fuzzies(node, {
+                (s, n): [r["term"] for r in self._fuzzy_rows(s, n, cap)]
+                for s, n in fzs
+            })
         lex = self._lex_rows(qp.all_terms(node))
         return boolquery.boolean_topk(
             self.spark, self.cat, node, k=k, lex_rows=lex, merge=merge,

@@ -22,6 +22,19 @@ def simple_tokenize(content: str) -> list:
     return [t for t in re.split(r"[^a-z0-9]+", (content or "").lower()) if t]
 
 
+def _edit_distance(a: str, b: str) -> int:
+    """Plain Levenshtein (ins/del/sub) via the textbook DP — independent
+    of both the engine's JVM levenshtein and DuckDB's."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
 class OracleIndex:
     def __init__(self, docs: dict, mode: str = "text", **tok_kw):
         """docs: {doc_id: content}"""
@@ -132,8 +145,11 @@ class OracleIndex:
         """Ranked-boolean oracle: brute-force tree evaluation per doc,
         scored by the BM25 sum of the tree's positive terms the doc
         contains. Prefix leaves expand to the corpus's matching terms
-        (df desc, term asc, capped) — mirroring the engine's lexicon
-        expansion so results are comparable."""
+        (df desc, term asc, capped) and fuzzy leaves to terms within
+        edit distance (distance asc, df desc, term asc, capped) —
+        mirroring the engine's lexicon expansion so results are
+        comparable (the distance function here is an independent
+        pure-python DP, not the JVM levenshtein)."""
         from mahout_spark.index import queryparse as qp
 
         if isinstance(node, str):
@@ -146,6 +162,19 @@ class OracleIndex:
             )[:max_expansions]
             exp[p] = cands
         node = qp.expand_prefixes(node, exp)
+        fexp = {}
+        for stem, n in qp.fuzzies(node):
+            within = [
+                (t, _edit_distance(t, stem))
+                for t in self.df
+                if abs(len(t) - len(stem)) <= n
+            ]
+            cands = sorted(
+                ((t, d) for t, d in within if d <= n),
+                key=lambda e: (e[1], -self.df[e[0]], e[0]),
+            )[:max_expansions]
+            fexp[stem, n] = [t for t, _ in cands]
+        node = qp.expand_fuzzies(node, fexp)
         score_terms = qp.positive_terms(node)
 
         def matches(doc_id, n):

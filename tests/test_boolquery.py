@@ -87,6 +87,38 @@ def test_parse_field_syntax():
     )
 
 
+def test_parse_fuzzy():
+    assert qp.parse("slot~") == ("fuzzy", "slot", 2)   # Lucene default 2
+    assert qp.parse("slot~1") == ("fuzzy", "slot", 1)
+    assert qp.parse("Slot~2") == ("fuzzy", "slot", 2)  # stem normalized
+    assert qp.parse("slot~0") == ("term", "slot")      # ~0 is the plain term
+    assert qp.parse("slot~1 AND data") == (
+        "and", [("fuzzy", "slot", 1), ("term", "data")]
+    )
+    for bad in ("slot~3", "slo*t~1", "slot*~1", "Foo-Bar~1", "lang:es~1"):
+        with pytest.raises(qp.QueryParseError):
+            qp.parse(bad)
+    # mid-word tilde without a numeric tail is not fuzzy syntax: the
+    # normalizer splits it like any other punctuation
+    assert qp.parse("a~b") == ("and", [("term", "a"), ("term", "b")])
+
+
+def test_fuzzy_tree_helpers():
+    n = qp.parse("slot~1 OR (grup~2 AND data)")
+    assert qp.fuzzies(n) == [("grup", 2), ("slot", 1)]
+    assert qp.all_terms(n) == ["data"]  # fuzzy leaves expand later
+    e = qp.expand_fuzzies(n, {("slot", 1): ["slow"],
+                              ("grup", 2): ["group", "dup"]})
+    assert e == (
+        "or", [("term", "slow"),
+               ("and", [("or", [("term", "group"), ("term", "dup")]),
+                        ("term", "data")])]
+    )
+    assert qp.fuzzies(e) == []
+    # unmatched fuzzy expands to the empty OR (matches nothing)
+    assert qp.expand_fuzzies(("fuzzy", "zz", 1), {}) == ("or", [])
+
+
 def test_tree_helpers():
     n = qp.parse('("table scan" OR mer*) AND data NOT stream')
     assert qp.all_terms(n) == ["data", "scan", "stream", "table"]
@@ -160,6 +192,53 @@ def test_boolean_prefix_expansion_matches_oracle(spark, pos_built, oracle):
         assert g[1] == pytest.approx(w[1], abs=1e-9)
 
 
+@pytest.mark.parametrize("q", [
+    "slot~2 AND data",        # slow(d=1) + sort(d=2): distance ordering
+    "grup~1 OR table",        # single expansion under the cap
+    "par~2 NOT stream",       # 3-term expansion incl. shorter/longer stems
+    "slot~1 AND scan",        # d=1 band only (sort excluded)
+])
+def test_boolean_fuzzy_matches_oracle(spark, pos_built, oracle, q):
+    got = _rows(boolean_topk(spark, pos_built, q, k=10))
+    want = oracle.boolean_search(q, k=10)
+    assert [g[0] for g in got] == [w[0] for w in want], q
+    for g, w in zip(got, want):
+        assert g[1] == pytest.approx(w[1], abs=1e-9)
+
+
+def test_boolean_fuzzy_equals_explicit_or(spark, pos_built):
+    """A fuzzy leaf must rank exactly like the explicit OR of its
+    expansion terms (plain BM25, no similarity downweighting)."""
+    from mahout_spark.index.boolquery import _fuzzy_expansion_rows
+
+    lex = pos_built.read(spark, "lexicon")
+    terms = [r["term"] for r in _fuzzy_expansion_rows(lex, "slot", 2, 64)]
+    assert terms, "expansion should be non-empty on this corpus"
+    got = _rows(boolean_topk(spark, pos_built, "slot~2 AND data", k=10))
+    explicit = f"({' OR '.join(terms)}) AND data"
+    assert got == _rows(boolean_topk(spark, pos_built, explicit, k=10))
+
+
+def test_fuzzy_expansion_order_and_cap(spark, pos_built):
+    """Expansion ranks (distance asc, df desc, term asc) and honors the
+    cap — closer terms survive a cap of 1."""
+    from mahout_spark.index.boolquery import _fuzzy_expansion_rows
+
+    lex = pos_built.read(spark, "lexicon")
+    rows = _fuzzy_expansion_rows(lex, "slot", 2, 64)
+    dists = [r["dist"] for r in rows]
+    assert dists == sorted(dists)
+    assert [r["term"] for r in rows][:1] == ["slow"]  # d=1 beats d=2
+    capped = _fuzzy_expansion_rows(lex, "slot", 2, 1)
+    assert [r["term"] for r in capped] == ["slow"]
+
+
+def test_boolean_fuzzy_no_match_is_empty(spark, pos_built):
+    assert _rows(
+        boolean_topk(spark, pos_built, "zzzzzzzzzz~2 AND table", k=10)
+    ) == []
+
+
 def test_boolean_prefix_no_match_is_empty(spark, pos_built):
     assert _rows(boolean_topk(spark, pos_built, "zzzq* AND table", k=10)) == []
 
@@ -220,6 +299,7 @@ def test_searcher_query_matches_boolean_topk(spark, pos_built):
     s = Searcher(spark, pos_built)
     for q in ('("table scan" OR merge) AND data NOT stream',
               "mer* OR table",
+              "slot~2 AND data",
               '"data merge"~8'):
         direct = _rows(boolean_topk(spark, pos_built, q, k=10))
         assert _rows(s.query(q, k=10)) == direct, q
