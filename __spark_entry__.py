@@ -509,6 +509,41 @@ def q_engine_fuzzy_search(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+MLT_DOC_ID = 42
+MLT_MAX_TERMS = 5
+
+
+def q_engine_mlt_search(spark, sf_dir):
+    """More-like-this retrieval (X48, index/mlt.py): the top
+    MLT_MAX_TERMS tf-idf terms of document MLT_DOC_ID (engine formula
+    sqrt(tf)*(1+ln(N/(df+1))), score desc / term asc — deterministic)
+    run as a BM25 OR query through the WAND kernel, the source doc
+    excluded from its own neighborhood. The DuckDB oracle recomputes
+    term selection AND retrieval relationally from the token stream —
+    both MLT stages are hash-checked end-to-end."""
+    import shutil
+    import tempfile
+
+    from mahout_spark.index.build import build_index
+    from mahout_spark.index.mlt import more_like_doc
+
+    docs = _load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="msdrv_mlt_")
+    try:
+        cat = build_index(
+            spark, docs, out_dir=out, content_col="text",
+            id_cols=["doc_id"], mode="simple", resume=False,
+        )
+        result = more_like_doc(
+            spark, cat, docs, MLT_DOC_ID, content_col="text", k=10,
+            max_query_terms=MLT_MAX_TERMS,
+        ).select("doc_id", F.round("score", 6).alias("score"))
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def q_engine_facet_search(spark, sf_dir):
     """Facet aggregation over the FULL boolean match set (X45,
     boolquery.matching_docs + facet_counts): BOOL_QUERY's match set
@@ -1074,6 +1109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_boolean_search": q_engine_boolean_search,
         "engine_prefix_search": q_engine_prefix_search,
         "engine_fuzzy_search": q_engine_fuzzy_search,
+        "engine_mlt_search": q_engine_mlt_search,
         "engine_facet_search": q_engine_facet_search,
         "engine_field_search": q_engine_field_search,
         "phrase_snippets": q_phrase_snippets,
@@ -1677,6 +1713,37 @@ def _base_oracle_sql() -> dict[str, str]:
             SELECT doc_id, round(sum(c), 6) AS score
             FROM contrib JOIN matched USING (doc_id)
             GROUP BY doc_id
+        )
+        SELECT doc_id, score FROM agg
+        ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        # MLT oracle: both stages relational. Stage 1 — the source doc's
+        # terms scored by the engine tf-idf (sqrt(tf)*(1+ln(N/(df+1)))),
+        # top MLT_MAX_TERMS by (score desc, term asc). Stage 2 — BM25 OR
+        # over the selected terms, source doc excluded.
+        "engine_mlt_search": _TOK_CTE + f"""
+        , src AS (
+            SELECT term, tf FROM tf WHERE doc_id = {MLT_DOC_ID}
+        ), cand AS (
+            SELECT s.term,
+                   sqrt(s.tf) * (1.0 + ln(scal.n_docs / (dfreq.df + 1.0)))
+                       AS sc
+            FROM src s JOIN dfreq USING (term) CROSS JOIN scal
+            WHERE dfreq.df >= 2
+        ), sel AS (
+            SELECT term FROM cand ORDER BY sc DESC, term ASC
+            LIMIT {MLT_MAX_TERMS}
+        ), contrib AS (
+            SELECT tf.doc_id, {_BM25_CONTRIB} AS c
+            FROM tf
+            JOIN dfreq USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN scal
+            WHERE tf.term IN (SELECT term FROM sel)
+              AND tf.doc_id <> {MLT_DOC_ID}
+        ), agg AS (
+            SELECT doc_id, round(sum(c), 6) AS score
+            FROM contrib GROUP BY doc_id
         )
         SELECT doc_id, score FROM agg
         ORDER BY score DESC, doc_id ASC LIMIT 10

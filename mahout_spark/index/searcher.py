@@ -362,3 +362,16 @@ class Searcher:
         return boolquery.boolean_topk(
             self.spark, self.cat, node, k=k, lex_rows=lex, merge=merge,
         )
+
+    def more_like(self, like_text: str, k: int = 10, **kwargs) -> DataFrame:
+        """More-like-this over the warm caches (index/mlt.py with the
+        candidate terms' lexicon lookups served by the per-term cache —
+        a repeat MLT over overlapping vocabulary launches no lexicon
+        job)."""
+        from mahout_spark.index import mlt
+
+        self._ensure_fresh()
+        return mlt.more_like_this(
+            self.spark, self.cat, like_text, k=k,
+            _lex_resolver=self._lex_rows, **kwargs,
+        )

@@ -42,6 +42,7 @@ class OracleIndex:
             tok = lambda c, **kw: simple_tokenize(c)
         else:
             tok = tokenize_text if mode == "text" else tokenize_code
+        self._tok = lambda c: tok(c, **tok_kw)
         self.tf: dict = {}
         self.doclen: dict = {}
         self.tokens: dict = {}
@@ -222,6 +223,30 @@ class OracleIndex:
             results.append((doc_id, score))
         results.sort(key=lambda r: (-r[1], r[0]))
         return results[:k]
+
+    def more_like(self, text, k=10, max_query_terms=25, min_term_freq=1,
+                  min_doc_freq=2, exclude_doc_id=None):
+        """More-like-this oracle: select the text's terms by the engine
+        tf-idf (sqrt(tf) * (1 + ln(N/(df+1))), score desc / term asc,
+        capped), then BM25 OR-search, excluding the source doc — an
+        independent dict/loop replica of index/mlt.py."""
+        from collections import Counter
+
+        tfc = Counter(self._tok(text))
+        scored = [
+            (math.sqrt(c) * (1.0 + math.log(self.n_docs / (self.df[t] + 1.0))), t)
+            for t, c in tfc.items()
+            if c >= min_term_freq and self.df[t] >= min_doc_freq
+        ]
+        scored.sort(key=lambda e: (-e[0], e[1]))
+        sel = [t for _, t in scored[:max_query_terms]]
+        if not sel:
+            return []
+        fetch = k + 1 if exclude_doc_id is not None else k
+        res = self.search(sel, k=fetch)
+        if exclude_doc_id is not None:
+            res = [(d, s) for d, s in res if d != exclude_doc_id][:k]
+        return res
 
     def positions(self, doc_id, term) -> list:
         """0-based token indices of term in the doc's surviving stream."""
