@@ -781,6 +781,28 @@ def q_engine_ann_topk(spark, sf_dir):
     return lsh_ann_topk(emb, qvec, k=10, nbits=6, n_probes=7)
 
 
+IVF_CELLS = 8
+
+
+def q_engine_ivf_topk(spark, sf_dir):
+    """IVF approximate NN (X49): spherical-k-means coarse quantizer over
+    a bounded deterministic sample, cell assignment per vector, probe +
+    exact cosine rerank. Run in the FULL-PROBE regime (n_probes =
+    n_cells) where IVF is provably identical to brute force — the DuckDB
+    cosine relation hash-checks that the train/assign/probe/rerank
+    plumbing is lossless end-to-end. The approximate regime (n_probes <
+    n_cells) is recall-gated in tests/ like the LSH path."""
+    from mahout_spark.operators.similarity import (
+        ivf_ann_topk,
+        ivf_train_centroids,
+    )
+
+    emb = _load(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    cents = ivf_train_centroids(emb, n_cells=IVF_CELLS, sample_n=1024)
+    return ivf_ann_topk(emb, qvec, cents, k=10, n_probes=IVF_CELLS)
+
+
 def q_engine_media_decode(spark, sf_dir):
     """mapInPandas media decode stage with the deterministic fake decoder
     (rows-only check; plumbing correctness asserted in tests/). The
@@ -1124,6 +1146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_minhash_neardup": q_engine_minhash_neardup,
         "engine_simhash_neardup": q_engine_simhash_neardup,
         "engine_ann_topk": q_engine_ann_topk,
+        "engine_ivf_topk": q_engine_ivf_topk,
         "engine_media_decode": q_engine_media_decode,
         "engine_cluster_docs": q_engine_cluster_docs,
         "engine_embedding_neardup_lsh": q_engine_embedding_neardup_lsh,
@@ -1324,6 +1347,22 @@ def _pipeline_sql() -> dict[str, str]:
         WHERE round({dot} / (a.nrm * b.nrm), 6) >= {EMB_NEARDUP_THRESHOLD}
         """,
         "cosine_topk": f"""
+        WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+        n AS (
+            SELECT e.vec_id,
+                   round({qdot} / ({nrm.replace('embedding', 'e.embedding')}
+                       * (SELECT {nrm} FROM q)), 6) AS cosine
+            FROM embeddings e CROSS JOIN q
+        )
+        SELECT vec_id, cosine FROM n
+        ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        # IVF full-probe oracle: with n_probes = n_cells the cell filter
+        # passes every vector, so IVF ≡ exact brute-force cosine — the
+        # relation is identical to cosine_topk's. This hash-checks the
+        # quantizer/assignment/probe/rerank plumbing is lossless; the
+        # approximate regime is recall-gated in tests/.
+        "engine_ivf_topk": f"""
         WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
         n AS (
             SELECT e.vec_id,

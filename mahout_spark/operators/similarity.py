@@ -124,6 +124,106 @@ def lsh_ann_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) coarse quantizer — the other standard ANN scale path
+# ---------------------------------------------------------------------------
+
+def ivf_train_centroids(
+    emb: DataFrame, n_cells: int = 16, sample_n: int = 4096,
+    n_iters: int = 10, seed: int = 7,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> np.ndarray:
+    """Train the IVF coarse quantizer: spherical k-means over a bounded
+    deterministic sample, driver-side numpy.
+
+    The sample is the ``sample_n`` lowest ``xxhash64(id)`` vectors — a
+    content-addressed pseudo-random draw (TakeOrderedAndProject: one
+    bounded job, no shuffle of the corpus; same idiom as clustering.py's
+    bounded canopy sample). sample_n·dim·8 bytes of driver memory
+    (~2 MB at 4096×64) regardless of corpus size; at 10^9+ vectors the
+    quantizer trains on exactly the same bounded sample. Returns a
+    unit-norm ``(n_cells, dim)`` float64 matrix; empty cells keep their
+    previous centroid (k-means standard), assignment ties go to the
+    lowest cell index (numpy argmax), so training is deterministic."""
+    rows = (
+        emb.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(sample_n)
+        .collect()
+    )
+    X = np.asarray([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    norms = np.linalg.norm(X, axis=1) if len(X) else np.empty(0)
+    X = X[norms > 0] / norms[norms > 0][:, None] if len(X) else X
+    if len(X) == 0:
+        raise ValueError("cannot train IVF centroids without nonzero vectors")
+    n_cells = min(n_cells, len(X))
+    rs = np.random.RandomState(seed)
+    C = X[rs.choice(len(X), size=n_cells, replace=False)].copy()
+    for _ in range(n_iters):
+        assign = np.argmax(X @ C.T, axis=1)  # ties -> lowest cell
+        for c in range(n_cells):
+            members = X[assign == c]
+            if len(members) == 0:
+                continue
+            m = members.mean(axis=0)
+            n = np.linalg.norm(m)
+            if n > 0:
+                C[c] = m / n
+    return C
+
+
+def add_ivf_cells(
+    emb: DataFrame, centroids: np.ndarray, vec_col: str = "embedding",
+) -> DataFrame:
+    """Append a ``cell`` column: nearest centroid by cosine. Since the
+    centroids are unit-norm and |v| is constant across cells, the argmax
+    of the raw dot products IS the cosine argmax — one matmul per Arrow
+    batch, no per-row normalization. At scale the table is written once
+    ``partitionBy("cell")`` and probes become partition-pruned scans
+    (the embedding analog of the postings table's term buckets)."""
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf(T.IntegerType())
+    def cell_udf(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        m = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        return pd.Series(np.argmax(m @ C.T, axis=1).astype(np.int32))
+
+    return emb.withColumn("cell", cell_udf(F.col(vec_col)))
+
+
+def ivf_ann_topk(
+    emb: DataFrame, qvec: list[float], centroids: np.ndarray,
+    k: int = 10, n_probes: int = 4,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF approximate NN: probe the ``n_probes`` cells whose centroids
+    are most cosine-similar to the query (driver-side — |centroids| is
+    tiny), exact cosine rerank inside. With ``n_probes >= n_cells`` the
+    filter passes every vector and the result is EXACTLY brute force —
+    the oracle regime: it checks assignment/probe/rerank plumbing is
+    lossless; recall in the approximate regime is test-gated like LSH.
+
+    The candidate filter is ``cell IN (...)`` — partition pruning when
+    the corpus is cell-partitioned on disk, so a probe reads
+    ~n_probes/n_cells of the data instead of all of it."""
+    C = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(qvec, dtype=np.float64)
+    order = np.argsort(-(C @ q), kind="stable")  # ties -> lowest cell
+    probes = [int(c) for c in order[:n_probes]]
+    cells = add_ivf_cells(emb, C, vec_col)
+    return (
+        cells.filter(F.col("cell").isin(probes))
+        .select(
+            id_col,
+            F.round(cosine_to_query_expr(F.col(vec_col), qvec), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def lsh_neardup_pairs(
     emb: DataFrame, threshold: float = 0.4, nbits: int = 8, seed: int = 7,
     vec_col: str = "embedding", id_col: str = "vec_id",

@@ -477,6 +477,60 @@ class TestSimilarity:
                for r in lsh_ann_topk(emb, q, 10, nbits=8, n_probes=9).collect()}
         assert len(bf & ann) / 10 >= 0.9
 
+    def test_ivf_full_probe_equals_brute_force(self, spark, clustered_emb):
+        """With n_probes = n_cells every vector passes the cell filter,
+        so IVF must be EXACTLY brute force (same rounded cosines, same
+        tie order) — the lossless-plumbing regime the driver oracle
+        checks."""
+        from mahout_spark.operators.similarity import (
+            brute_force_cosine_topk,
+            ivf_ann_topk,
+            ivf_train_centroids,
+        )
+
+        emb, q = clustered_emb
+        C = ivf_train_centroids(emb, n_cells=8, sample_n=256)
+        got = [(r["vec_id"], r["cosine"])
+               for r in ivf_ann_topk(emb, q, C, k=10, n_probes=8).collect()]
+        want = [(r["vec_id"], r["cosine"])
+                for r in brute_force_cosine_topk(emb, q, k=10).collect()]
+        assert got == want
+
+    def test_ivf_recall_on_planted_neighbors(self, spark, clustered_emb):
+        """Approximate regime: probing half the cells must still recall
+        the planted near-neighbor cluster (spherical k-means puts the
+        query's neighborhood in few cells)."""
+        from mahout_spark.operators.similarity import (
+            brute_force_cosine_topk,
+            ivf_ann_topk,
+            ivf_train_centroids,
+        )
+
+        emb, q = clustered_emb
+        C = ivf_train_centroids(emb, n_cells=8, sample_n=256)
+        bf = {r["vec_id"]
+              for r in brute_force_cosine_topk(emb, q, 10).collect()}
+        ann = {r["vec_id"]
+               for r in ivf_ann_topk(emb, q, C, k=10, n_probes=4).collect()}
+        assert len(bf & ann) / 10 >= 0.9
+
+    def test_ivf_training_is_deterministic_and_cells_partition(self, spark,
+                                                               clustered_emb):
+        from mahout_spark.operators.similarity import (
+            add_ivf_cells,
+            ivf_train_centroids,
+        )
+
+        emb, _ = clustered_emb
+        C1 = ivf_train_centroids(emb, n_cells=8, sample_n=256)
+        C2 = ivf_train_centroids(emb, n_cells=8, sample_n=256)
+        assert np.array_equal(C1, C2)  # same sample, same init, same path
+        assert np.allclose(np.linalg.norm(C1, axis=1), 1.0)
+        cells = add_ivf_cells(emb, C1).groupBy("cell").count().collect()
+        seen = {r["cell"] for r in cells}
+        assert seen <= set(range(8))
+        assert sum(r["count"] for r in cells) == emb.count()  # total cover
+
     def test_lsh_neardup_precision_exact(self, spark, clustered_emb):
         """Every pair the LSH-blocked near-dup emits must be a true pair
         (exact cosines identical to the quadratic baseline); recall on the
