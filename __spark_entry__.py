@@ -509,6 +509,74 @@ def q_engine_fuzzy_search(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+BOOST_QUERY = "table^3 OR (scan AND data)^0.5 OR merge"
+
+
+def q_engine_boost_search(spark, sf_dir):
+    """Boosted boolean retrieval (X50): BOOST_QUERY exercises a term
+    boost, a group boost over an AND, and an unboosted branch. Weights
+    fold into the kernel's idf table (score is linear in idf), so this
+    checks the fold plus the match semantics stay boost-invariant. The
+    DuckDB oracle evaluates the same tree with SQL set ops and scales
+    each term's BM25 contribution with an explicit CASE weight table."""
+    import shutil
+    import tempfile
+
+    from mahout_spark.index.boolquery import boolean_topk
+    from mahout_spark.index.build import build_index
+
+    docs = _load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="msdrv_bst_")
+    try:
+        cat = build_index(
+            spark, docs, out_dir=out, content_col="text",
+            id_cols=["doc_id"], mode="simple", resume=False,
+        )
+        result = boolean_topk(spark, cat, BOOST_QUERY, k=10).select(
+            "doc_id", F.round("score", 6).alias("score")
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+AFTER_QUERY = "table OR scan"
+
+
+def q_engine_search_after(spark, sf_dir):
+    """Cursor pagination (X51, the search_after model): page 1's last
+    row (FULL-precision score + doc_id) becomes the cursor; page 2
+    returns the rows strictly after it in (score desc, doc_id asc)
+    order. Deterministic kernels recompute bit-identical scores, so the
+    cursor's float equality is exact, and the per-shard after-filter
+    runs before the top-k cut (page N costs page 1 — no offset
+    materialization). The DuckDB oracle checks page 2 IS ranks 11-20 of
+    the deep ranking (LIMIT/OFFSET over the same relation)."""
+    import shutil
+    import tempfile
+
+    from mahout_spark.index.boolquery import boolean_topk
+    from mahout_spark.index.build import build_index
+
+    docs = _load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="msdrv_sa_")
+    try:
+        cat = build_index(
+            spark, docs, out_dir=out, content_col="text",
+            id_cols=["doc_id"], mode="simple", resume=False,
+        )
+        page1 = boolean_topk(spark, cat, AFTER_QUERY, k=10).collect()
+        cursor = (page1[-1]["score"], page1[-1]["doc_id"])
+        result = boolean_topk(
+            spark, cat, AFTER_QUERY, k=10, after=cursor
+        ).select("doc_id", F.round("score", 6).alias("score"))
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 MLT_DOC_ID = 42
 MLT_MAX_TERMS = 5
 
@@ -1131,6 +1199,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_boolean_search": q_engine_boolean_search,
         "engine_prefix_search": q_engine_prefix_search,
         "engine_fuzzy_search": q_engine_fuzzy_search,
+        "engine_boost_search": q_engine_boost_search,
+        "engine_search_after": q_engine_search_after,
         "engine_mlt_search": q_engine_mlt_search,
         "engine_facet_search": q_engine_facet_search,
         "engine_field_search": q_engine_field_search,
@@ -1755,6 +1825,61 @@ def _base_oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, score FROM agg
         ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        # boost oracle: table^3 OR (scan AND data)^0.5 OR merge — match
+        # set via SQL set ops (boosts never change it), each term's BM25
+        # contribution scaled by an explicit weight table (engine folds
+        # the same weights into its idf table; multiplication grouping
+        # differs by at most ulps, absorbed by round 6 like every other
+        # float oracle here)
+        "engine_boost_search": _TOK_CTE + f"""
+        , matched AS (
+            SELECT doc_id FROM tf WHERE term = 'table'
+            UNION
+            (SELECT doc_id FROM tf WHERE term = 'scan'
+             INTERSECT
+             SELECT doc_id FROM tf WHERE term = 'data')
+            UNION
+            SELECT doc_id FROM tf WHERE term = 'merge'
+        ), contrib AS (
+            SELECT tf.doc_id,
+                   (CASE tf.term WHEN 'table' THEN 3.0
+                                 WHEN 'scan' THEN 0.5
+                                 WHEN 'data' THEN 0.5
+                                 ELSE 1.0 END) * ({_BM25_CONTRIB}) AS c
+            FROM tf
+            JOIN dfreq USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN scal
+            WHERE tf.term IN ('data', 'merge', 'scan', 'table')
+        ), agg AS (
+            SELECT doc_id, round(sum(c), 6) AS score
+            FROM contrib JOIN matched USING (doc_id)
+            GROUP BY doc_id
+        )
+        SELECT doc_id, score FROM agg
+        ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        # search_after oracle: page 2 must be exactly ranks 11-20 of the
+        # deep ranking — LIMIT/OFFSET over the same BM25 OR relation the
+        # engine pages with its (score, doc_id) cursor
+        "engine_search_after": _TOK_CTE + f"""
+        , matched AS (
+            SELECT DISTINCT doc_id FROM tf WHERE term IN ('scan', 'table')
+        ), contrib AS (
+            SELECT tf.doc_id, {_BM25_CONTRIB} AS c
+            FROM tf
+            JOIN dfreq USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN scal
+            WHERE tf.term IN ('scan', 'table')
+        ), agg AS (
+            SELECT doc_id, round(sum(c), 6) AS score
+            FROM contrib JOIN matched USING (doc_id)
+            GROUP BY doc_id
+        )
+        SELECT doc_id, score FROM agg
+        ORDER BY score DESC, doc_id ASC LIMIT 10 OFFSET 10
         """,
         # MLT oracle: both stages relational. Stage 1 — the source doc's
         # terms scored by the engine tf-idf (sqrt(tf)*(1+ln(N/(df+1)))),

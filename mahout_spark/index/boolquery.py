@@ -16,6 +16,10 @@ Semantics (the conventional ranked-boolean model):
   terms (those not under NOT) it contains — so `a OR b` ranks exactly
   like the OR query, `a AND b` like mode_all, and a NOT branch filters
   without perturbing scores;
+* boosts (``atom^F``) multiply each covered term's contribution; since
+  the score is linear in idf, weights fold into the kernel's idf table
+  (queryparse.term_weights — MAX across a term's positive occurrences,
+  products through nesting) and the kernel itself is boost-oblivious;
 * prefix leaves (`word*`) are expanded against the lexicon before the
   kernel compiles: per prefix, the ``max_expansions`` highest-df terms
   (df desc, term asc — the deterministic cap every engine applies as
@@ -62,6 +66,7 @@ from mahout_spark.index.queryparse import (
     parse,
     positive_terms,
     prefixes,
+    term_weights,
     validate,
 )
 from mahout_spark.index.wand import _read_query_lexicon
@@ -143,6 +148,8 @@ def _eval_tree(node, decoded: dict, base: np.uint64) -> np.ndarray:
             for c in n[1]:
                 out = np.union1d(out, ev(c))
             return out
+        if kind == "boost":
+            return ev(n[1])  # boosts change scores, never the match set
         if kind == "and":
             pos_children = [c for c in n[1] if c[0] != "not"]
             neg_children = [c[1] for c in n[1] if c[0] == "not"]
@@ -164,7 +171,8 @@ def _eval_tree(node, decoded: dict, base: np.uint64) -> np.ndarray:
 def _make_boolean_kernel(node, score_terms: list[str], idf_by_term: dict,
                          k1: float, b: float, avgdl: float, k: int,
                          docs_per_shard: int, positional: bool,
-                         deleted: np.ndarray | None = None):
+                         deleted: np.ndarray | None = None,
+                         after: tuple | None = None):
     if positional:
         _check_shard_budget(docs_per_shard)
     qterms = all_terms(node)
@@ -179,7 +187,7 @@ def _make_boolean_kernel(node, score_terms: list[str], idf_by_term: dict,
             return _empty_result()
         return _score_match_docs(
             decoded, matched, present_scores, idf_by_term, k1, b, avgdl,
-            k, deleted=deleted,
+            k, deleted=deleted, after=after,
         )
 
     return kernel
@@ -286,6 +294,30 @@ def _compile_query(spark, cat, query, max_expansions, lex_rows, normalize):
     ), deleted
 
 
+def _normalize_after(after):
+    """Canonicalize a search_after cursor to ``(score, doc_id)``. Accepts
+    the last Row of the previous page (or any mapping with score/doc_id
+    fields — the natural ``page[-1]`` usage) or an explicit pair in
+    (score desc, doc_id asc) sort-key order. Named fields are preferred
+    when present: a positional pair is ambiguous to the reader, and a
+    swapped one silently returns a wrong page."""
+    if after is None:
+        return None
+    if hasattr(after, "asDict"):
+        after = after.asDict()
+    if isinstance(after, dict):
+        try:
+            return (float(after["score"]), int(after["doc_id"]))
+        except KeyError as e:
+            raise ValueError(
+                "after row/dict must carry score and doc_id fields"
+            ) from e
+    a = tuple(after)
+    if len(a) != 2:
+        raise ValueError("after must be a (score, doc_id) pair")
+    return (float(a[0]), int(a[1]))
+
+
 def boolean_topk(
     spark: SparkSession,
     cat: ParquetCatalog,
@@ -295,13 +327,26 @@ def boolean_topk(
     lex_rows: list | None = None,
     merge: str = "spark",
     normalize=None,
+    after: tuple | None = None,
 ) -> DataFrame:
     """Top-k docs matching a boolean ``query`` (string, parsed by
     queryparse.parse, or an already-built node tree), scored by the BM25
     sum of the query's positive terms. Phrase/slop leaves require an
     index built with ``positions=True``; plain boolean trees run on any
-    index."""
+    index.
+
+    ``after`` is cursor pagination (the search_after model): pass the
+    LAST row of the previous page — a Row/dict with ``score``/``doc_id``
+    fields, or a ``(score, doc_id)`` pair in sort-key order — with the
+    full-precision score, not a display-rounded one. Only rows strictly
+    after the cursor in (score desc, doc_id asc) order return.
+    Deterministic kernels recompute bit-identical scores per run, so the
+    float equality in the cursor predicate is exact; pages are disjoint,
+    cover the ranking, and page N costs the same as page 1 (no offset
+    materialization — the per-shard filter is applied before the top-k
+    cut)."""
     schema = "doc_id long, score double"
+    after = _normalize_after(after)
     plan = _compile_query(spark, cat, query, max_expansions, lex_rows,
                           normalize)
     if plan is None:
@@ -315,10 +360,18 @@ def boolean_topk(
         t: float(np.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5)))
         for t, r in by_term.items()
     }
+    # boosts fold into the idf table (score is linear in idf), so the
+    # kernel is boost-oblivious; weights come from the EXPANDED tree, so
+    # a boosted prefix/fuzzy leaf weights every expansion term
+    weights = term_weights(node)
+    if weights:
+        idf_by_term = {
+            t: v * weights.get(t, 1.0) for t, v in idf_by_term.items()
+        }
     kernel = _make_boolean_kernel(
         node, score_terms, idf_by_term, meta["k1"], meta["b"],
         meta["avgdl"], k, int(meta["docs_per_shard"]), positional,
-        deleted=deleted,
+        deleted=deleted, after=after,
     )
     return _run_positional_kernel(spark, blocks, kernel, k, merge)
 

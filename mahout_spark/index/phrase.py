@@ -180,13 +180,17 @@ def _score_match_docs(decoded: dict, match_docs: np.ndarray,
                       distinct_terms: list[str], idf_by_term: dict,
                       k1: float, b: float, avgdl: float,
                       k: int,
-                      deleted: np.ndarray | None = None) -> pd.DataFrame:
+                      deleted: np.ndarray | None = None,
+                      after: tuple | None = None) -> pd.DataFrame:
     """Exact BM25 sum of the distinct terms over ``match_docs``, in the
     engine-wide deterministic (sorted-term, doc-ascending) reduction
     order, then top-k with (score desc, doc_id asc) tie-breaks.
     ``deleted`` (sorted tombstone set, index/delete.py) masks matches
     before selection — the single live-docs seam for every positional
-    and boolean kernel."""
+    and boolean kernel. ``after`` is a (score, doc_id) cursor: only
+    rows strictly after it in the sort order survive — sound per-shard
+    because the predicate distributes over the global merge, and exact
+    because the kernel recomputes bit-identical scores per run."""
     if deleted is not None and len(match_docs):
         match_docs = match_docs[~np.isin(match_docs, deleted)]
     if len(match_docs) == 0:
@@ -208,6 +212,14 @@ def _score_match_docs(decoded: dict, match_docs: np.ndarray,
     bnd = np.concatenate([[0], np.flatnonzero(docs[1:] != docs[:-1]) + 1])
     uniq = docs[bnd]
     sums = np.add.reduceat(contribs, bnd)
+    if after is not None:
+        a_score, a_doc = float(after[0]), int(after[1])
+        keep = (sums < a_score) | (
+            (sums == a_score) & (uniq.astype(np.int64) > a_doc)
+        )
+        uniq, sums = uniq[keep], sums[keep]
+        if len(uniq) == 0:
+            return _empty_result()
     d_out, s_out = _topk_arrays(uniq.astype(np.int64), sums, k)
     return pd.DataFrame({"doc_id": d_out, "score": s_out})
 

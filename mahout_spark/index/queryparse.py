@@ -26,6 +26,15 @@ Grammar (recursive descent, precedence NOT > AND > OR):
   >= 1; exact phrase is the no-tilde form.
 * ``word*`` expands (at execution time) to the index's matching lexicon
   terms, capped and OR-scored.
+* ``atom^F`` is a boost (Lucene's caret syntax; F > 0, fractional
+  allowed): the BM25 contribution of every positive term under the
+  boost is multiplied by F. Boosts attach to words (``table^3``,
+  composing with fuzzy/prefix: ``mer*^2``, ``slot~1^2``), to quoted
+  phrases (``"table scan"^2``), and to parenthesized groups
+  (``(a OR b)^2``); nested boosts multiply. A term reached through
+  several positive occurrences with different weights takes the MAX
+  (the engine scores each distinct term once — see boolquery.py).
+  ``^1`` is the identity and produces no node.
 * ``word~`` / ``word~N`` is fuzzy matching (Lucene's tilde syntax):
   expands to the lexicon terms within Levenshtein edit distance ``N``
   (default 2, the Lucene default; max 2 — the bound every production
@@ -62,6 +71,7 @@ Node forms (plain tuples — cheap to ship into the shard kernel):
     ("phrase", (t0, t1, ...), window_or_None)
     ("prefix", p)
     ("fuzzy", stem, max_edits)
+    ("boost", node, factor)
     ("and", [children...])      # children may include ("not", node)
     ("or", [children...])
     ("not", node)
@@ -88,9 +98,13 @@ MAX_FUZZY_EDITS = 2
 
 _FUZZY_RE = re.compile(r"^(.+?)~(\d*)$")
 
+_BOOST_RE = re.compile(r"^(.+)\^(\d+(?:\.\d+)?)$")
+_BARE_BOOST_RE = re.compile(r"^\^(\d+(?:\.\d+)?)$")
+
 
 _TOKEN_RE = re.compile(
     r'\s*(?:(?P<lpar>\()|(?P<rpar>\))|"(?P<quoted>[^"]*)"(?:~(?P<slop>\d+))?'
+    r"(?:\^(?P<qboost>\d+(?:\.\d+)?))?"
     r"|(?P<word>[^\s()\"]+))"
 )
 
@@ -114,7 +128,11 @@ def _lex(q: str) -> list[tuple]:
             out.append((")",))
         elif m.group("quoted") is not None:
             slop = m.group("slop")
-            out.append(("quote", m.group("quoted"), int(slop) if slop else None))
+            qboost = m.group("qboost")
+            out.append((
+                "quote", m.group("quoted"), int(slop) if slop else None,
+                float(qboost) if qboost else None,
+            ))
         else:
             out.append(("word", m.group("word")))
     return out
@@ -167,6 +185,15 @@ class _Parser:
             return ("not", self.unary())
         return self.atom()
 
+    def _wrap_boost(self, node, factor):
+        if factor is None:
+            return node
+        if factor <= 0:
+            raise QueryParseError(f"boost must be > 0: ^{factor:g}")
+        if factor == 1.0:
+            return node  # identity boost produces no node
+        return ("boost", node, factor)
+
     def atom(self):
         t = self.next()
         if t is None:
@@ -175,6 +202,12 @@ class _Parser:
             node = self.or_expr()
             if self.next() != (")",):
                 raise QueryParseError("missing closing parenthesis")
+            nxt = self.peek()
+            if nxt is not None and nxt[0] == "word":
+                bb = _BARE_BOOST_RE.match(nxt[1])
+                if bb:
+                    self.next()
+                    return self._wrap_boost(node, float(bb.group(1)))
             return node
         if t[0] == ")":
             raise QueryParseError("unexpected ')'")
@@ -188,11 +221,19 @@ class _Parser:
             if window is not None and window < 1:
                 raise QueryParseError("phrase slop must be >= 1")
             if len(seq) == 1 and window is None:
-                return ("term", seq[0])
-            return ("phrase", tuple(seq), window)
+                return self._wrap_boost(("term", seq[0]), t[3])
+            return self._wrap_boost(("phrase", tuple(seq), window), t[3])
         word = t[1]
         if word in ("AND", "OR", "NOT"):
             raise QueryParseError(f"operator {word} needs an operand")
+        bm = _BOOST_RE.match(word)
+        if bm:
+            return self._wrap_boost(
+                self._word_atom(bm.group(1)), float(bm.group(2))
+            )
+        return self._word_atom(word)
+
+    def _word_atom(self, word):
         fm = _FIELD_RE.match(word)
         if fm and fm.group(1).lower() in self.fields:
             # tag values are RAW-lowercased to mirror the indexer exactly
@@ -275,6 +316,15 @@ def validate(node) -> None:
                     "one positive branch"
                 )
             rec(n[1], "not")
+        elif kind == "boost":
+            if n[1][0] == "not":
+                raise QueryParseError(
+                    "boost cannot apply to a NOT expression (negative "
+                    "branches never score)"
+                )
+            if not (isinstance(n[2], float) and n[2] > 0):
+                raise QueryParseError(f"boost must be a positive float: {n[2]!r}")
+            rec(n[1], ctx)
         elif kind == "and":
             children = n[1]
             if all(c[0] == "not" for c in children):
@@ -302,7 +352,7 @@ def all_terms(node) -> list[str]:
             out.add(n[1])
         elif n[0] == "phrase":
             out.update(n[1])
-        elif n[0] == "not":
+        elif n[0] in ("not", "boost"):
             rec(n[1])
         elif n[0] in ("and", "or"):
             for c in n[1]:
@@ -325,6 +375,8 @@ def positive_terms(node) -> list[str]:
                 out.update(n[1])
         elif n[0] == "not":
             rec(n[1], True)
+        elif n[0] == "boost":
+            rec(n[1], neg)
         elif n[0] in ("and", "or"):
             for c in n[1]:
                 rec(c, neg)
@@ -333,13 +385,42 @@ def positive_terms(node) -> list[str]:
     return sorted(out)
 
 
+def term_weights(node) -> dict:
+    """Boost weights for the POSITIVE terms: the product of enclosing
+    boost factors along each occurrence path; a term reached through
+    several positive occurrences takes the MAX (the kernel scores each
+    distinct term once — boolquery folds these into the idf table).
+    Unboosted terms are absent (weight 1.0 implied)."""
+    out: dict = {}
+
+    def rec(n, w, neg):
+        k = n[0]
+        if k == "term":
+            if not neg:
+                out[n[1]] = max(out.get(n[1], 0.0), w)
+        elif k == "phrase":
+            if not neg:
+                for t in set(n[1]):
+                    out[t] = max(out.get(t, 0.0), w)
+        elif k == "boost":
+            rec(n[1], w * n[2], neg)
+        elif k == "not":
+            rec(n[1], w, True)
+        elif k in ("and", "or"):
+            for c in n[1]:
+                rec(c, w, neg)
+
+    rec(node, 1.0, False)
+    return {t: w for t, w in out.items() if w != 1.0}
+
+
 def prefixes(node) -> list[str]:
     out: set = set()
 
     def rec(n):
         if n[0] == "prefix":
             out.add(n[1])
-        elif n[0] == "not":
+        elif n[0] in ("not", "boost"):
             rec(n[1])
         elif n[0] in ("and", "or"):
             for c in n[1]:
@@ -356,7 +437,7 @@ def fuzzies(node) -> list[tuple]:
     def rec(n):
         if n[0] == "fuzzy":
             out.add((n[1], n[2]))
-        elif n[0] == "not":
+        elif n[0] in ("not", "boost"):
             rec(n[1])
         elif n[0] in ("and", "or"):
             for c in n[1]:
@@ -378,6 +459,8 @@ def expand_fuzzies(node, expansions: dict):
         return ("or", [("term", t) for t in terms])
     if kind == "not":
         return ("not", expand_fuzzies(node[1], expansions))
+    if kind == "boost":
+        return ("boost", expand_fuzzies(node[1], expansions), node[2])
     if kind in ("and", "or"):
         return (kind, [expand_fuzzies(c, expansions) for c in node[1]])
     return node
@@ -386,7 +469,7 @@ def expand_fuzzies(node, expansions: dict):
 def has_phrase(node) -> bool:
     if node[0] == "phrase":
         return True
-    if node[0] == "not":
+    if node[0] in ("not", "boost"):
         return has_phrase(node[1])
     if node[0] in ("and", "or"):
         return any(has_phrase(c) for c in node[1])
@@ -404,6 +487,8 @@ def expand_prefixes(node, expansions: dict):
         return ("or", [("term", t) for t in terms])
     if kind == "not":
         return ("not", expand_prefixes(node[1], expansions))
+    if kind == "boost":
+        return ("boost", expand_prefixes(node[1], expansions), node[2])
     if kind in ("and", "or"):
         return (kind, [expand_prefixes(c, expansions) for c in node[1]])
     return node

@@ -331,7 +331,7 @@ class Searcher:
 
     def query(
         self, q, k: int = 10, max_expansions: int | None = None,
-        merge: str = "spark",
+        merge: str = "spark", after: tuple | None = None,
     ) -> DataFrame:
         """Boolean query-string retrieval (queryparse grammar: AND/OR/NOT,
         "exact phrase", "slop phrase"~w, prefix*) over the warm caches:
@@ -361,6 +361,7 @@ class Searcher:
         lex = self._lex_rows(qp.all_terms(node))
         return boolquery.boolean_topk(
             self.spark, self.cat, node, k=k, lex_rows=lex, merge=merge,
+            after=after,
         )
 
     def more_like(self, like_text: str, k: int = 10, **kwargs) -> DataFrame:

@@ -63,7 +63,7 @@ def _canon(pdf):
     return cols, rows
 
 
-def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
+def main(sf_dir: str = "/root/testdata/sf0.01", only: list | None = None) -> int:
     import duckdb
 
     import __spark_entry__ as entry
@@ -77,6 +77,11 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
         )
 
     qs = entry.queries()
+    if only:
+        unknown = sorted(set(only) - set(qs))
+        if unknown:
+            raise SystemExit(f"unknown queries: {unknown}")
+        qs = {n: qs[n] for n in only}
     oracles = entry.oracle_sql()
     failures = 0
     for name, fn in qs.items():
@@ -119,4 +124,7 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(*(sys.argv[1:2] or [])))
+    # usage: driver_parity.py [sf_dir] [query_name ...]
+    argv = sys.argv[1:]
+    sf = argv.pop(0) if argv and "/" in argv[0] else "/root/testdata/sf0.01"
+    sys.exit(main(sf, only=argv or None))

@@ -177,6 +177,7 @@ class OracleIndex:
             fexp[stem, n] = [t for t, _ in cands]
         node = qp.expand_fuzzies(node, fexp)
         score_terms = qp.positive_terms(node)
+        weights = qp.term_weights(node)
 
         def matches(doc_id, n):
             kind = n[0]
@@ -202,6 +203,8 @@ class OracleIndex:
                     for t0 in qt
                     for a in pos[t0]
                 )
+            if kind == "boost":
+                return matches(doc_id, n[1])
             if kind == "or":
                 return any(matches(doc_id, c) for c in n[1])
             if kind == "and":
@@ -219,7 +222,10 @@ class OracleIndex:
             present = [t for t in score_terms if self.tf[doc_id][t] > 0]
             if not present:
                 continue
-            score = sum(self.bm25(doc_id, t) for t in sorted(present))
+            score = sum(
+                weights.get(t, 1.0) * self.bm25(doc_id, t)
+                for t in sorted(present)
+            )
             results.append((doc_id, score))
         results.sort(key=lambda r: (-r[1], r[0]))
         return results[:k]

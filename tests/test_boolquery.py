@@ -119,6 +119,46 @@ def test_fuzzy_tree_helpers():
     assert qp.expand_fuzzies(("fuzzy", "zz", 1), {}) == ("or", [])
 
 
+def test_parse_boost():
+    assert qp.parse("table^3") == ("boost", ("term", "table"), 3.0)
+    assert qp.parse("table^0.5") == ("boost", ("term", "table"), 0.5)
+    assert qp.parse("table^1") == ("term", "table")  # identity boost
+    assert qp.parse('"table scan"^2') == (
+        "boost", ("phrase", ("table", "scan"), None), 2.0
+    )
+    assert qp.parse('"table scan"~3^2') == (
+        "boost", ("phrase", ("table", "scan"), 3), 2.0
+    )
+    assert qp.parse("(table OR scan)^2") == (
+        "boost", ("or", [("term", "table"), ("term", "scan")]), 2.0
+    )
+    assert qp.parse("mer*^2") == ("boost", ("prefix", "mer"), 2.0)
+    assert qp.parse("slot~1^2") == ("boost", ("fuzzy", "slot", 1), 2.0)
+    assert qp.parse("lang:es^2") == ("boost", ("term", "lang:es"), 2.0)
+    assert qp.parse("a NOT b^2") == (
+        "and", [("term", "a"), ("not", ("boost", ("term", "b"), 2.0))]
+    )
+    with pytest.raises(qp.QueryParseError):
+        qp.parse("table^0")
+    with pytest.raises(qp.QueryParseError):  # boost directly wrapping NOT
+        qp.validate(("and", [("term", "a"),
+                             ("boost", ("not", ("term", "b")), 2.0)]))
+    # ^ with a non-numeric tail is not boost syntax: normalizer splits
+    assert qp.parse("a^b") == ("and", [("term", "a"), ("term", "b")])
+
+
+def test_term_weights():
+    n = qp.parse("table^3 OR (scan AND data)^0.5 OR merge NOT big^9")
+    assert qp.term_weights(n) == {"table": 3.0, "scan": 0.5, "data": 0.5}
+    # nesting multiplies; multiple positive occurrences take the max
+    n = qp.parse("(table^2 OR scan)^3 AND table")
+    assert qp.term_weights(n) == {"table": 6.0, "scan": 3.0}
+    n = qp.parse("table^0.5 OR table")
+    assert qp.term_weights(n) == {}  # max(0.5, 1.0) = 1.0 -> unboosted
+    assert qp.all_terms(qp.parse("(a AND b^2)^2")) == ["a", "b"]
+    assert qp.positive_terms(qp.parse("a NOT b^2")) == ["a"]
+
+
 def test_tree_helpers():
     n = qp.parse('("table scan" OR mer*) AND data NOT stream')
     assert qp.all_terms(n) == ["data", "scan", "stream", "table"]
@@ -206,6 +246,39 @@ def test_boolean_fuzzy_matches_oracle(spark, pos_built, oracle, q):
         assert g[1] == pytest.approx(w[1], abs=1e-9)
 
 
+@pytest.mark.parametrize("q", [
+    "table^3 OR scan",
+    "table^0.5 AND scan",
+    '("table scan" OR merge)^2 AND data',
+    "mer*^2 OR table",
+    "slot~2^3 AND data",
+    "(table^2 OR scan)^3 AND merge NOT stream^4",
+])
+def test_boolean_boost_matches_oracle(spark, pos_built, oracle, q):
+    got = _rows(boolean_topk(spark, pos_built, q, k=10))
+    want = oracle.boolean_search(q, k=10)
+    assert [g[0] for g in got] == [w[0] for w in want], q
+    for g, w in zip(got, want):
+        assert g[1] == pytest.approx(w[1], abs=1e-9)
+
+
+def test_boost_changes_scores_not_match_set(spark, pos_built):
+    from mahout_spark.index.boolquery import matching_docs
+
+    # k beyond the match-set size: the SETS must agree (boosts reorder,
+    # never add/remove matches), the rankings must not
+    plain = _rows(boolean_topk(spark, pos_built, "table OR scan", k=10**6))
+    boosted = _rows(boolean_topk(spark, pos_built, "table^2 OR scan",
+                                 k=10**6))
+    assert {d for d, _ in plain} == {d for d, _ in boosted}
+    assert plain != boosted  # table contributions scaled
+    m1 = {r["doc_id"] for r in
+          matching_docs(spark, pos_built, "table^2 OR scan").collect()}
+    m2 = {r["doc_id"] for r in
+          matching_docs(spark, pos_built, "table OR scan").collect()}
+    assert m1 == m2
+
+
 def test_boolean_fuzzy_equals_explicit_or(spark, pos_built):
     """A fuzzy leaf must rank exactly like the explicit OR of its
     expansion terms (plain BM25, no similarity downweighting)."""
@@ -284,6 +357,70 @@ def test_boolean_on_nonpositional_index(spark, corpus, tmp_path_factory,
     assert [g[0] for g in got] == [w[0] for w in want]
     with pytest.raises(ValueError, match="positions=True"):
         boolean_topk(spark, cat, '"table scan"')
+
+
+def test_search_after_pages_reassemble_ranking(spark, pos_built):
+    """Cursor pagination: consecutive pages are disjoint and concatenate
+    to exactly the deep ranking."""
+    q = "table OR scan OR merge"
+    full = _rows(boolean_topk(spark, pos_built, q, k=30))
+    pages, cursor = [], None
+    for _ in range(3):
+        df = boolean_topk(spark, pos_built, q, k=10, after=cursor)
+        rows = df.collect()
+        if not rows:
+            break
+        pages.extend((r["doc_id"], r["score"]) for r in rows)
+        cursor = rows[-1]  # the natural usage: last Row IS the cursor
+    assert pages == full
+    assert len({d for d, _ in pages}) == len(pages)  # disjoint
+
+
+def test_search_after_crosses_tie_bands(spark, tmp_path_factory):
+    """Exact duplicate docs force tied scores across shards; the cursor
+    must advance through a tie band by doc_id without skips or repeats."""
+    rows = [(i, "alpha beta gamma") for i in range(7)] + [
+        (100 + i, "alpha delta") for i in range(3)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "content"])
+    out = str(tmp_path_factory.mktemp("afteridx"))
+    cat = build_index(
+        spark, docs, out, content_col="content", id_cols=["doc_id"],
+        mode="simple", n_buckets=2, docs_per_shard=4, block_size=4,
+    )
+    full = _rows(boolean_topk(spark, cat, "alpha", k=100))
+    assert len(full) == 10
+    got, cursor = [], None
+    while True:
+        page = _rows(boolean_topk(spark, cat, "alpha", k=3, after=cursor))
+        if not page:
+            break
+        got.extend(page)
+        cursor = (page[-1][1], page[-1][0])  # explicit (score, doc_id)
+    assert got == full
+
+
+def test_search_after_past_end_is_empty(spark, pos_built):
+    full = _rows(boolean_topk(spark, pos_built, "table", k=10**6))
+    last = {"score": full[-1][1], "doc_id": full[-1][0]}
+    assert _rows(
+        boolean_topk(spark, pos_built, "table", k=10, after=last)
+    ) == []
+    with pytest.raises(ValueError):
+        boolean_topk(spark, pos_built, "table", after={"doc_id": 3})
+    with pytest.raises(ValueError):
+        boolean_topk(spark, pos_built, "table", after=(1.0, 2, 3))
+
+
+def test_searcher_query_supports_after(spark, pos_built):
+    from mahout_spark.index.searcher import Searcher
+
+    s = Searcher(spark, pos_built)
+    q = "table OR scan"
+    p1 = _rows(s.query(q, k=10))
+    cursor = (p1[-1][1], p1[-1][0])
+    direct = _rows(boolean_topk(spark, pos_built, q, k=10, after=cursor))
+    assert _rows(s.query(q, k=10, after=cursor)) == direct
 
 
 def test_boolean_driver_merge_matches_spark_merge(spark, pos_built):
