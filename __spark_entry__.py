@@ -541,6 +541,109 @@ def q_engine_boost_search(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+EXPLAIN_QUERY = "table AND data"
+
+
+def q_engine_explain(spark, sf_dir):
+    """Score explanation (X54, Lucene Explanation analog): one row per
+    (top-k doc, present positive term) with tf, doclen, raw idf, boost
+    weight, and the term's BM25 contribution; `score` repeats the doc
+    total. The DuckDB oracle reproduces the whole relation — contrib
+    table joined to the top-k cut — so the breakdown itself is
+    hash-checked, not just the ranking."""
+    import shutil
+    import tempfile
+
+    from mahout_spark.index.boolquery import explain_topk
+    from mahout_spark.index.build import build_index
+
+    docs = _load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="msdrv_xp_")
+    try:
+        cat = build_index(
+            spark, docs, out_dir=out, content_col="text",
+            id_cols=["doc_id"], mode="simple", resume=False,
+        )
+        result = explain_topk(spark, cat, EXPLAIN_QUERY, k=10).select(
+            "doc_id",
+            F.round("score", 6).alias("score"),
+            "term", "tf", "doclen",
+            F.round("idf", 6).alias("idf"),
+            F.round("weight", 6).alias("weight"),
+            F.round("contrib", 6).alias("contrib"),
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+WILDCARD_QUERY = "*e AND ?a??"
+
+
+def q_engine_wildcard_search(spark, sf_dir):
+    """General-wildcard retrieval (X53, Lucene * / ? syntax anywhere in
+    the word): each pattern expands against the lexicon (df desc, term
+    asc, capped) and OR-scores as plain BM25; the AND intersects the two
+    expansion groups' match sets. The DuckDB oracle recomputes both
+    expansions with regexp_matches over the SAME anchored regex
+    translation (exhaustive under the cap on this vocabulary) and the
+    same BM25 sum."""
+    import shutil
+    import tempfile
+
+    from mahout_spark.index.boolquery import boolean_topk
+    from mahout_spark.index.build import build_index
+
+    docs = _load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="msdrv_wc_")
+    try:
+        cat = build_index(
+            spark, docs, out_dir=out, content_col="text",
+            id_cols=["doc_id"], mode="simple", resume=False,
+        )
+        result = boolean_topk(spark, cat, WILDCARD_QUERY, k=10).select(
+            "doc_id", F.round("score", 6).alias("score")
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+MSM_QUERY = "table OR scan OR merge OR data"
+MSM_M = 2
+
+
+def q_engine_msm_search(spark, sf_dir):
+    """minimum_should_match retrieval (X52, the Lucene/ES BooleanQuery
+    mm semantics): docs matching at least MSM_M of MSM_QUERY's clauses,
+    BM25-scored over the present positive terms like every boolean
+    query. The DuckDB oracle counts distinct matching clause terms per
+    doc with GROUP BY/HAVING — relational mm — and recomputes the same
+    BM25 sum."""
+    import shutil
+    import tempfile
+
+    from mahout_spark.index.boolquery import boolean_topk
+    from mahout_spark.index.build import build_index
+
+    docs = _load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="msdrv_msm_")
+    try:
+        cat = build_index(
+            spark, docs, out_dir=out, content_col="text",
+            id_cols=["doc_id"], mode="simple", resume=False,
+        )
+        result = boolean_topk(
+            spark, cat, MSM_QUERY, k=10, minimum_should_match=MSM_M
+        ).select("doc_id", F.round("score", 6).alias("score"))
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 AFTER_QUERY = "table OR scan"
 
 
@@ -1200,6 +1303,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_prefix_search": q_engine_prefix_search,
         "engine_fuzzy_search": q_engine_fuzzy_search,
         "engine_boost_search": q_engine_boost_search,
+        "engine_wildcard_search": q_engine_wildcard_search,
+        "engine_explain": q_engine_explain,
+        "engine_msm_search": q_engine_msm_search,
         "engine_search_after": q_engine_search_after,
         "engine_mlt_search": q_engine_mlt_search,
         "engine_facet_search": q_engine_facet_search,
@@ -1847,6 +1953,98 @@ def _base_oracle_sql() -> dict[str, str]:
                                  WHEN 'scan' THEN 0.5
                                  WHEN 'data' THEN 0.5
                                  ELSE 1.0 END) * ({_BM25_CONTRIB}) AS c
+            FROM tf
+            JOIN dfreq USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN scal
+            WHERE tf.term IN ('data', 'merge', 'scan', 'table')
+        ), agg AS (
+            SELECT doc_id, round(sum(c), 6) AS score
+            FROM contrib JOIN matched USING (doc_id)
+            GROUP BY doc_id
+        )
+        SELECT doc_id, score FROM agg
+        ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        # explain oracle: the ENTIRE per-(doc, term) breakdown relation is
+        # recomputed — contribs joined to the raw-score top-k cut — so tf,
+        # doclen, idf, and each contribution are hash-checked cell-by-cell
+        "engine_explain": _TOK_CTE + f"""
+        , matched AS (
+            SELECT doc_id FROM tf WHERE term = 'table'
+            INTERSECT
+            SELECT doc_id FROM tf WHERE term = 'data'
+        ), contrib AS (
+            SELECT tf.doc_id, tf.term, tf.tf, dl.doclen,
+                   ln(1.0 + (scal.n_docs - dfreq.df + 0.5)
+                      / (dfreq.df + 0.5)) AS idf,
+                   {_BM25_CONTRIB} AS c
+            FROM tf
+            JOIN dfreq USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN scal
+            WHERE tf.term IN ('data', 'table')
+        ), agg AS (
+            SELECT doc_id, sum(c) AS score_raw
+            FROM contrib JOIN matched USING (doc_id)
+            GROUP BY doc_id
+        ), top AS (
+            SELECT doc_id, round(score_raw, 6) AS score FROM agg
+            ORDER BY score_raw DESC, doc_id ASC LIMIT 10
+        )
+        SELECT c.doc_id, t.score, c.term,
+               CAST(c.tf AS BIGINT) AS tf,
+               CAST(c.doclen AS BIGINT) AS doclen,
+               round(c.idf, 6) AS idf,
+               1.0 AS weight,
+               round(c.c, 6) AS contrib
+        FROM contrib c JOIN top t USING (doc_id)
+        ORDER BY t.score DESC, c.doc_id ASC, c.term ASC
+        """,
+        # wildcard oracle: *e AND ?a?? — both expansions recomputed with
+        # regexp_matches over the engine's anchored regex translation
+        # (exhaustive under the cap: this vocabulary is far below 64
+        # matches per pattern), then the standard BM25 AND
+        "engine_wildcard_search": _TOK_CTE + f"""
+        , w1 AS (
+            SELECT DISTINCT term FROM dfreq
+            WHERE regexp_matches(term, '^.*e$')
+        ), w2 AS (
+            SELECT DISTINCT term FROM dfreq
+            WHERE regexp_matches(term, '^.a..$')
+        ), matched AS (
+            SELECT DISTINCT doc_id FROM tf
+            WHERE term IN (SELECT term FROM w1)
+            INTERSECT
+            SELECT DISTINCT doc_id FROM tf
+            WHERE term IN (SELECT term FROM w2)
+        ), contrib AS (
+            SELECT tf.doc_id, {_BM25_CONTRIB} AS c
+            FROM tf
+            JOIN dfreq USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN scal
+            WHERE tf.term IN (SELECT term FROM w1)
+               OR tf.term IN (SELECT term FROM w2)
+        ), agg AS (
+            SELECT doc_id, round(sum(c), 6) AS score
+            FROM contrib JOIN matched USING (doc_id)
+            GROUP BY doc_id
+        )
+        SELECT doc_id, score FROM agg
+        ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        # minimum_should_match oracle: the mm clause count is a relational
+        # GROUP BY/HAVING over distinct (doc, clause-term) matches; scores
+        # are the standard BM25 sum over the present positive terms
+        "engine_msm_search": _TOK_CTE + f"""
+        , matched AS (
+            SELECT doc_id FROM (
+                SELECT DISTINCT doc_id, term FROM tf
+                WHERE term IN ('data', 'merge', 'scan', 'table')
+            ) GROUP BY doc_id HAVING count(*) >= {MSM_M}
+        ), contrib AS (
+            SELECT tf.doc_id, {_BM25_CONTRIB} AS c
             FROM tf
             JOIN dfreq USING (term)
             JOIN dl ON tf.doc_id = dl.doc_id

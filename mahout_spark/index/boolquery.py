@@ -55,12 +55,14 @@ from mahout_spark.index.phrase import (
     _occurrence_keys,
     _run_positional_kernel,
     _score_match_docs,
+    _sorted_member,
     _window_anchor_keys,
 )
 from mahout_spark.index.queryparse import (
     all_terms,
     expand_fuzzies,
     expand_prefixes,
+    expand_wildcards,
     fuzzies,
     has_phrase,
     parse,
@@ -68,6 +70,9 @@ from mahout_spark.index.queryparse import (
     prefixes,
     term_weights,
     validate,
+    wildcard_regex,
+    wildcards,
+    with_minimum_should_match,
 )
 from mahout_spark.index.wand import _read_query_lexicon
 from mahout_spark.sources.catalog import ParquetCatalog
@@ -150,6 +155,15 @@ def _eval_tree(node, decoded: dict, base: np.uint64) -> np.ndarray:
             return out
         if kind == "boost":
             return ev(n[1])  # boosts change scores, never the match set
+        if kind == "msm":
+            # >= m of the clauses match: each child array is unique doc
+            # ids, so per-doc occurrence count == matching-clause count
+            arrs = [ev(c) for c in n[1]]
+            allv = np.concatenate(arrs) if arrs else empty
+            if len(allv) == 0:
+                return empty
+            u, cnt = np.unique(allv, return_counts=True)
+            return u[cnt >= n[2]]
         if kind == "and":
             pos_children = [c for c in n[1] if c[0] != "not"]
             neg_children = [c[1] for c in n[1] if c[0] == "not"]
@@ -212,17 +226,39 @@ def _fuzzy_expansion_rows(lex, stem: str, n: int, cap: int) -> list:
     )
 
 
-def _compile_query(spark, cat, query, max_expansions, lex_rows, normalize):
+def _wildcard_expansion_rows(lex, pattern: str, cap: int) -> list:
+    """Lexicon expansion of a general wildcard pattern: the ``cap``
+    highest-df matching terms (df desc, term asc — the same
+    deterministic maxClauseCount ordering prefixes use). One
+    column-pruned TakeOrderedAndProject scan of the lexicon; unlike a
+    trailing prefix there is no leading-anchored pushdown, but the scan
+    is bounded by VOCABULARY size, never corpus size. At 100 TB a
+    permuterm/n-gram dictionary tier slots behind this same call."""
+    return (
+        lex.filter(F.col("term").rlike(wildcard_regex(pattern)))
+        .select("term", "bucket", "df")
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(cap)
+        .collect()
+    )
+
+
+def _compile_query(spark, cat, query, max_expansions, lex_rows, normalize,
+                   minimum_should_match: int = 0):
     """Shared front half of every boolean entry point: parse/validate,
     expand prefixes against the lexicon, resolve lexicon rows, and build
     the term-filtered bucket-pruned blocks scan. Returns ``(node, meta,
     by_term, blocks, positional)`` or None when no query term exists in
-    the corpus (nothing can match)."""
+    the corpus (nothing can match). ``minimum_should_match`` wraps a
+    top-level OR BEFORE expansion, so an expanded prefix/fuzzy group
+    counts as one clause (Lucene's BooleanClause accounting)."""
     if isinstance(query, str):
         node = parse(query) if normalize is None else parse(query, normalize)
     else:
         validate(query)
         node = query
+    if minimum_should_match:
+        node = with_minimum_should_match(node, minimum_should_match)
     meta = cat.read_meta("postings")
     positional_needed = has_phrase(node)
     if positional_needed and not meta.get("positional"):
@@ -233,8 +269,9 @@ def _compile_query(spark, cat, query, max_expansions, lex_rows, normalize):
 
     pres = prefixes(node)
     fzs = fuzzies(node)
+    wcs = wildcards(node)
     prefix_lex: list = []
-    if pres or fzs:
+    if pres or fzs or wcs:
         lex = cat.read(spark, "lexicon")
         if pres:
             expansions: dict = {}
@@ -256,6 +293,13 @@ def _compile_query(spark, cat, query, max_expansions, lex_rows, normalize):
                 fexp[stem, n] = [r["term"] for r in rows]
                 prefix_lex.extend(rows)
             node = expand_fuzzies(node, fexp)
+        if wcs:
+            wexp: dict = {}
+            for pat in wcs:
+                rows = _wildcard_expansion_rows(lex, pat, max_expansions)
+                wexp[pat] = [r["term"] for r in rows]
+                prefix_lex.extend(rows)
+            node = expand_wildcards(node, wexp)
 
     qterms = all_terms(node)
     if not qterms:
@@ -328,6 +372,7 @@ def boolean_topk(
     merge: str = "spark",
     normalize=None,
     after: tuple | None = None,
+    minimum_should_match: int = 0,
 ) -> DataFrame:
     """Top-k docs matching a boolean ``query`` (string, parsed by
     queryparse.parse, or an already-built node tree), scored by the BM25
@@ -348,7 +393,7 @@ def boolean_topk(
     schema = "doc_id long, score double"
     after = _normalize_after(after)
     plan = _compile_query(spark, cat, query, max_expansions, lex_rows,
-                          normalize)
+                          normalize, minimum_should_match)
     if plan is None:
         return spark.createDataFrame([], schema)
     node, meta, by_term, blocks, positional, deleted = plan
@@ -376,6 +421,152 @@ def boolean_topk(
     return _run_positional_kernel(spark, blocks, kernel, k, merge)
 
 
+EXPLAIN_SCHEMA = (
+    "doc_id long, score double, term string, tf long, doclen long, "
+    "idf double, weight double, contrib double"
+)
+
+
+def _empty_explain() -> pd.DataFrame:
+    return pd.DataFrame({
+        "doc_id": pd.Series(dtype="int64"),
+        "score": pd.Series(dtype="float64"),
+        "term": pd.Series(dtype="object"),
+        "tf": pd.Series(dtype="int64"),
+        "doclen": pd.Series(dtype="int64"),
+        "idf": pd.Series(dtype="float64"),
+        "weight": pd.Series(dtype="float64"),
+        "contrib": pd.Series(dtype="float64"),
+    })
+
+
+def _make_explain_kernel(node, score_terms: list[str], idf_raw: dict,
+                         weights: dict, k1: float, b: float, avgdl: float,
+                         k: int, docs_per_shard: int, positional: bool,
+                         deleted: np.ndarray | None = None):
+    """Kernel emitting the per-(doc, term) BM25 breakdown for the shard's
+    local top-k matching docs — the Lucene Explanation analog, kept
+    relational: doc total + each present positive term's tf, doclen, raw
+    idf, boost weight, and contribution (weight * idf * saturation)."""
+    from mahout_spark.index.wand import _score_arrays, _topk_arrays
+
+    if positional:
+        _check_shard_budget(docs_per_shard)
+    qterms = all_terms(node)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["shard"].iloc[0])
+        base = np.uint64(shard * docs_per_shard)
+        decoded = _decode_shard(pdf, qterms, positional)
+        matched = _eval_tree(node, decoded, base)
+        if deleted is not None and len(matched):
+            matched = matched[~np.isin(matched, deleted)]
+        present = [t for t in score_terms if t in decoded]
+        if len(matched) == 0 or not present:
+            return _empty_explain()
+        doc_p, term_p, tf_p, dl_p, contrib_p = [], [], [], [], []
+        for t in present:
+            d, tf_, dl_, _, _ = decoded[t]
+            m = _sorted_member(d, matched)
+            if not m.any():
+                continue
+            w = weights.get(t, 1.0)
+            doc_p.append(d[m])
+            term_p.append(np.full(int(m.sum()), t, dtype=object))
+            tf_p.append(tf_[m])
+            dl_p.append(dl_[m])
+            contrib_p.append(_score_arrays(
+                d[m], tf_[m], dl_[m], w * idf_raw[t], k1, b, avgdl
+            ))
+        if not doc_p:
+            return _empty_explain()
+        docs = np.concatenate(doc_p)
+        contribs = np.concatenate(contrib_p)
+        # doc totals in the engine-wide deterministic reduction order
+        order = np.argsort(docs, kind="stable")
+        sdocs, scontribs = docs[order], contribs[order]
+        bnd = np.concatenate(
+            [[0], np.flatnonzero(sdocs[1:] != sdocs[:-1]) + 1]
+        )
+        uniq = sdocs[bnd]
+        sums = np.add.reduceat(scontribs, bnd)
+        top_d, top_s = _topk_arrays(uniq.astype(np.int64), sums, k)
+        keep_docs = np.sort(np.asarray(top_d, dtype=np.uint64))
+        score_by_doc = dict(zip(top_d, top_s))
+        keep = _sorted_member(docs, keep_docs)
+        kd = docs[keep].astype(np.int64)
+        kt = np.concatenate(term_p)[keep]
+        return pd.DataFrame({
+            "doc_id": kd,
+            "score": np.array([score_by_doc[d] for d in kd], np.float64),
+            "term": kt,
+            "tf": np.concatenate(tf_p)[keep].astype(np.int64),
+            "doclen": np.concatenate(dl_p)[keep].astype(np.int64),
+            "idf": np.array([idf_raw[t] for t in kt], np.float64),
+            "weight": np.array(
+                [weights.get(t, 1.0) for t in kt], np.float64
+            ),
+            "contrib": contribs[keep],
+        })
+
+    return kernel
+
+
+def explain_topk(
+    spark: SparkSession,
+    cat: ParquetCatalog,
+    query,
+    k: int = 10,
+    max_expansions: int = MAX_EXPANSIONS,
+    lex_rows: list | None = None,
+    normalize=None,
+    minimum_should_match: int = 0,
+) -> DataFrame:
+    """Per-term BM25 score breakdown for the top-k docs of a boolean
+    ``query`` — the relational analog of Lucene's ``explain()``: one row
+    per (doc, present positive term) with tf, doclen, raw idf, boost
+    weight, and the term's contribution; ``score`` repeats the doc total
+    on every row and is BIT-IDENTICAL to ``boolean_topk``'s (same kernel
+    reduction); sum(contrib) over a doc equals the score up to
+    summation-order ulps. Ranks agree with ``boolean_topk`` exactly.
+
+    Plan: the same shard-kernel scan as boolean_topk; each shard emits
+    breakdown rows for its LOCAL top-k only (<= k docs x query terms per
+    shard), then one global rank over that tiny set selects the k docs —
+    the window is single-partition but its input is bounded by
+    k x shards x terms, never corpus size."""
+    plan = _compile_query(spark, cat, query, max_expansions, lex_rows,
+                          normalize, minimum_should_match)
+    if plan is None:
+        return spark.createDataFrame([], EXPLAIN_SCHEMA)
+    node, meta, by_term, blocks, positional, deleted = plan
+    score_terms = [t for t in positive_terms(node) if t in by_term]
+    if not score_terms:
+        return spark.createDataFrame([], EXPLAIN_SCHEMA)
+    n_docs = meta["n_docs"]
+    idf_raw = {
+        t: float(np.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5)))
+        for t, r in by_term.items()
+    }
+    weights = term_weights(node)
+    kernel = _make_explain_kernel(
+        node, score_terms, idf_raw, weights, meta["k1"], meta["b"],
+        meta["avgdl"], k, int(meta["docs_per_shard"]), positional,
+        deleted=deleted,
+    )
+    from pyspark.sql import Window
+
+    per_shard = blocks.groupBy("shard").applyInPandas(kernel, EXPLAIN_SCHEMA)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        per_shard.withColumn("_r", F.dense_rank().over(w))
+        .filter(F.col("_r") <= k)
+        .drop("_r")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc(),
+                 F.col("term").asc())
+    )
+
+
 def matching_docs(
     spark: SparkSession,
     cat: ParquetCatalog,
@@ -383,6 +574,7 @@ def matching_docs(
     max_expansions: int = MAX_EXPANSIONS,
     lex_rows: list | None = None,
     normalize=None,
+    minimum_should_match: int = 0,
 ) -> DataFrame:
     """ALL doc ids matching a boolean ``query`` — no scoring, no top-k
     cut. This is the relational bridge: the result is a distributed
@@ -393,7 +585,7 @@ def matching_docs(
     as scale-safe as the index scan itself."""
     schema = "doc_id long"
     plan = _compile_query(spark, cat, query, max_expansions, lex_rows,
-                          normalize)
+                          normalize, minimum_should_match)
     if plan is None:
         return spark.createDataFrame([], schema)
     node, meta, by_term, blocks, positional, deleted = plan

@@ -26,6 +26,15 @@ Grammar (recursive descent, precedence NOT > AND > OR):
   >= 1; exact phrase is the no-tilde form.
 * ``word*`` expands (at execution time) to the index's matching lexicon
   terms, capped and OR-scored.
+* general wildcards (Lucene's ``*`` = any sequence, ``?`` = exactly one
+  character, anywhere in the word: ``*scan*``, ``te?le``, ``me*ge``)
+  expand against the lexicon the same way, capped (df desc, term asc)
+  and OR-scored. A trailing-``*``-only pattern stays the cheaper prefix
+  leaf. Patterns with no literal character (``*``, ``?*``) are rejected
+  (match-all). Unlike Lucene's default, leading wildcards are allowed —
+  the lexicon scan they force is bounded by VOCABULARY size, not corpus
+  size (the 100 TB answer is a permuterm/n-gram dictionary tier behind
+  this same leaf).
 * ``atom^F`` is a boost (Lucene's caret syntax; F > 0, fractional
   allowed): the BM25 contribution of every positive term under the
   boost is multiplied by F. Boosts attach to words (``table^3``,
@@ -70,11 +79,21 @@ Node forms (plain tuples — cheap to ship into the shard kernel):
     ("term", t)
     ("phrase", (t0, t1, ...), window_or_None)
     ("prefix", p)
+    ("wildcard", pattern)       # lowercased, contains * and/or ?
     ("fuzzy", stem, max_edits)
     ("boost", node, factor)
     ("and", [children...])      # children may include ("not", node)
     ("or", [children...])
+    ("msm", [children...], m)   # >= m of the children must match
     ("not", node)
+
+``msm`` is Lucene/ES minimum_should_match over a disjunction's clauses:
+a doc matches when at least ``m`` of the children match. There is no
+query-string syntax (ES exposes it as a request parameter, not grammar);
+build it with ``with_minimum_should_match(parse(q), m)`` or pass
+``minimum_should_match=m`` to the boolquery entry points. A multi-term
+child (expanded prefix/fuzzy OR group, phrase) counts as ONE clause,
+exactly like a Lucene BooleanClause.
 """
 
 from __future__ import annotations
@@ -136,6 +155,40 @@ def _lex(q: str) -> list[tuple]:
         else:
             out.append(("word", m.group("word")))
     return out
+
+
+_WILDCARD_LITERAL_RE = re.compile(r"^[a-z0-9:+.#_-]*$")
+
+
+def _wildcard_atom(pattern: str, raw: str):
+    """Build a ("wildcard", pattern) leaf, rejecting patterns no lexicon
+    term can match usefully: every literal segment must be index-term
+    characters, and at least one literal character must exist (a pure
+    ``*``/``?`` pattern is match-all — rejected like Lucene's standalone
+    wildcard)."""
+    segments = re.split(r"[*?]", pattern)
+    if not any(segments):
+        raise QueryParseError(f"wildcard pattern needs a literal: {raw!r}")
+    for seg in segments:
+        if not _WILDCARD_LITERAL_RE.match(seg):
+            raise QueryParseError(f"bad wildcard pattern: {raw!r}")
+    return ("wildcard", pattern)
+
+
+def wildcard_regex(pattern: str) -> str:
+    """Anchored regex for a wildcard pattern (``*`` -> ``.*``, ``?`` ->
+    ``.``, literals escaped) — the same translation Spark ``rlike`` and
+    DuckDB ``regexp_matches`` evaluate, so engine and oracle expansions
+    agree by construction."""
+    parts = []
+    for ch in pattern:
+        if ch == "*":
+            parts.append(".*")
+        elif ch == "?":
+            parts.append(".")
+        else:
+            parts.append(re.escape(ch))
+    return "^" + "".join(parts) + "$"
 
 
 class _Parser:
@@ -249,11 +302,8 @@ class _Parser:
             if (rest.endswith("*") and len(rest) > 1
                     and "*" not in rest[:-1]):
                 return ("prefix", f"{fname}:{rest[:-1].lower()}")
-            if "*" in rest:
-                raise QueryParseError(
-                    f"only trailing-* prefix patterns are supported: "
-                    f"{word!r}"
-                )
+            if "*" in rest or "?" in rest:
+                return _wildcard_atom(f"{fname}:{rest.lower()}", word)
             return ("term", f"{fname}:{rest.lower()}")
         fz = _FUZZY_RE.match(word)
         if fz:
@@ -274,15 +324,14 @@ class _Parser:
             if n == 0:
                 return ("term", stem[0])
             return ("fuzzy", stem[0], n)
-        if word.endswith("*") and len(word) > 1 and "*" not in word[:-1]:
+        if (word.endswith("*") and len(word) > 1
+                and "*" not in word[:-1] and "?" not in word):
             stem = self.norm(word[:-1])
             if len(stem) != 1:
                 raise QueryParseError(f"bad prefix pattern: {word!r}")
             return ("prefix", stem[0])
-        if "*" in word:
-            raise QueryParseError(
-                f"only trailing-* prefix patterns are supported: {word!r}"
-            )
+        if "*" in word or "?" in word:
+            return _wildcard_atom(word.lower(), word)
         toks = self.norm(word)
         if not toks:
             raise QueryParseError(f"word normalizes to nothing: {word!r}")
@@ -336,10 +385,51 @@ def validate(node) -> None:
         elif kind == "or":
             for c in n[1]:
                 rec(c, "or")
-        elif kind not in ("term", "phrase", "prefix", "fuzzy"):
+        elif kind == "msm":
+            children, m = n[1], n[2]
+            if not children:
+                raise QueryParseError("minimum_should_match over no clauses")
+            if not (isinstance(m, int) and 1 <= m <= len(children)):
+                raise QueryParseError(
+                    f"minimum_should_match must be an int in "
+                    f"[1, {len(children)}]: {m!r}"
+                )
+            for c in children:
+                if c[0] == "not":
+                    raise QueryParseError(
+                        "NOT cannot be a minimum_should_match clause "
+                        "(negative branches never count toward m)"
+                    )
+                rec(c, "or")
+        elif kind not in ("term", "phrase", "prefix", "wildcard",
+                          "fuzzy"):
             raise QueryParseError(f"unknown node kind: {kind!r}")
 
     rec(node, "top")
+
+
+def with_minimum_should_match(node, m: int):
+    """Wrap a top-level disjunction with Lucene/ES minimum_should_match
+    semantics: at least ``m`` of its clauses must match (each clause is
+    one child — an expanded prefix/fuzzy group or phrase counts once).
+    ``m <= 1`` is the identity (plain OR already requires one clause);
+    ``m`` above the clause count is rejected rather than silently
+    matching nothing. The node must be an OR (possibly under a boost) —
+    the parameter is meaningless for a conjunction."""
+    if m is None or m <= 1:
+        return node
+    if node[0] == "boost":
+        return ("boost", with_minimum_should_match(node[1], m), node[2])
+    if node[0] != "or":
+        raise QueryParseError(
+            "minimum_should_match needs a top-level OR query, got "
+            f"{node[0]!r}"
+        )
+    if m > len(node[1]):
+        raise QueryParseError(
+            f"minimum_should_match={m} exceeds the {len(node[1])} clauses"
+        )
+    return ("msm", node[1], int(m))
 
 
 def all_terms(node) -> list[str]:
@@ -354,7 +444,7 @@ def all_terms(node) -> list[str]:
             out.update(n[1])
         elif n[0] in ("not", "boost"):
             rec(n[1])
-        elif n[0] in ("and", "or"):
+        elif n[0] in ("and", "or", "msm"):
             for c in n[1]:
                 rec(c)
 
@@ -377,7 +467,7 @@ def positive_terms(node) -> list[str]:
             rec(n[1], True)
         elif n[0] == "boost":
             rec(n[1], neg)
-        elif n[0] in ("and", "or"):
+        elif n[0] in ("and", "or", "msm"):
             for c in n[1]:
                 rec(c, neg)
 
@@ -406,12 +496,51 @@ def term_weights(node) -> dict:
             rec(n[1], w * n[2], neg)
         elif k == "not":
             rec(n[1], w, True)
-        elif k in ("and", "or"):
+        elif k in ("and", "or", "msm"):
             for c in n[1]:
                 rec(c, w, neg)
 
     rec(node, 1.0, False)
     return {t: w for t, w in out.items() if w != 1.0}
+
+
+def wildcards(node) -> list[str]:
+    """Distinct wildcard patterns in the tree (sorted)."""
+    out: set = set()
+
+    def rec(n):
+        if n[0] == "wildcard":
+            out.add(n[1])
+        elif n[0] in ("not", "boost"):
+            rec(n[1])
+        elif n[0] in ("and", "or", "msm"):
+            for c in n[1]:
+                rec(c)
+
+    rec(node)
+    return sorted(out)
+
+
+def expand_wildcards(node, expansions: dict):
+    """Replace wildcard leaves with the OR of their lexicon expansion
+    terms (one clause, like prefix/fuzzy groups). Unmatched patterns
+    become empty ORs (match nothing)."""
+    kind = node[0]
+    if kind == "wildcard":
+        terms = expansions.get(node[1], [])
+        if len(terms) == 1:
+            return ("term", terms[0])
+        return ("or", [("term", t) for t in terms])
+    if kind == "not":
+        return ("not", expand_wildcards(node[1], expansions))
+    if kind == "boost":
+        return ("boost", expand_wildcards(node[1], expansions), node[2])
+    if kind == "msm":
+        return ("msm", [expand_wildcards(c, expansions) for c in node[1]],
+                node[2])
+    if kind in ("and", "or"):
+        return (kind, [expand_wildcards(c, expansions) for c in node[1]])
+    return node
 
 
 def prefixes(node) -> list[str]:
@@ -422,7 +551,7 @@ def prefixes(node) -> list[str]:
             out.add(n[1])
         elif n[0] in ("not", "boost"):
             rec(n[1])
-        elif n[0] in ("and", "or"):
+        elif n[0] in ("and", "or", "msm"):
             for c in n[1]:
                 rec(c)
 
@@ -439,7 +568,7 @@ def fuzzies(node) -> list[tuple]:
             out.add((n[1], n[2]))
         elif n[0] in ("not", "boost"):
             rec(n[1])
-        elif n[0] in ("and", "or"):
+        elif n[0] in ("and", "or", "msm"):
             for c in n[1]:
                 rec(c)
 
@@ -461,6 +590,9 @@ def expand_fuzzies(node, expansions: dict):
         return ("not", expand_fuzzies(node[1], expansions))
     if kind == "boost":
         return ("boost", expand_fuzzies(node[1], expansions), node[2])
+    if kind == "msm":
+        return ("msm", [expand_fuzzies(c, expansions) for c in node[1]],
+                node[2])
     if kind in ("and", "or"):
         return (kind, [expand_fuzzies(c, expansions) for c in node[1]])
     return node
@@ -471,7 +603,7 @@ def has_phrase(node) -> bool:
         return True
     if node[0] in ("not", "boost"):
         return has_phrase(node[1])
-    if node[0] in ("and", "or"):
+    if node[0] in ("and", "or", "msm"):
         return any(has_phrase(c) for c in node[1])
     return False
 
@@ -489,6 +621,9 @@ def expand_prefixes(node, expansions: dict):
         return ("not", expand_prefixes(node[1], expansions))
     if kind == "boost":
         return ("boost", expand_prefixes(node[1], expansions), node[2])
+    if kind == "msm":
+        return ("msm", [expand_prefixes(c, expansions) for c in node[1]],
+                node[2])
     if kind in ("and", "or"):
         return (kind, [expand_prefixes(c, expansions) for c in node[1]])
     return node

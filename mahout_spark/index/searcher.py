@@ -54,6 +54,8 @@ class Searcher:
         self._prefix: dict[tuple, list] = {}
         # (stem, n, cap) -> [(term, bucket, df)] fuzzy expansions
         self._fuzzy: dict[tuple, list] = {}
+        # (pattern, cap) -> [(term, bucket, df)] wildcard expansions
+        self._wildcard: dict[tuple, list] = {}
         # tombstone set (sorted uint64) | None; loaded lazily per epoch
         self._deleted = None
         self._deleted_loaded = False
@@ -80,6 +82,7 @@ class Searcher:
             self._terms.clear()
             self._prefix.clear()
             self._fuzzy.clear()
+            self._wildcard.clear()
             self._deleted = None
             self._deleted_loaded = False
             self._meta = meta
@@ -329,9 +332,52 @@ class Searcher:
                 self._terms[r["term"]] = (int(r["bucket"]), int(r["df"]))
         return self._fuzzy[key]
 
+    def _wildcard_rows(self, pattern: str, cap: int) -> list:
+        """Epoch-cached lexicon expansion of a general wildcard pattern
+        (boolquery._wildcard_expansion_rows ordering: df desc, term asc).
+        First hit pays one column-pruned lexicon scan; repeats are free
+        until the index mutates."""
+        key = (pattern, cap)
+        if key not in self._wildcard:
+            from mahout_spark.index.boolquery import (
+                _wildcard_expansion_rows,
+            )
+
+            lex = self.cat.read(self.spark, "lexicon")
+            self._wildcard[key] = _wildcard_expansion_rows(lex, pattern, cap)
+            for r in self._wildcard[key]:
+                self._terms[r["term"]] = (int(r["bucket"]), int(r["df"]))
+        return self._wildcard[key]
+
+    def _expand_node(self, node, cap: int):
+        """Prefix/fuzzy/wildcard lexicon expansion over the warm caches —
+        shared by every query-string front-end."""
+        from mahout_spark.index import queryparse as qp
+
+        pres = qp.prefixes(node)
+        if pres:
+            node = qp.expand_prefixes(node, {
+                p: [r["term"] for r in self._prefix_rows(p, cap)]
+                for p in pres
+            })
+        fzs = qp.fuzzies(node)
+        if fzs:
+            node = qp.expand_fuzzies(node, {
+                (s, n): [r["term"] for r in self._fuzzy_rows(s, n, cap)]
+                for s, n in fzs
+            })
+        wcs = qp.wildcards(node)
+        if wcs:
+            node = qp.expand_wildcards(node, {
+                pat: [r["term"] for r in self._wildcard_rows(pat, cap)]
+                for pat in wcs
+            })
+        return node
+
     def query(
         self, q, k: int = 10, max_expansions: int | None = None,
         merge: str = "spark", after: tuple | None = None,
+        minimum_should_match: int = 0,
     ) -> DataFrame:
         """Boolean query-string retrieval (queryparse grammar: AND/OR/NOT,
         "exact phrase", "slop phrase"~w, prefix*) over the warm caches:
@@ -345,23 +391,38 @@ class Searcher:
         cap = boolquery.MAX_EXPANSIONS if max_expansions is None else max_expansions
         node = qp.parse(q) if isinstance(q, str) else q
         qp.validate(node)
-        pres = qp.prefixes(node)
-        if pres:
-            expansions = {
-                p: [r["term"] for r in self._prefix_rows(p, cap)]
-                for p in pres
-            }
-            node = qp.expand_prefixes(node, expansions)
-        fzs = qp.fuzzies(node)
-        if fzs:
-            node = qp.expand_fuzzies(node, {
-                (s, n): [r["term"] for r in self._fuzzy_rows(s, n, cap)]
-                for s, n in fzs
-            })
+        if minimum_should_match:
+            # wrap BEFORE expansion: an expanded prefix/fuzzy OR group
+            # counts as ONE clause (Lucene BooleanClause accounting)
+            node = qp.with_minimum_should_match(node, minimum_should_match)
+        node = self._expand_node(node, cap)
         lex = self._lex_rows(qp.all_terms(node))
         return boolquery.boolean_topk(
             self.spark, self.cat, node, k=k, lex_rows=lex, merge=merge,
             after=after,
+        )
+
+    def explain(
+        self, q, k: int = 10, max_expansions: int | None = None,
+        minimum_should_match: int = 0,
+    ) -> DataFrame:
+        """Per-term BM25 breakdown (boolquery.explain_topk) over the warm
+        caches — same expansion path as query(), zero lexicon jobs when
+        warm."""
+        from mahout_spark.index import boolquery
+        from mahout_spark.index import queryparse as qp
+
+        self._ensure_fresh()
+        cap = (boolquery.MAX_EXPANSIONS if max_expansions is None
+               else max_expansions)
+        node = qp.parse(q) if isinstance(q, str) else q
+        qp.validate(node)
+        if minimum_should_match:
+            node = qp.with_minimum_should_match(node, minimum_should_match)
+        node = self._expand_node(node, cap)
+        lex = self._lex_rows(qp.all_terms(node))
+        return boolquery.explain_topk(
+            self.spark, self.cat, node, k=k, lex_rows=lex,
         )
 
     def more_like(self, like_text: str, k: int = 10, **kwargs) -> DataFrame:

@@ -142,7 +142,8 @@ class OracleIndex:
                     break
         return out
 
-    def boolean_search(self, node, k=10, max_expansions=64):
+    def boolean_search(self, node, k=10, max_expansions=64,
+                       minimum_should_match=0):
         """Ranked-boolean oracle: brute-force tree evaluation per doc,
         scored by the BM25 sum of the tree's positive terms the doc
         contains. Prefix leaves expand to the corpus's matching terms
@@ -155,6 +156,8 @@ class OracleIndex:
 
         if isinstance(node, str):
             node = qp.parse(node)
+        if minimum_should_match:
+            node = qp.with_minimum_should_match(node, minimum_should_match)
         exp = {}
         for p in qp.prefixes(node):
             cands = sorted(
@@ -176,6 +179,18 @@ class OracleIndex:
             )[:max_expansions]
             fexp[stem, n] = [t for t, _ in cands]
         node = qp.expand_fuzzies(node, fexp)
+        wexp = {}
+        for pat in qp.wildcards(node):
+            # independent matcher: fnmatch's * / ? glob semantics, not
+            # the engine's regex translation
+            from fnmatch import fnmatchcase
+
+            cands = sorted(
+                (t for t in self.df if fnmatchcase(t, pat)),
+                key=lambda t: (-self.df[t], t),
+            )[:max_expansions]
+            wexp[pat] = cands
+        node = qp.expand_wildcards(node, wexp)
         score_terms = qp.positive_terms(node)
         weights = qp.term_weights(node)
 
@@ -205,6 +220,8 @@ class OracleIndex:
                 )
             if kind == "boost":
                 return matches(doc_id, n[1])
+            if kind == "msm":
+                return sum(matches(doc_id, c) for c in n[1]) >= n[2]
             if kind == "or":
                 return any(matches(doc_id, c) for c in n[1])
             if kind == "and":

@@ -45,7 +45,7 @@ def test_parse_prefix_and_normalization():
 
 @pytest.mark.parametrize("bad", [
     "", "NOT a", "NOT a OR b", "a OR NOT b", "(a", "a)", "AND", "a AND",
-    "*", "a*b", "NOT NOT a",
+    "*", "NOT NOT a",
 ])
 def test_parse_rejects(bad):
     with pytest.raises(qp.QueryParseError):
@@ -70,8 +70,8 @@ def test_parse_field_syntax():
     )
     # field prefix expands in the tag namespace
     assert qp.parse("lang:ja*") == ("prefix", "lang:ja")
-    with pytest.raises(qp.QueryParseError):
-        qp.parse("lang:j*a")
+    # mid-pattern * on a field value is a wildcard in the tag namespace
+    assert qp.parse("lang:j*a") == ("wildcard", "lang:j*a")
     # non-whitelisted x:y keeps pre-field behavior (colon splits)
     assert qp.parse("http://example.com") == (
         "and", [("term", "http"), ("term", "example"), ("term", "com")]
@@ -262,6 +262,147 @@ def test_boolean_boost_matches_oracle(spark, pos_built, oracle, q):
         assert g[1] == pytest.approx(w[1], abs=1e-9)
 
 
+def test_parse_wildcard():
+    assert qp.parse("*scan*") == ("wildcard", "*scan*")
+    assert qp.parse("te?le") == ("wildcard", "te?le")
+    assert qp.parse("Me*GE") == ("wildcard", "me*ge")
+    assert qp.parse("me*ge^2") == ("boost", ("wildcard", "me*ge"), 2.0)
+    assert qp.parse("lang:j?va") == ("wildcard", "lang:j?va")
+    assert qp.parse("lang:*a*") == ("wildcard", "lang:*a*")
+    # trailing-only * stays the cheaper prefix leaf
+    assert qp.parse("mer*") == ("prefix", "mer")
+    for bad in ["*", "?", "**", "?*"]:
+        with pytest.raises(qp.QueryParseError):
+            qp.parse(bad)
+    assert qp.wildcard_regex("me*ge") == "^me.*ge$"
+    assert qp.wildcard_regex("t?") == "^t.$"
+    assert qp.wildcard_regex("a.b*") == "^a\\.b.*$"
+    n = qp.parse("*scan* AND data")
+    assert qp.wildcards(n) == ["*scan*"]
+    e = qp.expand_wildcards(n, {"*scan*": ["scan", "scanner"]})
+    assert e[1][0] == ("or", [("term", "scan"), ("term", "scanner")])
+    assert qp.expand_wildcards(n, {})[1][0] == ("or", [])
+
+
+@pytest.mark.parametrize("q", [
+    "*can* OR data",
+    "t?ble AND data",
+    "*ble OR merge",
+    "me*e",
+    "data AND NOT *can*",
+])
+def test_boolean_wildcard_matches_oracle(spark, pos_built, oracle, q):
+    got = _rows(boolean_topk(spark, pos_built, q, k=10))
+    want = oracle.boolean_search(q, k=10)
+    assert [g[0] for g in got] == [w[0] for w in want], q
+    for g, w in zip(got, want):
+        assert g[1] == pytest.approx(w[1], abs=1e-9)
+
+
+def test_wildcard_equals_explicit_or(spark, pos_built, oracle):
+    """A wildcard leaf must rank exactly like the explicit OR of its
+    expansion terms (plain BM25, capped df desc / term asc)."""
+    from mahout_spark.index.boolquery import _wildcard_expansion_rows
+
+    lex = pos_built.read(spark, "lexicon")
+    terms = [r["term"]
+             for r in _wildcard_expansion_rows(lex, "*an*", 64)]
+    assert terms, "expansion should be non-empty on this corpus"
+    explicit = "(" + " OR ".join(terms) + ")"
+    assert _rows(boolean_topk(spark, pos_built, "*an*", k=10)) == \
+        _rows(boolean_topk(spark, pos_built, explicit, k=10))
+
+
+def test_searcher_query_supports_wildcard(spark, pos_built):
+    from mahout_spark.index.searcher import Searcher
+
+    s = Searcher(spark, pos_built)
+    q = "*can* OR data"
+    direct = _rows(boolean_topk(spark, pos_built, q, k=10))
+    assert _rows(s.query(q, k=10)) == direct
+    assert _rows(s.query(q, k=10)) == direct  # warm-cache repeat
+
+
+def test_msm_validation():
+    n = qp.parse("a OR b OR c")
+    assert qp.with_minimum_should_match(n, 1) == n  # identity
+    assert qp.with_minimum_should_match(n, 0) == n
+    wrapped = qp.with_minimum_should_match(n, 2)
+    assert wrapped[0] == "msm" and wrapped[2] == 2
+    qp.validate(wrapped)
+    # boost wrapper is transparent: msm lands under the boost
+    b = qp.with_minimum_should_match(qp.parse("(a OR b OR c)^2"), 2)
+    assert b[0] == "boost" and b[1][0] == "msm"
+    with pytest.raises(qp.QueryParseError):  # m above clause count
+        qp.with_minimum_should_match(n, 4)
+    with pytest.raises(qp.QueryParseError):  # not a disjunction
+        qp.with_minimum_should_match(qp.parse("a AND b"), 2)
+    with pytest.raises(qp.QueryParseError):  # NOT can't be a clause
+        qp.validate(("msm", [("term", "a"), ("not", ("term", "b"))], 1))
+    with pytest.raises(qp.QueryParseError):  # m must be a valid int
+        qp.validate(("msm", [("term", "a")], 2))
+    # walkers see through msm
+    m = ("msm", [("term", "a"), ("prefix", "me"), ("fuzzy", "slot", 1),
+                 ("phrase", ("x", "y"), None)], 2)
+    assert qp.all_terms(m) == ["a", "x", "y"]
+    assert qp.prefixes(m) == ["me"]
+    assert qp.fuzzies(m) == [("slot", 1)]
+    assert qp.has_phrase(m)
+    e = qp.expand_prefixes(m, {"me": ["merge", "metric"]})
+    assert e[0] == "msm" and e[2] == 2
+    assert e[1][1] == ("or", [("term", "merge"), ("term", "metric")])
+    # single-term expansion collapses to a term node — still ONE clause
+    e1 = qp.expand_prefixes(m, {"me": ["merge"]})
+    assert e1[1][1] == ("term", "merge")
+
+
+@pytest.mark.parametrize("q,m", [
+    ("table OR scan OR merge OR data", 2),
+    ("table OR scan OR merge OR data", 3),
+    ("table OR scan OR merge OR data", 4),
+    ('"table scan" OR merge OR data', 2),
+    ("mer* OR table OR data", 2),
+])
+def test_boolean_msm_matches_oracle(spark, pos_built, oracle, q, m):
+    got = _rows(boolean_topk(spark, pos_built, q, k=10,
+                             minimum_should_match=m))
+    want = oracle.boolean_search(q, k=10, minimum_should_match=m)
+    assert [g[0] for g in got] == [w[0] for w in want], (q, m)
+    for g, w in zip(got, want):
+        assert g[1] == pytest.approx(w[1], abs=1e-9)
+
+
+def test_msm_boundary_identities(spark, pos_built):
+    """m=1 is the plain OR; m=n is the AND — over both the ranked and
+    match-set surfaces."""
+    from mahout_spark.index.boolquery import matching_docs
+
+    q = "table OR scan OR merge"
+    assert _rows(boolean_topk(spark, pos_built, q, k=50,
+                              minimum_should_match=1)) == \
+        _rows(boolean_topk(spark, pos_built, q, k=50))
+    assert _rows(boolean_topk(spark, pos_built, q, k=50,
+                              minimum_should_match=3)) == \
+        _rows(boolean_topk(spark, pos_built, "table AND scan AND merge",
+                           k=50))
+    m2 = {r["doc_id"] for r in matching_docs(
+        spark, pos_built, q, minimum_should_match=2).collect()}
+    m1 = {r["doc_id"] for r in matching_docs(spark, pos_built, q).collect()}
+    m3 = {r["doc_id"] for r in matching_docs(
+        spark, pos_built, "table AND scan AND merge").collect()}
+    assert m3 <= m2 <= m1 and m2 != m1
+
+
+def test_searcher_query_supports_msm(spark, pos_built):
+    from mahout_spark.index.searcher import Searcher
+
+    s = Searcher(spark, pos_built)
+    q = "table OR scan OR mer*"
+    direct = _rows(boolean_topk(spark, pos_built, q, k=10,
+                                minimum_should_match=2))
+    assert _rows(s.query(q, k=10, minimum_should_match=2)) == direct
+
+
 def test_boost_changes_scores_not_match_set(spark, pos_built):
     from mahout_spark.index.boolquery import matching_docs
 
@@ -442,3 +583,69 @@ def test_searcher_query_matches_boolean_topk(spark, pos_built):
         assert _rows(s.query(q, k=10)) == direct, q
         # warm repeat serves from the term + prefix caches
         assert _rows(s.query(q, k=10)) == direct, q
+
+
+# -- explain (X54) ------------------------------------------------------------
+
+
+@pytest.mark.parametrize("q", [
+    "table AND data",
+    "table^3 OR scan OR merge",
+    '"table scan" OR data NOT stream',
+    "mer* OR table",
+])
+def test_explain_agrees_with_topk(spark, pos_built, q):
+    """explain_topk's docs/scores must be exactly boolean_topk's, and
+    each doc's contributions must sum to its score bit-identically."""
+    from mahout_spark.index.boolquery import explain_topk
+
+    top = _rows(boolean_topk(spark, pos_built, q, k=10))
+    ex = explain_topk(spark, pos_built, q, k=10).collect()
+    by_doc = {}
+    for r in ex:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert [(d, by_doc[d][0]["score"]) for d, _ in top] == top
+    assert set(by_doc) == {d for d, _ in top}
+    for d, score in top:
+        rows = sorted(by_doc[d], key=lambda r: r["term"])
+        # contributions sum to the doc score up to summation-order ulps
+        # (reduceat's SIMD fold order is not a plain left fold); the
+        # SCORE column itself is bit-identical to boolean_topk above
+        total = sum(r["contrib"] for r in rows)
+        assert total == pytest.approx(score, rel=1e-12), (d, total, score)
+        for r in rows:
+            assert r["contrib"] == pytest.approx(
+                r["weight"] * r["idf"] * (r["tf"] * (1.2 + 1.0)) /
+                (r["tf"] + 1.2 * (1 - 0.75 + 0.75 * r["doclen"] /
+                                  _avgdl(spark, pos_built))), rel=1e-12)
+
+
+def _avgdl(spark, cat):
+    return cat.read_meta("postings")["avgdl"]
+
+
+def test_explain_boost_weights_visible(spark, pos_built):
+    from mahout_spark.index.boolquery import explain_topk
+
+    ex = explain_topk(spark, pos_built, "table^3 OR scan", k=10).collect()
+    ws = {r["term"]: r["weight"] for r in ex}
+    assert ws["table"] == 3.0 and ws.get("scan", 1.0) == 1.0
+    # contrib = weight * idf * saturation; unboosted scan rows keep weight 1
+
+
+def test_explain_empty_and_unknown(spark, pos_built):
+    from mahout_spark.index.boolquery import explain_topk
+
+    assert explain_topk(spark, pos_built, "zzzqqq").count() == 0
+
+
+def test_searcher_explain_matches_direct(spark, pos_built):
+    from mahout_spark.index.boolquery import explain_topk
+    from mahout_spark.index.searcher import Searcher
+
+    s = Searcher(spark, pos_built)
+    q = "table^2 OR mer*"
+    direct = [tuple(r) for r in explain_topk(spark, pos_built, q, k=5)
+              .collect()]
+    assert [tuple(r) for r in s.explain(q, k=5).collect()] == direct
+    assert [tuple(r) for r in s.explain(q, k=5).collect()] == direct  # warm
