@@ -151,3 +151,48 @@ class TestIndexPlans:
         # the binary payload columns ride to the kernel, but the doc text
         # never appears anywhere in the indexed plan
         assert "text" not in p.split("ReadSchema")[1][:400]
+
+    def test_wildcard_expansion_scan_is_pruned_topk(self, spark, built):
+        """X53's lexicon expansion: an infix wildcard can't push a
+        leading-anchored predicate, but the scan must still project only
+        the three expansion columns and compile to TakeOrderedAndProject
+        (one job, no shuffle) — cost bounded by vocabulary size."""
+        from mahout_spark.index.boolquery import _wildcard_expansion_rows
+
+        lex = built.read(spark, "lexicon")
+        from pyspark.sql import functions as F
+
+        from mahout_spark.index.queryparse import wildcard_regex
+
+        q = (
+            lex.filter(F.col("term").rlike(wildcard_regex("*par*")))
+            .select("term", "bucket", "df")
+            .orderBy(F.col("df").desc(), F.col("term").asc())
+            .limit(64)
+        )
+        p = _plan(q)
+        assert "TakeOrderedAndProject" in p
+        assert "Exchange" not in p  # no shuffle: per-split top-k merge
+        read = p.split("ReadSchema")[1][:200]
+        assert "term" in read and "cf" not in read and "term_id" not in read
+        # and the operator itself returns the capped deterministic rows
+        rows = _wildcard_expansion_rows(lex, "*par*", 64)
+        assert all("par" in r["term"] for r in rows)
+
+    def test_explain_global_rank_input_is_bounded(self, spark, built):
+        """X54: explain_topk's single-partition window ranks ONLY the
+        per-shard local top-k breakdown rows (<= k docs x terms per
+        shard), never corpus-sized data; the plan shows the window over
+        the kernel output with the same pruned postings scan as
+        boolean_topk."""
+        from mahout_spark.index.boolquery import explain_topk
+
+        df = explain_topk(spark, built, "spark AND data", k=5)
+        p = _plan(df)
+        assert "Window" in p and "FlatMapGroupsInPandas" in p
+        assert "In(term, [data,spark])" in p  # pushed residual term filter
+        # the window consumes the kernel's bounded output, not a scan:
+        # exactly one postings scan feeds the whole plan
+        from mahout_spark.plans.audit import scan_count
+
+        assert scan_count(p) == 1
