@@ -541,6 +541,39 @@ def q_engine_boost_search(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+SYN_QUERY = "join AND data"
+SYNONYMS = {"join": ["merge"]}
+
+
+def q_engine_synonym_search(spark, sf_dir):
+    """Query-time synonyms with df-blending (X55, Lucene SynonymQuery):
+    `join` expands to the (join OR merge) group — one clause — and BOTH
+    members score with the group's MAX df, so the rarer synonym cannot
+    out-rank its head. The DuckDB oracle recomputes the group-max df and
+    the blended idf relationally."""
+    import shutil
+    import tempfile
+
+    from mahout_spark.index.boolquery import boolean_topk
+    from mahout_spark.index.build import build_index
+
+    docs = _load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="msdrv_syn_")
+    try:
+        cat = build_index(
+            spark, docs, out_dir=out, content_col="text",
+            id_cols=["doc_id"], mode="simple", resume=False,
+        )
+        result = boolean_topk(
+            spark, cat, SYN_QUERY, k=10, synonyms=SYNONYMS,
+            synonym_blend=True,
+        ).select("doc_id", F.round("score", 6).alias("score"))
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 EXPLAIN_QUERY = "table AND data"
 
 
@@ -1305,6 +1338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_boost_search": q_engine_boost_search,
         "engine_wildcard_search": q_engine_wildcard_search,
         "engine_explain": q_engine_explain,
+        "engine_synonym_search": q_engine_synonym_search,
         "engine_msm_search": q_engine_msm_search,
         "engine_search_after": q_engine_search_after,
         "engine_mlt_search": q_engine_mlt_search,
@@ -1958,6 +1992,43 @@ def _base_oracle_sql() -> dict[str, str]:
             JOIN dl ON tf.doc_id = dl.doc_id
             CROSS JOIN scal
             WHERE tf.term IN ('data', 'merge', 'scan', 'table')
+        ), agg AS (
+            SELECT doc_id, round(sum(c), 6) AS score
+            FROM contrib JOIN matched USING (doc_id)
+            GROUP BY doc_id
+        )
+        SELECT doc_id, score FROM agg
+        ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        # synonym oracle: join AND data with join->merge blended — the
+        # group-max df is one scalar subquery; group members' idf uses it,
+        # data keeps its own df; match set = (join OR merge) AND data
+        "engine_synonym_search": _TOK_CTE + f"""
+        , grp AS (
+            SELECT max(df) AS bdf FROM dfreq
+            WHERE term IN ('join', 'merge')
+        ), matched AS (
+            (SELECT doc_id FROM tf WHERE term = 'join'
+             UNION
+             SELECT doc_id FROM tf WHERE term = 'merge')
+            INTERSECT
+            SELECT doc_id FROM tf WHERE term = 'data'
+        ), contrib AS (
+            SELECT tf.doc_id,
+                   ln(1.0 + (scal.n_docs - (CASE WHEN tf.term IN
+                       ('join', 'merge') THEN grp.bdf ELSE dfreq.df END)
+                       + 0.5)
+                      / ((CASE WHEN tf.term IN ('join', 'merge')
+                          THEN grp.bdf ELSE dfreq.df END) + 0.5)) *
+                   (tf.tf * {BM25_K1 + 1.0}) /
+                   (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B}
+                    * dl.doclen / scal.avgdl)) AS c
+            FROM tf
+            JOIN dfreq USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN scal
+            CROSS JOIN grp
+            WHERE tf.term IN ('data', 'join', 'merge')
         ), agg AS (
             SELECT doc_id, round(sum(c), 6) AS score
             FROM contrib JOIN matched USING (doc_id)

@@ -59,6 +59,7 @@ from mahout_spark.index.phrase import (
     _window_anchor_keys,
 )
 from mahout_spark.index.queryparse import (
+    _simple_normalize,
     all_terms,
     expand_fuzzies,
     expand_prefixes,
@@ -68,6 +69,8 @@ from mahout_spark.index.queryparse import (
     parse,
     positive_terms,
     prefixes,
+    expand_synonyms,
+    synonym_groups,
     term_weights,
     validate,
     wildcard_regex,
@@ -244,7 +247,7 @@ def _wildcard_expansion_rows(lex, pattern: str, cap: int) -> list:
 
 
 def _compile_query(spark, cat, query, max_expansions, lex_rows, normalize,
-                   minimum_should_match: int = 0):
+                   minimum_should_match: int = 0, synonyms: dict | None = None):
     """Shared front half of every boolean entry point: parse/validate,
     expand prefixes against the lexicon, resolve lexicon rows, and build
     the term-filtered bucket-pruned blocks scan. Returns ``(node, meta,
@@ -257,6 +260,11 @@ def _compile_query(spark, cat, query, max_expansions, lex_rows, normalize,
     else:
         validate(query)
         node = query
+    if synonyms:
+        node = expand_synonyms(
+            node, synonyms,
+            _simple_normalize if normalize is None else normalize,
+        )
     if minimum_should_match:
         node = with_minimum_should_match(node, minimum_should_match)
     meta = cat.read_meta("postings")
@@ -338,6 +346,24 @@ def _compile_query(spark, cat, query, max_expansions, lex_rows, normalize,
     ), deleted
 
 
+def _blended_idf(by_term: dict, groups: list, n_docs: int) -> dict:
+    """BM25 idf per term with Lucene SynonymQuery df-blending: members of
+    a synonym group score with the group's MAX df (over members present
+    in the lexicon), so a rare synonym cannot out-rank its common head.
+    Terms outside any group keep their own df."""
+    df_of = {t: int(r["df"]) for t, r in by_term.items()}
+    for g in groups:
+        present = [t for t in g if t in df_of]
+        if len(present) > 1:
+            bdf = max(df_of[t] for t in present)
+            for t in present:
+                df_of[t] = bdf
+    return {
+        t: float(np.log(1.0 + (n_docs - d + 0.5) / (d + 0.5)))
+        for t, d in df_of.items()
+    }
+
+
 def _normalize_after(after):
     """Canonicalize a search_after cursor to ``(score, doc_id)``. Accepts
     the last Row of the previous page (or any mapping with score/doc_id
@@ -373,6 +399,8 @@ def boolean_topk(
     normalize=None,
     after: tuple | None = None,
     minimum_should_match: int = 0,
+    synonyms: dict | None = None,
+    synonym_blend: bool = False,
 ) -> DataFrame:
     """Top-k docs matching a boolean ``query`` (string, parsed by
     queryparse.parse, or an already-built node tree), scored by the BM25
@@ -393,7 +421,7 @@ def boolean_topk(
     schema = "doc_id long, score double"
     after = _normalize_after(after)
     plan = _compile_query(spark, cat, query, max_expansions, lex_rows,
-                          normalize, minimum_should_match)
+                          normalize, minimum_should_match, synonyms)
     if plan is None:
         return spark.createDataFrame([], schema)
     node, meta, by_term, blocks, positional, deleted = plan
@@ -401,10 +429,17 @@ def boolean_topk(
     if not score_terms:
         return spark.createDataFrame([], schema)
     n_docs = meta["n_docs"]
-    idf_by_term = {
-        t: float(np.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5)))
-        for t, r in by_term.items()
-    }
+    if synonyms and synonym_blend:
+        norm = _simple_normalize if normalize is None else normalize
+        idf_by_term = _blended_idf(
+            by_term, synonym_groups(synonyms, norm), n_docs
+        )
+    else:
+        idf_by_term = {
+            t: float(np.log(1.0 + (n_docs - r["df"] + 0.5)
+                            / (r["df"] + 0.5)))
+            for t, r in by_term.items()
+        }
     # boosts fold into the idf table (score is linear in idf), so the
     # kernel is boost-oblivious; weights come from the EXPANDED tree, so
     # a boosted prefix/fuzzy leaf weights every expansion term
@@ -521,6 +556,8 @@ def explain_topk(
     lex_rows: list | None = None,
     normalize=None,
     minimum_should_match: int = 0,
+    synonyms: dict | None = None,
+    synonym_blend: bool = False,
 ) -> DataFrame:
     """Per-term BM25 score breakdown for the top-k docs of a boolean
     ``query`` — the relational analog of Lucene's ``explain()``: one row
@@ -536,7 +573,7 @@ def explain_topk(
     the window is single-partition but its input is bounded by
     k x shards x terms, never corpus size."""
     plan = _compile_query(spark, cat, query, max_expansions, lex_rows,
-                          normalize, minimum_should_match)
+                          normalize, minimum_should_match, synonyms)
     if plan is None:
         return spark.createDataFrame([], EXPLAIN_SCHEMA)
     node, meta, by_term, blocks, positional, deleted = plan
@@ -544,10 +581,17 @@ def explain_topk(
     if not score_terms:
         return spark.createDataFrame([], EXPLAIN_SCHEMA)
     n_docs = meta["n_docs"]
-    idf_raw = {
-        t: float(np.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5)))
-        for t, r in by_term.items()
-    }
+    if synonyms and synonym_blend:
+        norm = _simple_normalize if normalize is None else normalize
+        idf_raw = _blended_idf(
+            by_term, synonym_groups(synonyms, norm), n_docs
+        )
+    else:
+        idf_raw = {
+            t: float(np.log(1.0 + (n_docs - r["df"] + 0.5)
+                            / (r["df"] + 0.5)))
+            for t, r in by_term.items()
+        }
     weights = term_weights(node)
     kernel = _make_explain_kernel(
         node, score_terms, idf_raw, weights, meta["k1"], meta["b"],
@@ -575,6 +619,7 @@ def matching_docs(
     lex_rows: list | None = None,
     normalize=None,
     minimum_should_match: int = 0,
+    synonyms: dict | None = None,
 ) -> DataFrame:
     """ALL doc ids matching a boolean ``query`` — no scoring, no top-k
     cut. This is the relational bridge: the result is a distributed
@@ -585,7 +630,7 @@ def matching_docs(
     as scale-safe as the index scan itself."""
     schema = "doc_id long"
     plan = _compile_query(spark, cat, query, max_expansions, lex_rows,
-                          normalize, minimum_should_match)
+                          normalize, minimum_should_match, synonyms)
     if plan is None:
         return spark.createDataFrame([], schema)
     node, meta, by_term, blocks, positional, deleted = plan

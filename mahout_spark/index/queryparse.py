@@ -543,6 +543,78 @@ def expand_wildcards(node, expansions: dict):
     return node
 
 
+def expand_synonyms(node, synonyms: dict, normalize=_simple_normalize):
+    """Query-time synonym expansion (Lucene SynonymQuery analog): every
+    TERM leaf whose token appears as a key becomes the OR of the group
+    (key first, then its synonyms, order preserved) — one clause for
+    minimum_should_match accounting, and under NOT the whole group is
+    excluded (``NOT fast`` with fast->quick excludes quick matches too,
+    the standard filter semantics). Phrase tokens are NOT rewritten
+    (positional synonyms need a graph analyzer — out of scope,
+    documented). Keys and values are normalized with the SAME tokenizer
+    as query words; each must normalize to exactly one token.
+
+    Scoring: by default each group member scores with its own idf (the
+    QueryParser expand=true model). boolquery's ``synonym_blend=True``
+    switches to Lucene SynonymQuery df-blending — every member scores
+    with the group's MAX df — so a rare synonym cannot dominate its
+    common head (see boolquery._blended_idf)."""
+    norm: dict[str, list[str]] = {}
+    for key, vals in synonyms.items():
+        kt = normalize(key)
+        if len(kt) != 1:
+            raise QueryParseError(f"synonym key must be one token: {key!r}")
+        out = []
+        for v in ([vals] if isinstance(vals, str) else list(vals)):
+            vt = normalize(v)
+            if len(vt) != 1:
+                raise QueryParseError(
+                    f"synonym value must be one token: {v!r}"
+                )
+            if vt[0] != kt[0] and vt[0] not in out:
+                out.append(vt[0])
+        if out:
+            norm[kt[0]] = out
+
+    def rec(n):
+        kind = n[0]
+        if kind == "term":
+            syns = norm.get(n[1])
+            if syns:
+                return ("or", [("term", n[1])]
+                        + [("term", t) for t in syns])
+            return n
+        if kind == "not":
+            return ("not", rec(n[1]))
+        if kind == "boost":
+            return ("boost", rec(n[1]), n[2])
+        if kind == "msm":
+            return ("msm", [rec(c) for c in n[1]], n[2])
+        if kind in ("and", "or"):
+            return (kind, [rec(c) for c in n[1]])
+        return n
+
+    return rec(node) if norm else node
+
+
+def synonym_groups(synonyms: dict, normalize=_simple_normalize) -> list:
+    """Normalized synonym groups as term lists (key first) — the unit
+    boolquery's df-blending operates over."""
+    groups = []
+    for key, vals in synonyms.items():
+        kt = normalize(key)
+        if len(kt) != 1:
+            raise QueryParseError(f"synonym key must be one token: {key!r}")
+        g = [kt[0]]
+        for v in ([vals] if isinstance(vals, str) else list(vals)):
+            vt = normalize(v)
+            if len(vt) == 1 and vt[0] not in g:
+                g.append(vt[0])
+        if len(g) > 1:
+            groups.append(g)
+    return groups
+
+
 def prefixes(node) -> list[str]:
     out: set = set()
 

@@ -63,11 +63,12 @@ class OracleIndex:
         tf = self.tf[doc_id][term]
         return math.sqrt(tf) * (1.0 + math.log(self.n_docs / (self.df[term] + 1.0)))
 
-    def bm25(self, doc_id, term, k1=BM25_K1, b=BM25_B) -> float:
+    def bm25(self, doc_id, term, k1=BM25_K1, b=BM25_B, df=None) -> float:
         tf = self.tf[doc_id][term]
         if tf == 0:
             return 0.0
-        idf = math.log(1.0 + (self.n_docs - self.df[term] + 0.5) / (self.df[term] + 0.5))
+        d = self.df[term] if df is None else df
+        idf = math.log(1.0 + (self.n_docs - d + 0.5) / (d + 0.5))
         dl = self.doclen[doc_id]
         return idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / self.avgdl))
 
@@ -143,7 +144,8 @@ class OracleIndex:
         return out
 
     def boolean_search(self, node, k=10, max_expansions=64,
-                       minimum_should_match=0):
+                       minimum_should_match=0, synonyms=None,
+                       synonym_blend=False):
         """Ranked-boolean oracle: brute-force tree evaluation per doc,
         scored by the BM25 sum of the tree's positive terms the doc
         contains. Prefix leaves expand to the corpus's matching terms
@@ -156,8 +158,18 @@ class OracleIndex:
 
         if isinstance(node, str):
             node = qp.parse(node)
+        if synonyms:
+            node = qp.expand_synonyms(node, synonyms)
         if minimum_should_match:
             node = qp.with_minimum_should_match(node, minimum_should_match)
+        df_over = {}
+        if synonyms and synonym_blend:
+            for g in qp.synonym_groups(synonyms):
+                present = [t for t in g if t in self.df]
+                if len(present) > 1:
+                    bdf = max(self.df[t] for t in present)
+                    for t in present:
+                        df_over[t] = bdf
         exp = {}
         for p in qp.prefixes(node):
             cands = sorted(
@@ -240,7 +252,8 @@ class OracleIndex:
             if not present:
                 continue
             score = sum(
-                weights.get(t, 1.0) * self.bm25(doc_id, t)
+                weights.get(t, 1.0)
+                * self.bm25(doc_id, t, df=df_over.get(t))
                 for t in sorted(present)
             )
             results.append((doc_id, score))

@@ -649,3 +649,76 @@ def test_searcher_explain_matches_direct(spark, pos_built):
               .collect()]
     assert [tuple(r) for r in s.explain(q, k=5).collect()] == direct
     assert [tuple(r) for r in s.explain(q, k=5).collect()] == direct  # warm
+
+
+# -- synonyms (X55) -----------------------------------------------------------
+
+
+def test_expand_synonyms_units():
+    n = qp.parse("fast AND data NOT slow")
+    e = qp.expand_synonyms(n, {"fast": ["quick", "Speedy"],
+                               "slow": "sluggish"})
+    assert e == ("and", [
+        ("or", [("term", "fast"), ("term", "quick"), ("term", "speedy")]),
+        ("term", "data"),
+        ("not", ("or", [("term", "slow"), ("term", "sluggish")])),
+    ])
+    # phrases are not rewritten; self-synonyms and dups drop
+    assert qp.expand_synonyms(qp.parse('"fast lane"'), {"fast": ["quick"]}) \
+        == ("phrase", ("fast", "lane"), None)
+    assert qp.expand_synonyms(("term", "a"), {"a": ["a"]}) == ("term", "a")
+    with pytest.raises(qp.QueryParseError):
+        qp.expand_synonyms(("term", "a"), {"two words": ["b"]})
+    # synonym group counts as ONE clause for minimum_should_match
+    wrapped = qp.with_minimum_should_match(
+        qp.expand_synonyms(qp.parse("fast OR table OR merge"),
+                           {"fast": ["quick"]}), 2)
+    assert wrapped[0] == "msm" and len(wrapped[1]) == 3
+    assert qp.synonym_groups({"fast": ["quick"], "x": []}) == \
+        [["fast", "quick"]]
+
+
+@pytest.mark.parametrize("blend", [False, True])
+def test_boolean_synonyms_match_oracle(spark, pos_built, oracle, blend):
+    q = "join AND data"
+    syn = {"join": ["merge"]}
+    got = _rows(boolean_topk(spark, pos_built, q, k=10, synonyms=syn,
+                             synonym_blend=blend))
+    want = oracle.boolean_search(q, k=10, synonyms=syn,
+                                 synonym_blend=blend)
+    assert [g[0] for g in got] == [w[0] for w in want], blend
+    for g, w in zip(got, want):
+        assert g[1] == pytest.approx(w[1], abs=1e-9)
+
+
+def test_synonym_unblended_equals_explicit_or(spark, pos_built):
+    """expand=true model: a synonym group without blending ranks exactly
+    like the hand-written OR."""
+    got = _rows(boolean_topk(spark, pos_built, "join AND data", k=10,
+                             synonyms={"join": ["merge"]}))
+    assert got == _rows(
+        boolean_topk(spark, pos_built, "(join OR merge) AND data", k=10))
+
+
+def test_synonym_blend_changes_scores_not_matches(spark, pos_built):
+    """Blending replaces member idfs with the group-max-df idf: same
+    match set, generally different scores; both member terms score with
+    the SAME idf in the blended explain breakdown."""
+    from mahout_spark.index.boolquery import explain_topk, matching_docs
+
+    syn = {"join": ["merge"]}
+    q = "join OR merge OR data"
+    m_plain = {r["doc_id"] for r in
+               matching_docs(spark, pos_built, q).collect()}
+    m_syn = {r["doc_id"] for r in matching_docs(
+        spark, pos_built, q, synonyms=syn).collect()}
+    assert m_plain == m_syn
+    ex = explain_topk(spark, pos_built, "join OR merge", k=10,
+                      synonyms=syn, synonym_blend=True).collect()
+    idfs = {r["term"]: r["idf"] for r in ex}
+    assert idfs["join"] == idfs["merge"]
+    plain = {r["term"]: r["idf"] for r in explain_topk(
+        spark, pos_built, "join OR merge", k=10).collect()}
+    assert plain["join"] != plain["merge"]  # the dfs genuinely differ
+    assert min(idfs["join"], idfs["merge"]) == min(
+        plain["join"], plain["merge"])  # blended = max-df = min-idf
