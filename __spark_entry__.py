@@ -541,6 +541,42 @@ def q_engine_boost_search(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+COLLAPSE_QUERY = "table OR scan"
+COLLAPSE_N = 3
+
+
+def q_engine_collapse_search(spark, sf_dir):
+    """Result collapsing (X56, the ES collapse / Lucene grouping model):
+    top COLLAPSE_N docs per `lang` over the FULL ranked match set of
+    COLLAPSE_QUERY — built on score_matches (the no-cut ranked match
+    set) + one PARTITIONED window, parallel by group. The DuckDB oracle
+    recomputes the whole relation: un-cut BM25 agg joined to documents,
+    ROW_NUMBER per lang."""
+    import shutil
+    import tempfile
+
+    from mahout_spark.index.boolquery import collapse_topk
+    from mahout_spark.index.build import build_index
+
+    docs = _load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="msdrv_col_")
+    try:
+        cat = build_index(
+            spark, docs, out_dir=out, content_col="text",
+            id_cols=["doc_id"], mode="simple", resume=False,
+        )
+        result = collapse_topk(
+            spark, cat, docs, COLLAPSE_QUERY, "lang", n=COLLAPSE_N,
+        ).select(
+            "lang", F.col("rank").cast("long").alias("rank"), "doc_id",
+            F.round("score", 6).alias("score"),
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 SYN_QUERY = "join AND data"
 SYNONYMS = {"join": ["merge"]}
 
@@ -1339,6 +1375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_wildcard_search": q_engine_wildcard_search,
         "engine_explain": q_engine_explain,
         "engine_synonym_search": q_engine_synonym_search,
+        "engine_collapse_search": q_engine_collapse_search,
         "engine_msm_search": q_engine_msm_search,
         "engine_search_after": q_engine_search_after,
         "engine_mlt_search": q_engine_mlt_search,
@@ -1999,6 +2036,37 @@ def _base_oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, score FROM agg
         ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        # collapse oracle: the full (un-cut) ranked match set of
+        # table OR scan, top-3 per lang via ROW_NUMBER — the whole
+        # grouped relation is hash-checked
+        "engine_collapse_search": _TOK_CTE + f"""
+        , matched AS (
+            SELECT DISTINCT doc_id FROM tf
+            WHERE term IN ('scan', 'table')
+        ), contrib AS (
+            SELECT tf.doc_id, {_BM25_CONTRIB} AS c
+            FROM tf
+            JOIN dfreq USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN scal
+            WHERE tf.term IN ('scan', 'table')
+        ), agg AS (
+            SELECT doc_id, sum(c) AS score_raw
+            FROM contrib JOIN matched USING (doc_id)
+            GROUP BY doc_id
+        ), ranked AS (
+            SELECT d.lang, a.doc_id, a.score_raw,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY d.lang
+                       ORDER BY a.score_raw DESC, a.doc_id ASC
+                   ) AS rank
+            FROM agg a JOIN documents d USING (doc_id)
+        )
+        SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id,
+               round(score_raw, 6) AS score
+        FROM ranked WHERE rank <= {COLLAPSE_N}
+        ORDER BY lang, rank
         """,
         # synonym oracle: join AND data with join->merge blended — the
         # group-max df is one scalar subquery; group members' idf uses it,

@@ -611,6 +611,93 @@ def explain_topk(
     )
 
 
+def score_matches(
+    spark: SparkSession,
+    cat: ParquetCatalog,
+    query,
+    max_expansions: int = MAX_EXPANSIONS,
+    lex_rows: list | None = None,
+    normalize=None,
+    minimum_should_match: int = 0,
+    synonyms: dict | None = None,
+    synonym_blend: bool = False,
+) -> DataFrame:
+    """The RANKED match set: every doc matching a boolean ``query`` with
+    its BM25 score, as a fully-distributed ``DataFrame[doc_id, score]``
+    — matching_docs plus scores, no top-k cut. This is the relational
+    bridge for downstream ranking plans (collapse_topk's per-group
+    top-n, score-threshold filters, training-set weighting): the result
+    composes into joins/windows without ever collecting. Scores are
+    bit-identical to boolean_topk's (same kernel, k=None skips only the
+    cut). Output size is the match set — distributed, never driver-side."""
+    schema = "doc_id long, score double"
+    plan = _compile_query(spark, cat, query, max_expansions, lex_rows,
+                          normalize, minimum_should_match, synonyms)
+    if plan is None:
+        return spark.createDataFrame([], schema)
+    node, meta, by_term, blocks, positional, deleted = plan
+    score_terms = [t for t in positive_terms(node) if t in by_term]
+    if not score_terms:
+        return spark.createDataFrame([], schema)
+    n_docs = meta["n_docs"]
+    if synonyms and synonym_blend:
+        norm = _simple_normalize if normalize is None else normalize
+        idf_by_term = _blended_idf(
+            by_term, synonym_groups(synonyms, norm), n_docs
+        )
+    else:
+        idf_by_term = {
+            t: float(np.log(1.0 + (n_docs - r["df"] + 0.5)
+                            / (r["df"] + 0.5)))
+            for t, r in by_term.items()
+        }
+    weights = term_weights(node)
+    if weights:
+        idf_by_term = {
+            t: v * weights.get(t, 1.0) for t, v in idf_by_term.items()
+        }
+    kernel = _make_boolean_kernel(
+        node, score_terms, idf_by_term, meta["k1"], meta["b"],
+        meta["avgdl"], None, int(meta["docs_per_shard"]), positional,
+        deleted=deleted,
+    )
+    return blocks.groupBy("shard").applyInPandas(kernel, schema)
+
+
+def collapse_topk(
+    spark: SparkSession,
+    cat: ParquetCatalog,
+    docs: DataFrame,
+    query,
+    group_col: str,
+    n: int = 3,
+    id_col: str = "doc_id",
+    **query_kwargs,
+) -> DataFrame:
+    """Result collapsing (the ES ``collapse`` / Lucene grouping model):
+    the top ``n`` docs PER ``group_col`` value over the full ranked
+    match set of ``query`` — rank, doc id, and score per group. Plan:
+    score_matches (distributed, no cut) joins the corpus table on
+    ``id_col`` (AQE broadcasts the smaller side), then one
+    PARTITIONED window ranks within each group — parallel by group, no
+    single-partition funnel, so the shape survives any corpus size."""
+    from pyspark.sql import Window
+
+    scores = score_matches(spark, cat, query, **query_kwargs)
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+    )
+    return (
+        docs.select(id_col, group_col)
+        .join(scores.withColumnRenamed("doc_id", id_col), id_col)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+        .select(group_col, "rank", id_col, "score")
+        .orderBy(group_col, "rank")
+    )
+
+
 def matching_docs(
     spark: SparkSession,
     cat: ParquetCatalog,

@@ -185,9 +185,11 @@ def _score_match_docs(decoded: dict, match_docs: np.ndarray,
     """Exact BM25 sum of the distinct terms over ``match_docs``, in the
     engine-wide deterministic (sorted-term, doc-ascending) reduction
     order, then top-k with (score desc, doc_id asc) tie-breaks.
-    ``deleted`` (sorted tombstone set, index/delete.py) masks matches
-    before selection — the single live-docs seam for every positional
-    and boolean kernel. ``after`` is a (score, doc_id) cursor: only
+    ``k=None`` skips the cut and returns EVERY matched doc's score (the
+    ranked-match-set regime, boolquery.score_matches). ``deleted``
+    (sorted tombstone set, index/delete.py) masks matches before
+    selection — the single live-docs seam for every positional and
+    boolean kernel. ``after`` is a (score, doc_id) cursor: only
     rows strictly after it in the sort order survive — sound per-shard
     because the predicate distributes over the global merge, and exact
     because the kernel recomputes bit-identical scores per run."""
@@ -220,6 +222,9 @@ def _score_match_docs(decoded: dict, match_docs: np.ndarray,
         uniq, sums = uniq[keep], sums[keep]
         if len(uniq) == 0:
             return _empty_result()
+    if k is None:  # ranked match SET: no cut, emit every matched doc
+        return pd.DataFrame({"doc_id": uniq.astype(np.int64),
+                             "score": sums})
     d_out, s_out = _topk_arrays(uniq.astype(np.int64), sums, k)
     return pd.DataFrame({"doc_id": d_out, "score": s_out})
 

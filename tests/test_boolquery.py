@@ -722,3 +722,42 @@ def test_synonym_blend_changes_scores_not_matches(spark, pos_built):
     assert plain["join"] != plain["merge"]  # the dfs genuinely differ
     assert min(idfs["join"], idfs["merge"]) == min(
         plain["join"], plain["merge"])  # blended = max-df = min-idf
+
+
+# -- ranked match set + collapse (X56) ---------------------------------------
+
+
+def test_score_matches_equals_uncut_topk(spark, pos_built):
+    from mahout_spark.index.boolquery import matching_docs, score_matches
+
+    q = '("table scan" OR mer*) AND data'
+    all_rows = sorted(_rows(score_matches(spark, pos_built, q)))
+    deep = sorted(_rows(boolean_topk(spark, pos_built, q, k=10**6)))
+    assert all_rows == deep  # same docs, bit-identical scores, no cut
+    m = {r["doc_id"] for r in matching_docs(spark, pos_built, q).collect()}
+    assert {d for d, _ in all_rows} == m
+
+
+def test_collapse_topk_per_group(spark, pos_built):
+    from mahout_spark.index.boolquery import collapse_topk, score_matches
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    q = "table OR scan"
+    got = collapse_topk(spark, pos_built, docs, q, "lang", n=2).collect()
+    # brute-force: full ranked match set -> top-2 per lang
+    scores = {r["doc_id"]: r["score"]
+              for r in score_matches(spark, pos_built, q).collect()}
+    lang_of = {r["doc_id"]: r["lang"] for r in docs.collect()}
+    want = {}
+    for d, s in sorted(scores.items(), key=lambda e: (-e[1], e[0])):
+        want.setdefault(lang_of[d], []).append((d, s))
+    for g in want:
+        want[g] = want[g][:2]
+    got_by_g = {}
+    for r in got:
+        got_by_g.setdefault(r["lang"], []).append(
+            (r["rank"], r["doc_id"], r["score"]))
+    assert set(got_by_g) == set(want)
+    for g, rows in got_by_g.items():
+        assert [(i + 1, d, s) for i, (d, s) in enumerate(want[g])] == \
+            sorted(rows)

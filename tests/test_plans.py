@@ -196,3 +196,15 @@ class TestIndexPlans:
         from mahout_spark.plans.audit import scan_count
 
         assert scan_count(p) == 1
+
+    def test_collapse_window_is_partitioned(self, spark, built):
+        """X56: collapse_topk's window must hash-partition on the group
+        column (parallel by group) — never a SinglePartition funnel."""
+        from mahout_spark.index.boolquery import collapse_topk
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        df = collapse_topk(spark, built, docs, "spark OR data", "lang", n=3)
+        p = _plan(df)
+        assert "Window" in p
+        assert "hashpartitioning(lang" in p
+        assert "SinglePartition" not in p
