@@ -214,28 +214,50 @@ def test_positional_ops_equal_oracle_on_random_corpus(
 
 
 def _random_tree(rng, vocab, depth=0):
+    """Random query trees over the FULL boolean surface: term/prefix/
+    fuzzy/wildcard leaves, AND/OR/NOT/msm combinators, boost wrappers.
+    Invalid shapes (boost-on-NOT, pure-negative) are filtered by the
+    caller's validate() retry loop."""
     r = rng.random()
     if depth >= 2 or r < 0.45:
-        if r < 0.12:
-            t = rng.choice(vocab)
+        leaf, t = rng.random(), rng.choice(vocab)
+        if leaf < 0.10:
             pl = min(len(t), rng.randint(1, 2))
-            return ("prefix", t[:pl])
-        return ("term", rng.choice(vocab))
+            node = ("prefix", t[:pl])
+        elif leaf < 0.18:
+            node = ("fuzzy", t, rng.randint(1, 2))
+        elif leaf < 0.28 and len(t) >= 2:
+            i = rng.randrange(len(t))
+            wc = "?" if rng.random() < 0.5 else "*"
+            node = ("wildcard", t[:i] + wc + t[i + 1:])
+        else:
+            node = ("term", t)
+        if rng.random() < 0.15:
+            node = ("boost", node, rng.choice([0.5, 2.0, 3.0]))
+        return node
     kids = [_random_tree(rng, vocab, depth + 1)
             for _ in range(rng.randint(2, 3))]
-    if r < 0.7:
-        return ("or", kids)
-    if rng.random() < 0.5:  # AND with one negated branch
-        kids.append(("not", _random_tree(rng, vocab, depth + 1)))
-    return ("and", kids)
+    if r < 0.62:
+        node = ("or", kids)
+    elif r < 0.74:  # minimum_should_match over the disjunction
+        node = ("msm", kids, rng.randint(1, len(kids)))
+    else:
+        if rng.random() < 0.5:  # AND with one negated branch
+            kids = kids + [("not", _random_tree(rng, vocab, depth + 1))]
+        node = ("and", kids)
+    if rng.random() < 0.10:
+        node = ("boost", node, rng.choice([0.5, 2.0]))
+    return node
 
 
 @pytest.mark.parametrize("seed", [7, 31])
 def test_boolean_trees_equal_oracle_on_random_corpus(
     spark, tmp_path_factory, seed
 ):
-    """Random boolean trees (nested AND/OR, NOT branches, prefix leaves)
-    must match the brute-force oracle on skewed random corpora."""
+    """Random boolean trees over the FULL query surface (nested
+    AND/OR/NOT/msm, prefix/fuzzy/wildcard leaves, boost wrappers) must
+    match the brute-force oracle — match set AND scores — on skewed
+    random corpora."""
     from mahout_spark.index.boolquery import boolean_topk
     from mahout_spark.index.build import build_index
     from mahout_spark.index.queryparse import validate
@@ -253,7 +275,7 @@ def test_boolean_trees_equal_oracle_on_random_corpus(
     rng = random.Random(seed * 17)
     vocab = sorted(oracle.df)
     done = 0
-    while done < 6:
+    while done < 10:
         tree = _random_tree(rng, vocab)
         try:
             validate(tree)
