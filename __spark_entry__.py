@@ -541,6 +541,36 @@ def q_engine_boost_search(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+SUGGEST_WORD = "hat"
+
+
+def q_engine_suggest(spark, sf_dir):
+    """Spell suggestion (X57, Lucene DirectSpellChecker analog): the 5
+    lexicon terms nearest SUGGEST_WORD by (edit distance asc, df desc,
+    term asc), word itself excluded — 'hat' has 5 distance-2 neighbors
+    in this vocabulary, so the cap and the df tie-breaks are exercised. The DuckDB oracle recomputes the
+    ranking with its independent levenshtein over the token relation."""
+    import shutil
+    import tempfile
+
+    from mahout_spark.index.boolquery import suggest_terms
+    from mahout_spark.index.build import build_index
+
+    docs = _load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="msdrv_sug_")
+    try:
+        cat = build_index(
+            spark, docs, out_dir=out, content_col="text",
+            id_cols=["doc_id"], mode="simple", resume=False,
+        )
+        rows = suggest_terms(spark, cat, SUGGEST_WORD, n=5, max_edits=2)
+        return spark.createDataFrame(
+            rows, "term string, dist long, df long"
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 COLLAPSE_QUERY = "table OR scan"
 COLLAPSE_N = 3
 
@@ -1376,6 +1406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_explain": q_engine_explain,
         "engine_synonym_search": q_engine_synonym_search,
         "engine_collapse_search": q_engine_collapse_search,
+        "engine_suggest": q_engine_suggest,
         "engine_msm_search": q_engine_msm_search,
         "engine_search_after": q_engine_search_after,
         "engine_mlt_search": q_engine_mlt_search,
@@ -2036,6 +2067,15 @@ def _base_oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, score FROM agg
         ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        # suggest oracle: DuckDB's independent levenshtein over the df
+        # relation, same (dist, df desc, term) ranking, stem excluded
+        "engine_suggest": _TOK_CTE + """
+        SELECT term, CAST(levenshtein(term, 'hat') AS BIGINT) AS dist,
+               CAST(df AS BIGINT) AS df
+        FROM dfreq
+        WHERE term <> 'hat' AND levenshtein(term, 'hat') <= 2
+        ORDER BY dist ASC, df DESC, term ASC LIMIT 5
         """,
         # collapse oracle: the full (un-cut) ranked match set of
         # table OR scan, top-3 per lang via ROW_NUMBER — the whole

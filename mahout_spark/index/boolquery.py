@@ -229,6 +229,46 @@ def _fuzzy_expansion_rows(lex, stem: str, n: int, cap: int) -> list:
     )
 
 
+def suggest_terms(
+    spark: SparkSession,
+    cat: ParquetCatalog,
+    word: str,
+    n: int = 5,
+    max_edits: int = 2,
+    min_df: int = 1,
+    normalize=None,
+) -> list:
+    """Spell suggestions for ``word`` (Lucene DirectSpellChecker analog):
+    the ``n`` lexicon terms within Levenshtein distance ``max_edits``
+    (capped at 2 like fuzzy queries), ranked (distance asc, df desc,
+    term asc) so likelier corrections win — EXCLUDING the word itself,
+    including when it is a valid term (suggest-always mode; callers can
+    check presence first for suggest-on-miss). Returns
+    ``[(term, dist, df)]``. Cost: one column-pruned
+    TakeOrderedAndProject lexicon scan, bounded by vocabulary size."""
+    from mahout_spark.index.queryparse import (
+        MAX_FUZZY_EDITS,
+        QueryParseError,
+    )
+
+    if max_edits > MAX_FUZZY_EDITS:
+        raise QueryParseError(
+            f"max_edits is capped at {MAX_FUZZY_EDITS}: {max_edits}"
+        )
+    norm = _simple_normalize if normalize is None else normalize
+    toks = norm(word)
+    if len(toks) != 1:
+        raise QueryParseError(f"suggest needs one token: {word!r}")
+    stem = toks[0]
+    lex = cat.read(spark, "lexicon")
+    rows = _fuzzy_expansion_rows(lex, stem, max_edits, n + 1)
+    return [
+        (r["term"], int(r["dist"]), int(r["df"]))
+        for r in rows
+        if r["term"] != stem and r["df"] >= min_df
+    ][:n]
+
+
 def _wildcard_expansion_rows(lex, pattern: str, cap: int) -> list:
     """Lexicon expansion of a general wildcard pattern: the ``cap``
     highest-df matching terms (df desc, term asc — the same

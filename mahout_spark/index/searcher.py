@@ -425,6 +425,27 @@ class Searcher:
             self.spark, self.cat, node, k=k, lex_rows=lex,
         )
 
+    def suggest(self, word: str, n: int = 5, max_edits: int = 2,
+                min_df: int = 1) -> list:
+        """Spell suggestions (boolquery.suggest_terms) served from the
+        epoch-cached fuzzy expansion rows — a repeat suggest over the
+        same stem launches no lexicon job."""
+        from mahout_spark.index.boolquery import suggest_terms
+        from mahout_spark.index.queryparse import _simple_normalize
+
+        self._ensure_fresh()
+        toks = _simple_normalize(word)
+        if len(toks) == 1:
+            stem = toks[0]
+            rows = self._fuzzy_rows(stem, max_edits, n + 1)
+            return [
+                (r["term"], int(r["dist"]), int(r["df"]))
+                for r in rows
+                if r["term"] != stem and r["df"] >= min_df
+            ][:n]
+        return suggest_terms(self.spark, self.cat, word, n, max_edits,
+                             min_df)
+
     def more_like(self, like_text: str, k: int = 10, **kwargs) -> DataFrame:
         """More-like-this over the warm caches (index/mlt.py with the
         candidate terms' lexicon lookups served by the per-term cache —

@@ -761,3 +761,43 @@ def test_collapse_topk_per_group(spark, pos_built):
     for g, rows in got_by_g.items():
         assert [(i + 1, d, s) for i, (d, s) in enumerate(want[g])] == \
             sorted(rows)
+
+
+# -- spell suggestion (X57) ---------------------------------------------------
+
+
+def test_suggest_terms_ranking_and_exclusion(spark, pos_built, oracle):
+    from mahout_spark.index.boolquery import suggest_terms
+
+    # independent oracle: pure-python edit distance over the corpus df
+    from tests.oracle import _edit_distance
+
+    def want(stem, n, max_edits):
+        cands = [
+            (t, _edit_distance(t, stem), df)
+            for t, df in oracle.df.items()
+            if t != stem and _edit_distance(t, stem) <= max_edits
+        ]
+        cands.sort(key=lambda e: (e[1], -e[2], e[0]))
+        return cands[:n]
+
+    for w, me in [("tabel", 2), ("streem", 1), ("scan", 2), ("daat", 2)]:
+        got = suggest_terms(spark, pos_built, w, n=5, max_edits=me)
+        assert got == want(w, 5, me), (w, me)
+    # the word itself is excluded even when it is a valid term
+    assert all(t != "scan" for t, _, _ in
+               suggest_terms(spark, pos_built, "scan", n=5))
+    with pytest.raises(qp.QueryParseError):
+        suggest_terms(spark, pos_built, "two words")
+    with pytest.raises(qp.QueryParseError):
+        suggest_terms(spark, pos_built, "scan", max_edits=3)
+
+
+def test_searcher_suggest_matches_direct(spark, pos_built):
+    from mahout_spark.index.boolquery import suggest_terms
+    from mahout_spark.index.searcher import Searcher
+
+    s = Searcher(spark, pos_built)
+    direct = suggest_terms(spark, pos_built, "tabel", n=5)
+    assert s.suggest("tabel", n=5) == direct
+    assert s.suggest("tabel", n=5) == direct  # warm repeat, no lexicon job
