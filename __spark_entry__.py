@@ -541,6 +541,45 @@ def q_engine_boost_search(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+BATCH_QUERIES = {
+    "q_and": "table AND data",
+    "q_ornot": "scan OR merge NOT stream",
+    "q_prefix": "mer* OR data",
+}
+
+
+def q_engine_boolean_batch(spark, sf_dir):
+    """Batched boolean retrieval (X58): three query shapes (AND,
+    OR-with-NOT, prefix) answered in ONE job from a shared per-shard
+    decode, ranked per query by a partitioned window. The DuckDB oracle
+    recomputes each query's relation independently and UNION ALLs them
+    with the same per-query ROW_NUMBER cut."""
+    import shutil
+    import tempfile
+
+    from mahout_spark.index.boolquery import boolean_topk_batch
+    from mahout_spark.index.build import build_index
+
+    docs = _load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="msdrv_bb_")
+    try:
+        cat = build_index(
+            spark, docs, out_dir=out, content_col="text",
+            id_cols=["doc_id"], mode="simple", resume=False,
+        )
+        result = boolean_topk_batch(
+            spark, cat, BATCH_QUERIES, k=10
+        ).select(
+            "query_id", "doc_id",
+            F.round("score", 6).alias("score"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 SUGGEST_WORD = "hat"
 
 
@@ -1407,6 +1446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_synonym_search": q_engine_synonym_search,
         "engine_collapse_search": q_engine_collapse_search,
         "engine_suggest": q_engine_suggest,
+        "engine_boolean_batch": q_engine_boolean_batch,
         "engine_msm_search": q_engine_msm_search,
         "engine_search_after": q_engine_search_after,
         "engine_mlt_search": q_engine_mlt_search,
@@ -2067,6 +2107,56 @@ def _base_oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, score FROM agg
         ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        # batch oracle: each query's relation recomputed independently,
+        # UNION ALLed, ranked per query with the same raw-score cut
+        "engine_boolean_batch": _TOK_CTE + f"""
+        , px AS (
+            SELECT DISTINCT term FROM dfreq WHERE term LIKE 'mer%'
+        ), m1 AS (
+            SELECT doc_id FROM tf WHERE term = 'table'
+            INTERSECT
+            SELECT doc_id FROM tf WHERE term = 'data'
+        ), m2 AS (
+            -- precedence: scan OR (merge AND NOT stream) — NOT binds to
+            -- its AND branch, not to the whole disjunction
+            SELECT doc_id FROM tf WHERE term = 'scan'
+            UNION
+            (SELECT doc_id FROM tf WHERE term = 'merge'
+             EXCEPT
+             SELECT doc_id FROM tf WHERE term = 'stream')
+        ), m3 AS (
+            SELECT DISTINCT doc_id FROM tf
+            WHERE term IN (SELECT term FROM px) OR term = 'data'
+        ), contrib AS (
+            SELECT tf.doc_id, tf.term, {_BM25_CONTRIB} AS c
+            FROM tf
+            JOIN dfreq USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN scal
+        ), u AS (
+            SELECT 'q_and' AS query_id, c.doc_id, sum(c.c) AS sr
+            FROM contrib c JOIN m1 USING (doc_id)
+            WHERE c.term IN ('data', 'table') GROUP BY c.doc_id
+            UNION ALL
+            SELECT 'q_ornot', c.doc_id, sum(c.c)
+            FROM contrib c JOIN m2 USING (doc_id)
+            WHERE c.term IN ('merge', 'scan') GROUP BY c.doc_id
+            UNION ALL
+            SELECT 'q_prefix', c.doc_id, sum(c.c)
+            FROM contrib c JOIN m3 USING (doc_id)
+            WHERE c.term IN (SELECT term FROM px) OR c.term = 'data'
+            GROUP BY c.doc_id
+        ), ranked AS (
+            SELECT query_id, doc_id, sr, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY sr DESC, doc_id ASC
+            ) AS rnk
+            FROM u
+        )
+        SELECT query_id, doc_id, round(sr, 6) AS score,
+               CAST(rnk AS BIGINT) AS rank
+        FROM ranked WHERE rnk <= 10
+        ORDER BY query_id, rank
         """,
         # suggest oracle: DuckDB's independent levenshtein over the df
         # relation, same (dist, df desc, term) ranking, stem excluded

@@ -651,6 +651,192 @@ def explain_topk(
     )
 
 
+def boolean_topk_batch(
+    spark: SparkSession,
+    cat: ParquetCatalog,
+    queries: dict,
+    k: int = 10,
+    max_expansions: int = MAX_EXPANSIONS,
+    normalize=None,
+    synonyms: dict | None = None,
+    synonym_blend: bool = False,
+) -> DataFrame:
+    """Answer MANY boolean queries in ONE job: (query_id, doc_id, score,
+    rank) — the offline-workload shape (eval sweeps, hard-negative
+    mining, training-set curation) for the full query language, the
+    boolean analog of wand.topk_batch. One postings scan pruned by the
+    UNION of all queries' terms; each shard decodes every term ONCE and
+    answers each query from the shared decode (eval tree + local top-k),
+    then one window partitioned BY QUERY ranks globally — parallel by
+    query, input bounded by k x shards x queries. Exactness contract
+    identical to boolean_topk per query (same kernels; test-gated).
+    Prefix/fuzzy/wildcard expansions are computed once per DISTINCT
+    pattern across the batch; boosts fold into per-query idf tables;
+    ``synonyms`` (and ``synonym_blend``) apply to every query. Phrase
+    leaves require a positional index, as in boolean_topk. Cursor
+    pagination is per-query state — use boolean_topk for it."""
+    norm = _simple_normalize if normalize is None else normalize
+    nodes: dict = {}
+    for qid, q in queries.items():
+        if isinstance(q, str):
+            node = parse(q) if normalize is None else parse(q, normalize)
+        else:
+            validate(q)
+            node = q
+        if synonyms:
+            node = expand_synonyms(node, synonyms, norm)
+        nodes[qid] = node
+
+    meta = cat.read_meta("postings")
+    positional_needed = any(has_phrase(n) for n in nodes.values())
+    if positional_needed and not meta.get("positional"):
+        raise ValueError(
+            f"index at {cat.root} was built without positions=True; "
+            "phrase/slop leaves need a positional index"
+        )
+
+    pres = sorted({p for n in nodes.values() for p in prefixes(n)})
+    fzs = sorted({f for n in nodes.values() for f in fuzzies(n)})
+    wcs = sorted({w for n in nodes.values() for w in wildcards(n)})
+    expansion_lex: list = []
+    if pres or fzs or wcs:
+        lex = cat.read(spark, "lexicon")
+        pexp: dict = {}
+        for pfx in pres:
+            rows = (
+                lex.filter(F.col("term").startswith(pfx))
+                .select("term", "bucket", "df")
+                .orderBy(F.col("df").desc(), F.col("term").asc())
+                .limit(max_expansions)
+                .collect()
+            )
+            pexp[pfx] = [r["term"] for r in rows]
+            expansion_lex.extend(rows)
+        fexp: dict = {}
+        for stem, ne in fzs:
+            rows = _fuzzy_expansion_rows(lex, stem, ne, max_expansions)
+            fexp[stem, ne] = [r["term"] for r in rows]
+            expansion_lex.extend(rows)
+        wexp: dict = {}
+        for pat in wcs:
+            rows = _wildcard_expansion_rows(lex, pat, max_expansions)
+            wexp[pat] = [r["term"] for r in rows]
+            expansion_lex.extend(rows)
+        for qid in nodes:
+            n = nodes[qid]
+            if pexp:
+                n = expand_prefixes(n, pexp)
+            if fexp:
+                n = expand_fuzzies(n, fexp)
+            if wexp:
+                n = expand_wildcards(n, wexp)
+            nodes[qid] = n
+
+    union_terms = sorted({t for n in nodes.values() for t in all_terms(n)})
+    out_schema = "query_id string, doc_id long, score double"
+    empty = spark.createDataFrame([], out_schema + ", rank int")
+    if not union_terms:
+        return empty
+
+    from mahout_spark.functions.xxhash import term_bucket
+
+    known = {r["term"] for r in expansion_lex}
+    missing = [t for t in union_terms if t not in known]
+    lex_rows = list(expansion_lex)
+    if missing:
+        n_buckets = int(meta["n_buckets"])
+        qbuckets = sorted({term_bucket(t, n_buckets) for t in missing})
+        lexq = _read_query_lexicon(spark, cat, qbuckets)
+        if lexq is not None:
+            lex_rows += (
+                lexq.filter(F.col("term").isin(missing))
+                .select("term", "bucket", "df")
+                .collect()
+            )
+    by_term = {r["term"]: r for r in lex_rows if r["term"] in set(union_terms)}
+    if not by_term:
+        return empty
+    n_docs = meta["n_docs"]
+    base_idf = {
+        t: float(np.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5)))
+        for t, r in by_term.items()
+    }
+    groups = (synonym_groups(synonyms, norm)
+              if synonyms and synonym_blend else [])
+
+    live = []  # (qid, node, score_terms, idf_map) per answerable query
+    for qid in sorted(nodes):
+        node = nodes[qid]
+        score_terms = [t for t in positive_terms(node) if t in by_term]
+        if not score_terms:
+            continue
+        weights = term_weights(node)
+        # blending is PER QUERY over its own terms (matching the single-
+        # query path): a group member appearing alone in another query of
+        # the batch must keep its own idf there
+        sub = {t: by_term[t] for t in all_terms(node) if t in by_term}
+        if groups:
+            idf_map = _blended_idf(sub, groups, n_docs)
+        else:
+            idf_map = {t: base_idf[t] for t in sub}
+        idf_map = {t: v * weights.get(t, 1.0) for t, v in idf_map.items()}
+        live.append((qid, node, score_terms, idf_map))
+    if not live:
+        return empty
+
+    deleted = None
+    if int(meta.get("deletes", 0)):
+        from mahout_spark.index.delete import deleted_array
+
+        deleted = deleted_array(spark, cat, meta)
+    buckets = sorted({r["bucket"] for r in by_term.values()})
+    blocks = cat.read_partitions(spark, "postings", "bucket", buckets).filter(
+        F.col("term").isin(sorted(by_term))
+    )
+    positional = positional_needed and bool(meta.get("positional"))
+    if positional:
+        _check_shard_budget(int(meta["docs_per_shard"]))
+    k1, b, avgdl = meta["k1"], meta["b"], meta["avgdl"]
+    docs_per_shard = int(meta["docs_per_shard"])
+    kernel_terms = sorted(by_term)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["shard"].iloc[0])
+        base = np.uint64(shard * docs_per_shard)
+        decoded = _decode_shard(pdf, kernel_terms, positional)
+        outs = []
+        for qid, node, score_terms, idf_map in live:
+            matched = _eval_tree(node, decoded, base)
+            present = [t for t in score_terms if t in decoded]
+            if len(matched) == 0 or not present:
+                continue
+            res = _score_match_docs(
+                decoded, matched, present, idf_map, k1, b, avgdl, k,
+                deleted=deleted,
+            )
+            if len(res):
+                res.insert(0, "query_id", qid)
+                outs.append(res)
+        if not outs:
+            return pd.DataFrame({
+                "query_id": pd.Series(dtype="object"),
+                "doc_id": pd.Series(dtype="int64"),
+                "score": pd.Series(dtype="float64"),
+            })
+        return pd.concat(outs, ignore_index=True)
+
+    per_shard = blocks.groupBy("shard").applyInPandas(kernel, out_schema)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        per_shard.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def score_matches(
     spark: SparkSession,
     cat: ParquetCatalog,

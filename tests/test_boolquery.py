@@ -801,3 +801,61 @@ def test_searcher_suggest_matches_direct(spark, pos_built):
     direct = suggest_terms(spark, pos_built, "tabel", n=5)
     assert s.suggest("tabel", n=5) == direct
     assert s.suggest("tabel", n=5) == direct  # warm repeat, no lexicon job
+
+
+# -- batched boolean retrieval (X58) ------------------------------------------
+
+
+def test_boolean_batch_equals_per_query(spark, pos_built):
+    """Every query in a batch must rank exactly as its per-query
+    boolean_topk — across plain/boost/mm/prefix/fuzzy/wildcard/phrase
+    shapes over the shared decode."""
+    from mahout_spark.index.boolquery import boolean_topk_batch
+
+    qs = {
+        "plain_and": "table AND data",
+        "boosted": "table^3 OR scan OR merge",
+        "prefixy": "mer* OR data NOT stream",
+        "fuzzy": "slot~2 AND data",
+        "wild": "*can* OR merge",
+        "phrase": '"table scan" OR data',
+        "absent": "zzzqqq",
+    }
+    batch = boolean_topk_batch(spark, pos_built, qs, k=10).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"]))
+    assert "absent" not in by_q
+    for qid, q in qs.items():
+        if qid == "absent":
+            continue
+        want = _rows(boolean_topk(spark, pos_built, q, k=10))
+        got = [(d, s) for _, d, s in sorted(by_q.get(qid, []))]
+        assert got == want, qid
+        assert [r for r, _, _ in sorted(by_q[qid])] == \
+            list(range(1, len(want) + 1))
+
+
+def test_boolean_batch_msm_and_synonyms(spark, pos_built):
+    from mahout_spark.index.boolquery import boolean_topk_batch
+
+    qs = {"a": "join AND data", "b": "table OR scan OR merge"}
+    batch = boolean_topk_batch(
+        spark, pos_built, qs, k=10, synonyms={"join": ["merge"]},
+        synonym_blend=True,
+    ).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    want_a = _rows(boolean_topk(spark, pos_built, "join AND data", k=10,
+                                synonyms={"join": ["merge"]},
+                                synonym_blend=True))
+    assert sorted(by_q["a"], key=lambda e: (-e[1], e[0])) == want_a
+    # b has no synonym KEY: its plain `merge` term must keep its own idf
+    # even though query a's group also names merge (per-query blending)
+    want_b = _rows(boolean_topk(spark, pos_built,
+                                "table OR scan OR merge", k=10,
+                                synonyms={"join": ["merge"]},
+                                synonym_blend=True))
+    assert sorted(by_q["b"], key=lambda e: (-e[1], e[0])) == want_b
