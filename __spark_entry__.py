@@ -580,6 +580,45 @@ def q_engine_boolean_batch(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def q_engine_federated_search(spark, sf_dir):
+    """Federated multi-index search (X59): the corpus split by doc_id
+    parity into TWO independently-built indexes, queried through
+    federated_topk under GLOBAL statistics (the dfs_query_then_fetch
+    model). Because global stats make the federation score-identical to
+    one union index, the oracle is the same full-corpus BM25 relation as
+    engine_indexed_bm25_simple, plus the owning-index column recomputed
+    from the parity split."""
+    import shutil
+    import tempfile
+
+    from mahout_spark.index.build import build_index
+    from mahout_spark.index.federated import federated_topk
+
+    docs = _load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="msdrv_fed_")
+    try:
+        cats = {}
+        for name, pred in (
+            ("even", F.col("doc_id") % 2 == 0),
+            ("odd", F.col("doc_id") % 2 == 1),
+        ):
+            cats[name] = build_index(
+                spark, docs.filter(pred), out_dir=f"{out}/{name}",
+                content_col="text", id_cols=["doc_id"], mode="simple",
+                resume=False,
+            )
+        result = federated_topk(
+            spark, cats, BM25_QUERY_TERMS, k=10
+        ).select(
+            F.col("index").alias("src"), "doc_id",
+            F.round("score", 6).alias("score"),
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 SUGGEST_WORD = "hat"
 
 
@@ -1433,6 +1472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_bm25_search": q_engine_bm25_search,
         "engine_indexed_bm25": q_engine_indexed_bm25,
         "engine_indexed_bm25_simple": q_engine_indexed_bm25_simple,
+        "engine_federated_search": q_engine_federated_search,
         "engine_delete_search": q_engine_delete_search,
         "engine_delete_purge_search": q_engine_delete_purge_search,
         "engine_phrase_search": q_engine_phrase_search,
@@ -1911,6 +1951,14 @@ def _base_oracle_sql() -> dict[str, str]:
         """,
         # identical oracle text: the indexed engine must reproduce the
         # naive scorer's answer exactly (build->encode->prune->WAND)
+        # federated oracle: global stats make the two-index federation
+        # score-identical to the union index, so the relation is the same
+        # full-corpus BM25 agg; the owning index is the parity split
+        "engine_federated_search": _BM25_BASE + """
+        SELECT CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END AS src,
+               doc_id, score FROM agg
+        ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
         "engine_indexed_bm25_simple": _BM25_BASE + """
         SELECT doc_id, score FROM agg
         ORDER BY score DESC, doc_id ASC LIMIT 10
