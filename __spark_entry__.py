@@ -580,6 +580,35 @@ def q_engine_boolean_batch(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def q_engine_filtered_search(spark, sf_dir):
+    """Filter-context retrieval (X61): the standard OR query restricted
+    to the docs a metadata predicate (lang='en') selects, scores
+    untouched by the filter (the ES query-vs-filter-context contract).
+    Oracle: the same full-corpus BM25 relation joined to the documents
+    table on the predicate."""
+    import shutil
+    import tempfile
+
+    from mahout_spark.index.boolquery import filtered_topk
+    from mahout_spark.index.build import build_index
+
+    docs = _load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="msdrv_flt_")
+    try:
+        cat = build_index(
+            spark, docs, out_dir=out, content_col="text",
+            id_cols=["doc_id"], mode="simple", resume=False,
+        )
+        result = filtered_topk(
+            spark, cat, " OR ".join(BM25_QUERY_TERMS),
+            docs.filter(F.col("lang") == "en"), k=10,
+        ).select("doc_id", F.round("score", 6).alias("score"))
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def q_engine_federated_search(spark, sf_dir):
     """Federated multi-index search (X59): the corpus split by doc_id
     parity into TWO independently-built indexes, queried through
@@ -1473,6 +1502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_indexed_bm25": q_engine_indexed_bm25,
         "engine_indexed_bm25_simple": q_engine_indexed_bm25_simple,
         "engine_federated_search": q_engine_federated_search,
+        "engine_filtered_search": q_engine_filtered_search,
         "engine_delete_search": q_engine_delete_search,
         "engine_delete_purge_search": q_engine_delete_purge_search,
         "engine_phrase_search": q_engine_phrase_search,
@@ -1951,6 +1981,14 @@ def _base_oracle_sql() -> dict[str, str]:
         """,
         # identical oracle text: the indexed engine must reproduce the
         # naive scorer's answer exactly (build->encode->prune->WAND)
+        # filter-context oracle: same BM25 relation, doc set restricted
+        # by the metadata predicate via a join to the documents table
+        "engine_filtered_search": _BM25_BASE + """
+        SELECT a.doc_id, a.score FROM agg a
+        JOIN documents d ON a.doc_id = d.doc_id
+        WHERE d.lang = 'en'
+        ORDER BY a.score DESC, a.doc_id ASC LIMIT 10
+        """,
         # federated oracle: global stats make the two-index federation
         # score-identical to the union index, so the relation is the same
         # full-corpus BM25 agg; the owning index is the parity split

@@ -189,7 +189,8 @@ def _make_boolean_kernel(node, score_terms: list[str], idf_by_term: dict,
                          k1: float, b: float, avgdl: float, k: int,
                          docs_per_shard: int, positional: bool,
                          deleted: np.ndarray | None = None,
-                         after: tuple | None = None):
+                         after: tuple | None = None,
+                         allowed: np.ndarray | None = None):
     if positional:
         _check_shard_budget(docs_per_shard)
     qterms = all_terms(node)
@@ -204,10 +205,24 @@ def _make_boolean_kernel(node, score_terms: list[str], idf_by_term: dict,
             return _empty_result()
         return _score_match_docs(
             decoded, matched, present_scores, idf_by_term, k1, b, avgdl,
-            k, deleted=deleted, after=after,
+            k, deleted=deleted, after=after, allowed=allowed,
         )
 
     return kernel
+
+
+def _as_id_array(ids) -> np.ndarray | None:
+    """Normalize a filter-context doc set (iterable of ints / numpy
+    array) to the kernels' sorted-uint64 mask format. None passes
+    through; an EMPTY set is a real value (matches nothing)."""
+    if ids is None:
+        return None
+    arr = np.asarray(
+        ids if not hasattr(ids, "collect") else
+        [r["doc_id"] for r in ids.select("doc_id").collect()],
+        dtype=np.uint64,
+    )
+    return np.sort(arr)
 
 
 def _fuzzy_expansion_rows(lex, stem: str, n: int, cap: int) -> list:
@@ -441,12 +456,20 @@ def boolean_topk(
     minimum_should_match: int = 0,
     synonyms: dict | None = None,
     synonym_blend: bool = False,
+    filter_ids=None,
 ) -> DataFrame:
     """Top-k docs matching a boolean ``query`` (string, parsed by
     queryparse.parse, or an already-built node tree), scored by the BM25
     sum of the query's positive terms. Phrase/slop leaves require an
     index built with ``positions=True``; plain boolean trees run on any
     index.
+
+    ``filter_ids`` is FILTER CONTEXT (the ES query-vs-filter model): an
+    iterable/array of doc_ids the results must come from — masked
+    per-shard BEFORE the top-k cut, scores untouched (BM25 is per-doc).
+    This is the small-filter interactive regime (the set ships to the
+    kernels like the tombstone mask); for filters of unbounded size use
+    ``filtered_topk``, which picks the relational semi-join plan.
 
     ``after`` is cursor pagination (the search_after model): pass the
     LAST row of the previous page — a Row/dict with ``score``/``doc_id``
@@ -460,6 +483,9 @@ def boolean_topk(
     cut)."""
     schema = "doc_id long, score double"
     after = _normalize_after(after)
+    allowed = _as_id_array(filter_ids)
+    if allowed is not None and len(allowed) == 0:
+        return spark.createDataFrame([], schema)  # empty filter set
     plan = _compile_query(spark, cat, query, max_expansions, lex_rows,
                           normalize, minimum_should_match, synonyms)
     if plan is None:
@@ -491,9 +517,49 @@ def boolean_topk(
     kernel = _make_boolean_kernel(
         node, score_terms, idf_by_term, meta["k1"], meta["b"],
         meta["avgdl"], k, int(meta["docs_per_shard"]), positional,
-        deleted=deleted, after=after,
+        deleted=deleted, after=after, allowed=allowed,
     )
     return _run_positional_kernel(spark, blocks, kernel, k, merge)
+
+
+def filtered_topk(
+    spark: SparkSession,
+    cat: ParquetCatalog,
+    query,
+    filter_df: DataFrame,
+    k: int = 10,
+    max_collect: int = 1 << 20,
+    **kw,
+) -> DataFrame:
+    """Filter-context retrieval with an ADAPTIVE physical plan: top-k
+    docs matching ``query`` restricted to ``filter_df`` (any DataFrame
+    with a doc_id column — a metadata predicate over the corpus table, a
+    dedup survivor set, a sampled training split). Scores are untouched
+    by the filter (per-doc BM25), so both regimes return identical rows:
+
+    * small filter (<= ``max_collect`` distinct ids): ship the set to
+      the shard kernels and mask BEFORE the per-shard cut —
+      one probe job + one query job, the interactive path;
+    * large filter: stay fully relational — score the complete match
+      set (score_matches) and LEFT SEMI join the filter, Catalyst/AQE
+      picking broadcast vs shuffle — no driver materialization of
+      anything corpus-shaped, the 100 TB path.
+
+    ``**kw`` passes through to the query machinery (synonyms,
+    minimum_should_match, max_expansions, normalize)."""
+    flt = filter_df.select("doc_id").distinct()
+    probe = flt.limit(max_collect + 1).collect()
+    if len(probe) <= max_collect:
+        return boolean_topk(
+            spark, cat, query, k=k,
+            filter_ids=[r["doc_id"] for r in probe], **kw,
+        )
+    scores = score_matches(spark, cat, query, **kw)
+    return (
+        scores.join(flt, "doc_id", "left_semi")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
 
 
 EXPLAIN_SCHEMA = (

@@ -181,7 +181,8 @@ def _score_match_docs(decoded: dict, match_docs: np.ndarray,
                       k1: float, b: float, avgdl: float,
                       k: int,
                       deleted: np.ndarray | None = None,
-                      after: tuple | None = None) -> pd.DataFrame:
+                      after: tuple | None = None,
+                      allowed: np.ndarray | None = None) -> pd.DataFrame:
     """Exact BM25 sum of the distinct terms over ``match_docs``, in the
     engine-wide deterministic (sorted-term, doc-ascending) reduction
     order, then top-k with (score desc, doc_id asc) tie-breaks.
@@ -192,9 +193,15 @@ def _score_match_docs(decoded: dict, match_docs: np.ndarray,
     boolean kernel. ``after`` is a (score, doc_id) cursor: only
     rows strictly after it in the sort order survive — sound per-shard
     because the predicate distributes over the global merge, and exact
-    because the kernel recomputes bit-identical scores per run."""
+    because the kernel recomputes bit-identical scores per run.
+    ``allowed`` (sorted doc set) is the FILTER-CONTEXT seam — the
+    positive twin of ``deleted``: matches outside it drop before
+    selection, scores untouched (BM25 is per-doc, so filtering never
+    perturbs surviving scores — the ES filter-context contract)."""
     if deleted is not None and len(match_docs):
         match_docs = match_docs[~np.isin(match_docs, deleted)]
+    if allowed is not None and len(match_docs):
+        match_docs = match_docs[np.isin(match_docs, allowed)]
     if len(match_docs) == 0:
         return _empty_result()
     doc_parts, contrib_parts = [], []

@@ -859,3 +859,53 @@ def test_boolean_batch_msm_and_synonyms(spark, pos_built):
                                 synonyms={"join": ["merge"]},
                                 synonym_blend=True))
     assert sorted(by_q["b"], key=lambda e: (-e[1], e[0])) == want_b
+
+
+# -- filter context (X61) -----------------------------------------------------
+
+
+def test_filter_context_masks_without_rescoring(spark, pos_built):
+    """Filtered top-k == the unfiltered ranked MATCH SET intersected
+    with the filter, cut to k — surviving scores bit-identical (the ES
+    filter-context contract: filters never perturb scores)."""
+    from mahout_spark.index.boolquery import score_matches
+
+    q = "table OR data OR merge"
+    full = sorted(
+        _rows(score_matches(spark, pos_built, q)),
+        key=lambda e: (-e[1], e[0]),
+    )
+    keep = {d for d, _ in full[::2]}  # every other match
+    want = [e for e in full if e[0] in keep][:5]
+    got = _rows(boolean_topk(spark, pos_built, q, k=5,
+                             filter_ids=sorted(keep)))
+    assert got == want
+
+
+def test_filtered_topk_regimes_agree(spark, pos_built, corpus):
+    """The adaptive relational plan (forced via max_collect=0) returns
+    exactly the kernel-mask plan's rows, for plain and phrase queries."""
+    from mahout_spark.index.boolquery import filtered_topk
+
+    flt = corpus.filter(F.col("doc_id") % 3 == 0)
+    for q in ["table OR data", '"table scan" OR merge NOT stream']:
+        small = _rows(filtered_topk(spark, pos_built, q, flt, k=8))
+        big = _rows(filtered_topk(spark, pos_built, q, flt, k=8,
+                                  max_collect=0))
+        assert small == big, q
+        assert all(d % 3 == 0 for d, _ in small)
+
+
+def test_filter_context_empty_and_composes_with_after(spark, pos_built):
+    assert boolean_topk(
+        spark, pos_built, "table", k=5, filter_ids=[]
+    ).count() == 0
+
+    q = "table OR data OR scan"
+    flt = [d for d, _ in _rows(boolean_topk(spark, pos_built, q, k=50))
+           if d % 2 == 0]
+    page1 = _rows(boolean_topk(spark, pos_built, q, k=3, filter_ids=flt))
+    page2 = _rows(boolean_topk(spark, pos_built, q, k=3, filter_ids=flt,
+                               after=(page1[-1][1], page1[-1][0])))
+    deep = _rows(boolean_topk(spark, pos_built, q, k=6, filter_ids=flt))
+    assert page1 + page2 == deep
