@@ -817,6 +817,39 @@ def q_engine_wildcard_search(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+REGEXP_QUERY = "/m[aeiou]rge|str[aeiou]am/ AND /qu[a-z]+/"
+
+
+def q_engine_regexp_search(spark, sf_dir):
+    """Regexp retrieval (X62, Lucene RegexpQuery /pattern/ syntax):
+    each pattern expands against the lexicon via the anchored JVM rlike
+    (df desc, term asc, capped) and OR-scores as plain BM25; the AND
+    intersects the two expansion groups' match sets. The DuckDB oracle
+    recomputes both expansions with regexp_matches over the same
+    anchored pattern (Java-and-RE2 common subset; exhaustive under the
+    cap on this vocabulary) and the same BM25 sum."""
+    import shutil
+    import tempfile
+
+    from mahout_spark.index.boolquery import boolean_topk
+    from mahout_spark.index.build import build_index
+
+    docs = _load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="msdrv_rx_")
+    try:
+        cat = build_index(
+            spark, docs, out_dir=out, content_col="text",
+            id_cols=["doc_id"], mode="simple", resume=False,
+        )
+        result = boolean_topk(spark, cat, REGEXP_QUERY, k=10).select(
+            "doc_id", F.round("score", 6).alias("score")
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 MSM_QUERY = "table OR scan OR merge OR data"
 MSM_M = 2
 
@@ -1512,6 +1545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_fuzzy_search": q_engine_fuzzy_search,
         "engine_boost_search": q_engine_boost_search,
         "engine_wildcard_search": q_engine_wildcard_search,
+        "engine_regexp_search": q_engine_regexp_search,
         "engine_explain": q_engine_explain,
         "engine_synonym_search": q_engine_synonym_search,
         "engine_collapse_search": q_engine_collapse_search,
@@ -2360,6 +2394,35 @@ def _base_oracle_sql() -> dict[str, str]:
         # regexp_matches over the engine's anchored regex translation
         # (exhaustive under the cap: this vocabulary is far below 64
         # matches per pattern), then the standard BM25 AND
+        "engine_regexp_search": _TOK_CTE + f"""
+        , r1 AS (
+            SELECT DISTINCT term FROM dfreq
+            WHERE regexp_matches(term, '^(?:m[aeiou]rge|str[aeiou]am)$')
+        ), r2 AS (
+            SELECT DISTINCT term FROM dfreq
+            WHERE regexp_matches(term, '^(?:qu[a-z]+)$')
+        ), matched AS (
+            SELECT DISTINCT doc_id FROM tf
+            WHERE term IN (SELECT term FROM r1)
+            INTERSECT
+            SELECT DISTINCT doc_id FROM tf
+            WHERE term IN (SELECT term FROM r2)
+        ), contrib AS (
+            SELECT tf.doc_id, {_BM25_CONTRIB} AS c
+            FROM tf
+            JOIN dfreq USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN scal
+            WHERE tf.term IN (SELECT term FROM r1)
+               OR tf.term IN (SELECT term FROM r2)
+        ), agg AS (
+            SELECT doc_id, round(sum(c), 6) AS score
+            FROM contrib JOIN matched USING (doc_id)
+            GROUP BY doc_id
+        )
+        SELECT doc_id, score FROM agg
+        ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
         "engine_wildcard_search": _TOK_CTE + f"""
         , w1 AS (
             SELECT DISTINCT term FROM dfreq

@@ -63,12 +63,14 @@ from mahout_spark.index.queryparse import (
     all_terms,
     expand_fuzzies,
     expand_prefixes,
+    expand_regexps,
     expand_wildcards,
     fuzzies,
     has_phrase,
     parse,
     positive_terms,
     prefixes,
+    regexps,
     expand_synonyms,
     synonym_groups,
     term_weights,
@@ -301,6 +303,24 @@ def _wildcard_expansion_rows(lex, pattern: str, cap: int) -> list:
     )
 
 
+def _regexp_expansion_rows(lex, pattern: str, cap: int) -> list:
+    """Lexicon expansion of a regexp leaf (Lucene RegexpQuery model:
+    the pattern must match the WHOLE term — anchored here, evaluated by
+    the JVM ``rlike``): the ``cap`` highest-df matching terms (df desc,
+    term asc — the deterministic maxClauseCount ordering every expansion
+    uses). Same cost shape as wildcards: one column-pruned
+    TakeOrderedAndProject lexicon scan, bounded by VOCABULARY size,
+    never corpus size; the permuterm/n-gram dictionary tier is the
+    100 TB path behind this same call."""
+    return (
+        lex.filter(F.col("term").rlike(f"^(?:{pattern})$"))
+        .select("term", "bucket", "df")
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(cap)
+        .collect()
+    )
+
+
 def _compile_query(spark, cat, query, max_expansions, lex_rows, normalize,
                    minimum_should_match: int = 0, synonyms: dict | None = None):
     """Shared front half of every boolean entry point: parse/validate,
@@ -333,8 +353,9 @@ def _compile_query(spark, cat, query, max_expansions, lex_rows, normalize,
     pres = prefixes(node)
     fzs = fuzzies(node)
     wcs = wildcards(node)
+    rxs = regexps(node)
     prefix_lex: list = []
-    if pres or fzs or wcs:
+    if pres or fzs or wcs or rxs:
         lex = cat.read(spark, "lexicon")
         if pres:
             expansions: dict = {}
@@ -363,6 +384,13 @@ def _compile_query(spark, cat, query, max_expansions, lex_rows, normalize,
                 wexp[pat] = [r["term"] for r in rows]
                 prefix_lex.extend(rows)
             node = expand_wildcards(node, wexp)
+        if rxs:
+            rexp: dict = {}
+            for pat in rxs:
+                rows = _regexp_expansion_rows(lex, pat, max_expansions)
+                rexp[pat] = [r["term"] for r in rows]
+                prefix_lex.extend(rows)
+            node = expand_regexps(node, rexp)
 
     qterms = all_terms(node)
     if not qterms:
@@ -764,8 +792,9 @@ def boolean_topk_batch(
     pres = sorted({p for n in nodes.values() for p in prefixes(n)})
     fzs = sorted({f for n in nodes.values() for f in fuzzies(n)})
     wcs = sorted({w for n in nodes.values() for w in wildcards(n)})
+    rxs = sorted({x for n in nodes.values() for x in regexps(n)})
     expansion_lex: list = []
-    if pres or fzs or wcs:
+    if pres or fzs or wcs or rxs:
         lex = cat.read(spark, "lexicon")
         pexp: dict = {}
         for pfx in pres:
@@ -788,6 +817,11 @@ def boolean_topk_batch(
             rows = _wildcard_expansion_rows(lex, pat, max_expansions)
             wexp[pat] = [r["term"] for r in rows]
             expansion_lex.extend(rows)
+        rexp: dict = {}
+        for pat in rxs:
+            rows = _regexp_expansion_rows(lex, pat, max_expansions)
+            rexp[pat] = [r["term"] for r in rows]
+            expansion_lex.extend(rows)
         for qid in nodes:
             n = nodes[qid]
             if pexp:
@@ -796,6 +830,8 @@ def boolean_topk_batch(
                 n = expand_fuzzies(n, fexp)
             if wexp:
                 n = expand_wildcards(n, wexp)
+            if rexp:
+                n = expand_regexps(n, rexp)
             nodes[qid] = n
 
     union_terms = sorted({t for n in nodes.values() for t in all_terms(n)})

@@ -124,6 +124,7 @@ _BARE_BOOST_RE = re.compile(r"^\^(\d+(?:\.\d+)?)$")
 _TOKEN_RE = re.compile(
     r'\s*(?:(?P<lpar>\()|(?P<rpar>\))|"(?P<quoted>[^"]*)"(?:~(?P<slop>\d+))?'
     r"(?:\^(?P<qboost>\d+(?:\.\d+)?))?"
+    r"|/(?P<regex>(?:\\.|[^/\\])+)/(?:\^(?P<rboost>\d+(?:\.\d+)?))?"
     r"|(?P<word>[^\s()\"]+))"
 )
 
@@ -151,6 +152,12 @@ def _lex(q: str) -> list[tuple]:
             out.append((
                 "quote", m.group("quoted"), int(slop) if slop else None,
                 float(qboost) if qboost else None,
+            ))
+        elif m.group("regex") is not None:
+            rboost = m.group("rboost")
+            out.append((
+                "regex", m.group("regex"),
+                float(rboost) if rboost else None,
             ))
         else:
             out.append(("word", m.group("word")))
@@ -189,6 +196,22 @@ def wildcard_regex(pattern: str) -> str:
         else:
             parts.append(re.escape(ch))
     return "^" + "".join(parts) + "$"
+
+
+def _regexp_atom(body: str):
+    """Build a ("regexp", pattern) leaf (Lucene RegexpQuery analog:
+    ``/pattern/`` matches WHOLE index terms — the engine anchors it).
+    The pattern must compile (checked with Python re, a strict subset
+    check for the Spark ``rlike``/Java evaluation engine-side; keep to
+    the Java-and-RE2 common subset — classes, alternation, repetition —
+    for oracle-parity with DuckDB regexp_matches). Index terms are
+    lowercase, so patterns should be too (kept verbatim — lowercasing a
+    regex would corrupt classes like [A-Z])."""
+    try:
+        re.compile(body)
+    except re.error as exc:
+        raise QueryParseError(f"bad regexp /{body}/: {exc}") from None
+    return ("regexp", body)
 
 
 class _Parser:
@@ -264,6 +287,8 @@ class _Parser:
             return node
         if t[0] == ")":
             raise QueryParseError("unexpected ')'")
+        if t[0] == "regex":
+            return self._wrap_boost(_regexp_atom(t[1]), t[2])
         if t[0] == "quote":
             seq = []
             for w in t[1].split():
@@ -402,7 +427,7 @@ def validate(node) -> None:
                     )
                 rec(c, "or")
         elif kind not in ("term", "phrase", "prefix", "wildcard",
-                          "fuzzy"):
+                          "fuzzy", "regexp"):
             raise QueryParseError(f"unknown node kind: {kind!r}")
 
     rec(node, "top")
@@ -540,6 +565,45 @@ def expand_wildcards(node, expansions: dict):
                 node[2])
     if kind in ("and", "or"):
         return (kind, [expand_wildcards(c, expansions) for c in node[1]])
+    return node
+
+
+def regexps(node) -> list[str]:
+    """Distinct regexp patterns in the tree (sorted)."""
+    out: set = set()
+
+    def rec(n):
+        if n[0] == "regexp":
+            out.add(n[1])
+        elif n[0] in ("not", "boost"):
+            rec(n[1])
+        elif n[0] in ("and", "or", "msm"):
+            for c in n[1]:
+                rec(c)
+
+    rec(node)
+    return sorted(out)
+
+
+def expand_regexps(node, expansions: dict):
+    """Replace regexp leaves with the OR of their lexicon expansion
+    terms (one clause, like prefix/fuzzy/wildcard groups). Unmatched
+    patterns become empty ORs (match nothing)."""
+    kind = node[0]
+    if kind == "regexp":
+        terms = expansions.get(node[1], [])
+        if len(terms) == 1:
+            return ("term", terms[0])
+        return ("or", [("term", t) for t in terms])
+    if kind == "not":
+        return ("not", expand_regexps(node[1], expansions))
+    if kind == "boost":
+        return ("boost", expand_regexps(node[1], expansions), node[2])
+    if kind == "msm":
+        return ("msm", [expand_regexps(c, expansions) for c in node[1]],
+                node[2])
+    if kind in ("and", "or"):
+        return (kind, [expand_regexps(c, expansions) for c in node[1]])
     return node
 
 

@@ -56,6 +56,8 @@ class Searcher:
         self._fuzzy: dict[tuple, list] = {}
         # (pattern, cap) -> [(term, bucket, df)] wildcard expansions
         self._wildcard: dict[tuple, list] = {}
+        # (pattern, cap) -> [(term, bucket, df)] regexp expansions
+        self._regexp: dict[tuple, list] = {}
         # tombstone set (sorted uint64) | None; loaded lazily per epoch
         self._deleted = None
         self._deleted_loaded = False
@@ -83,6 +85,7 @@ class Searcher:
             self._prefix.clear()
             self._fuzzy.clear()
             self._wildcard.clear()
+            self._regexp.clear()
             self._deleted = None
             self._deleted_loaded = False
             self._meta = meta
@@ -349,6 +352,21 @@ class Searcher:
                 self._terms[r["term"]] = (int(r["bucket"]), int(r["df"]))
         return self._wildcard[key]
 
+    def _regexp_rows(self, pattern: str, cap: int) -> list:
+        """Epoch-cached lexicon expansion of a ``/regexp/`` leaf
+        (boolquery._regexp_expansion_rows ordering: df desc, term asc).
+        First hit pays one column-pruned lexicon scan; repeats are free
+        until the index mutates."""
+        key = (pattern, cap)
+        if key not in self._regexp:
+            from mahout_spark.index.boolquery import _regexp_expansion_rows
+
+            lex = self.cat.read(self.spark, "lexicon")
+            self._regexp[key] = _regexp_expansion_rows(lex, pattern, cap)
+            for r in self._regexp[key]:
+                self._terms[r["term"]] = (int(r["bucket"]), int(r["df"]))
+        return self._regexp[key]
+
     def _expand_node(self, node, cap: int):
         """Prefix/fuzzy/wildcard lexicon expansion over the warm caches —
         shared by every query-string front-end."""
@@ -371,6 +389,12 @@ class Searcher:
             node = qp.expand_wildcards(node, {
                 pat: [r["term"] for r in self._wildcard_rows(pat, cap)]
                 for pat in wcs
+            })
+        rxs = qp.regexps(node)
+        if rxs:
+            node = qp.expand_regexps(node, {
+                pat: [r["term"] for r in self._regexp_rows(pat, cap)]
+                for pat in rxs
             })
         return node
 

@@ -203,6 +203,19 @@ class OracleIndex:
             )[:max_expansions]
             wexp[pat] = cands
         node = qp.expand_wildcards(node, wexp)
+        rexp = {}
+        for pat in qp.regexps(node):
+            # independent matcher: python re.fullmatch, not the engine's
+            # JVM rlike anchoring
+            import re as _re
+
+            rx = _re.compile(pat)
+            cands = sorted(
+                (t for t in self.df if rx.fullmatch(t)),
+                key=lambda t: (-self.df[t], t),
+            )[:max_expansions]
+            rexp[pat] = cands
+        node = qp.expand_regexps(node, rexp)
         score_terms = qp.positive_terms(node)
         weights = qp.term_weights(node)
 

@@ -909,3 +909,66 @@ def test_filter_context_empty_and_composes_with_after(spark, pos_built):
                                after=(page1[-1][1], page1[-1][0])))
     deep = _rows(boolean_topk(spark, pos_built, q, k=6, filter_ids=flt))
     assert page1 + page2 == deep
+
+
+# -- regexp leaves (X62) -------------------------------------------------------
+
+
+def test_parse_regexp():
+    assert qp.parse("/sc.n/") == ("regexp", "sc.n")
+    assert qp.parse("/ab+/^2 AND data") == (
+        "and", [("boost", ("regexp", "ab+"), 2.0), ("term", "data")]
+    )
+    assert qp.parse("/t[a-z]*le/ OR merge") == (
+        "or", [("regexp", "t[a-z]*le"), ("term", "merge")]
+    )
+    assert qp.regexps(qp.parse("x OR /ab+c/ NOT /d.f/")) == ["ab+c", "d.f"]
+    n = qp.parse("/sc.n/ AND data")
+    e = qp.expand_regexps(n, {"sc.n": ["scan", "scen"]})
+    assert e[1][0] == ("or", [("term", "scan"), ("term", "scen")])
+    assert qp.expand_regexps(n, {})[1][0] == ("or", [])
+    with pytest.raises(qp.QueryParseError):
+        qp.parse("/[bad/")
+    with pytest.raises(qp.QueryParseError):
+        qp.parse("//")
+
+
+@pytest.mark.parametrize("q", [
+    "/t[a-z]*le/ OR data",
+    "/sc.n|m.rge/ AND data",
+    "data AND NOT /s(?:c|p)an/",
+    "/ta.le/^3 OR merge",
+])
+def test_boolean_regexp_matches_oracle(spark, pos_built, oracle, q):
+    got = _rows(boolean_topk(spark, pos_built, q, k=10))
+    want = oracle.boolean_search(q, k=10)
+    assert [g[0] for g in got] == [w[0] for w in want], q
+    for g, w in zip(got, want):
+        assert g[1] == pytest.approx(w[1], abs=1e-9)
+
+
+def test_regexp_equals_explicit_or(spark, pos_built):
+    """A regexp leaf must rank exactly like the explicit OR of its
+    expansion terms (plain BM25, capped df desc / term asc)."""
+    from mahout_spark.index.boolquery import _regexp_expansion_rows
+
+    lex = pos_built.read(spark, "lexicon")
+    terms = [r["term"] for r in _regexp_expansion_rows(lex, ".*an.*", 64)]
+    assert terms, "expansion should be non-empty on this corpus"
+    explicit = "(" + " OR ".join(terms) + ")"
+    assert _rows(boolean_topk(spark, pos_built, "/.*an.*/", k=10)) == \
+        _rows(boolean_topk(spark, pos_built, explicit, k=10))
+
+
+def test_searcher_and_batch_support_regexp(spark, pos_built):
+    from mahout_spark.index.boolquery import boolean_topk_batch
+    from mahout_spark.index.searcher import Searcher
+
+    q = "/t[a-z]*le/ OR data"
+    direct = _rows(boolean_topk(spark, pos_built, q, k=10))
+    s = Searcher(spark, pos_built)
+    assert _rows(s.query(q, k=10)) == direct
+    assert _rows(s.query(q, k=10)) == direct  # warm-cache repeat
+    batch = boolean_topk_batch(spark, pos_built, {"r": q}, k=10).collect()
+    assert [(r["doc_id"], r["score"]) for r in
+            sorted(batch, key=lambda r: r["rank"])] == direct
