@@ -1141,6 +1141,84 @@ def q_embedding_neardup(spark, sf_dir):
     )
 
 
+RESCORE_WINDOW = 50
+RESCORE_W = 0.5
+RRF_DEPTH = 50
+RRF_K = 60
+
+
+def q_engine_rescore_search(spark, sf_dir):
+    """Two-phase rescoring (X63, the ES rescore model): BM25 top-window
+    re-ranked by query_weight*bm25 + rescore_weight*cosine(vec_id=0
+    query vector). Oracle recomputes the UNROUNDED BM25 window relation,
+    DuckDB's own list-op cosine (rounded to 6, as the engine rounds),
+    and the same linear combination."""
+    import shutil
+    import tempfile
+
+    from mahout_spark.index.build import build_index
+    from mahout_spark.index.hybrid import rescore_topk
+
+    docs = _load(spark, sf_dir, "documents")
+    emb = _load(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    out = tempfile.mkdtemp(prefix="msdrv_rsc_")
+    try:
+        cat = build_index(
+            spark, docs, out_dir=out, content_col="text",
+            id_cols=["doc_id"], mode="simple", resume=False,
+        )
+        result = rescore_topk(
+            spark, cat, " OR ".join(BM25_QUERY_TERMS), emb, qvec,
+            k=10, window=RESCORE_WINDOW,
+            query_weight=1.0, rescore_weight=RESCORE_W,
+        ).select(
+            "doc_id", "score",
+            F.round("bm25", 6).alias("bm25"), "cosine",
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def q_engine_hybrid_search(spark, sf_dir):
+    """Reciprocal-rank fusion (X64): BM25 top-depth fused with cosine
+    top-depth via sum(1/(rrf_k+rank)). Oracle recomputes both rankings
+    independently (ROW_NUMBER over the unrounded BM25 relation and the
+    rounded cosine relation) and the same RRF sum over a FULL OUTER
+    join."""
+    import shutil
+    import tempfile
+
+    from mahout_spark.index.build import build_index
+    from mahout_spark.index.hybrid import hybrid_topk
+
+    docs = _load(spark, sf_dir, "documents")
+    emb = _load(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    out = tempfile.mkdtemp(prefix="msdrv_hyb_")
+    try:
+        cat = build_index(
+            spark, docs, out_dir=out, content_col="text",
+            id_cols=["doc_id"], mode="simple", resume=False,
+        )
+        result = hybrid_topk(
+            spark, cat, " OR ".join(BM25_QUERY_TERMS), emb, qvec,
+            k=10, depth=RRF_DEPTH, rrf_k=RRF_K,
+        ).select(
+            "doc_id", "score",
+            F.col("lex_rank").cast("long").alias("lex_rank"),
+            F.col("vec_rank").cast("long").alias("vec_rank"),
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def q_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-10 to the vec_id=0 query vector."""
     from mahout_spark.operators.similarity import brute_force_cosine_topk
@@ -1546,6 +1624,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_boost_search": q_engine_boost_search,
         "engine_wildcard_search": q_engine_wildcard_search,
         "engine_regexp_search": q_engine_regexp_search,
+        "engine_rescore_search": q_engine_rescore_search,
+        "engine_hybrid_search": q_engine_hybrid_search,
         "engine_explain": q_engine_explain,
         "engine_synonym_search": q_engine_synonym_search,
         "engine_collapse_search": q_engine_collapse_search,
@@ -1767,6 +1847,75 @@ def _pipeline_sql() -> dict[str, str]:
                round({dot} / (a.nrm * b.nrm), 6) AS cosine
         FROM n a JOIN n b ON a.vec_id < b.vec_id
         WHERE round({dot} / (a.nrm * b.nrm), 6) >= {EMB_NEARDUP_THRESHOLD}
+        """,
+        # rescore oracle: UNROUNDED bm25 window relation + DuckDB's own
+        # list-op cosine (rounded 6, as the engine rounds) + the same
+        # linear combination — two-phase retrieval recomputed end-to-end
+        "engine_rescore_search": _TOK_CTE + f"""
+        , contrib AS (
+            SELECT tf.doc_id, {_BM25_CONTRIB} AS c
+            FROM tf
+            JOIN dfreq USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN scal
+            WHERE tf.term IN {_TERMS_IN}
+        ), aggr AS (
+            SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id
+        ), base AS (
+            SELECT doc_id, score FROM aggr
+            ORDER BY score DESC, doc_id ASC LIMIT {RESCORE_WINDOW}
+        ), q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+        cosd AS (
+            SELECT e.vec_id AS doc_id,
+                   round({qdot} / ({nrm.replace('embedding', 'e.embedding')}
+                       * (SELECT {nrm} FROM q)), 6) AS cos
+            FROM embeddings e CROSS JOIN q
+            JOIN base b ON e.vec_id = b.doc_id
+        )
+        SELECT b.doc_id,
+               round(1.0 * b.score + {RESCORE_W} * coalesce(c.cos, 0), 6)
+                   AS score,
+               round(b.score, 6) AS bm25,
+               coalesce(c.cos, 0.0) AS cosine
+        FROM base b LEFT JOIN cosd c USING (doc_id)
+        ORDER BY score DESC, b.doc_id ASC LIMIT 10
+        """,
+        # RRF oracle: both rankings recomputed independently, fused with
+        # the same 1/(k+rank) sum over a FULL OUTER join
+        "engine_hybrid_search": _TOK_CTE + f"""
+        , contrib AS (
+            SELECT tf.doc_id, {_BM25_CONTRIB} AS c
+            FROM tf
+            JOIN dfreq USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN scal
+            WHERE tf.term IN {_TERMS_IN}
+        ), aggr AS (
+            SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id
+        ), lexr AS (
+            SELECT doc_id, ROW_NUMBER() OVER (
+                ORDER BY score DESC, doc_id ASC) AS lex_rank
+            FROM (SELECT doc_id, score FROM aggr
+                  ORDER BY score DESC, doc_id ASC LIMIT {RRF_DEPTH})
+        ), q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+        cosall AS (
+            SELECT e.vec_id AS doc_id,
+                   round({qdot} / ({nrm.replace('embedding', 'e.embedding')}
+                       * (SELECT {nrm} FROM q)), 6) AS cos
+            FROM embeddings e CROSS JOIN q
+        ), vecr AS (
+            SELECT doc_id, ROW_NUMBER() OVER (
+                ORDER BY cos DESC, doc_id ASC) AS vec_rank
+            FROM (SELECT doc_id, cos FROM cosall
+                  ORDER BY cos DESC, doc_id ASC LIMIT {RRF_DEPTH})
+        )
+        SELECT doc_id,
+               round(coalesce(1.0 / ({RRF_K} + lex_rank), 0)
+                   + coalesce(1.0 / ({RRF_K} + vec_rank), 0), 6) AS score,
+               CAST(lex_rank AS BIGINT) AS lex_rank,
+               CAST(vec_rank AS BIGINT) AS vec_rank
+        FROM lexr FULL OUTER JOIN vecr USING (doc_id)
+        ORDER BY score DESC, doc_id ASC LIMIT 10
         """,
         "cosine_topk": f"""
         WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
