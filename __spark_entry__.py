@@ -1141,6 +1141,59 @@ def q_embedding_neardup(spark, sf_dir):
     )
 
 
+def q_engine_significant_terms(spark, sf_dir):
+    """Significant-terms aggregation (X65, ES significant_terms / JLH):
+    terms over-represented in the 'table AND data' match set vs the
+    corpus. Oracle recomputes foreground df from the match set, background
+    df from the token stream, and the same JLH formula."""
+    import shutil
+    import tempfile
+
+    from mahout_spark.index.aggs import significant_terms
+    from mahout_spark.index.build import build_index
+
+    docs = _load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="msdrv_sig_")
+    try:
+        cat = build_index(
+            spark, docs, out_dir=out, content_col="text",
+            id_cols=["doc_id"], mode="simple", resume=False,
+        )
+        result = significant_terms(
+            spark, cat, "table AND data", n=10
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def q_engine_facet_histogram(spark, sf_dir):
+    """Numeric histogram facet (X66, ES histogram agg): n_chars in
+    width-200 buckets over the 'table OR data' match set. Oracle:
+    the same bucket arithmetic over the SQL match set."""
+    import shutil
+    import tempfile
+
+    from mahout_spark.index.aggs import facet_histogram
+    from mahout_spark.index.build import build_index
+
+    docs = _load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="msdrv_fh_")
+    try:
+        cat = build_index(
+            spark, docs, out_dir=out, content_col="text",
+            id_cols=["doc_id"], mode="simple", resume=False,
+        )
+        result = facet_histogram(
+            spark, cat, docs, "table OR data", "n_chars", 200
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 RESCORE_WINDOW = 50
 RESCORE_W = 0.5
 RRF_DEPTH = 50
@@ -1625,6 +1678,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_wildcard_search": q_engine_wildcard_search,
         "engine_regexp_search": q_engine_regexp_search,
         "engine_rescore_search": q_engine_rescore_search,
+        "engine_significant_terms": q_engine_significant_terms,
+        "engine_facet_histogram": q_engine_facet_histogram,
         "engine_hybrid_search": q_engine_hybrid_search,
         "engine_explain": q_engine_explain,
         "engine_synonym_search": q_engine_synonym_search,
@@ -1847,6 +1902,39 @@ def _pipeline_sql() -> dict[str, str]:
                round({dot} / (a.nrm * b.nrm), 6) AS cosine
         FROM n a JOIN n b ON a.vec_id < b.vec_id
         WHERE round({dot} / (a.nrm * b.nrm), 6) >= {EMB_NEARDUP_THRESHOLD}
+        """,
+        # significant-terms oracle: fg df over the SQL match set, bg df
+        # from the token stream, same JLH formula and rounding
+        "engine_significant_terms": _TOK_CTE + """
+        , matched AS (
+            SELECT doc_id FROM tf WHERE term = 'table'
+            INTERSECT
+            SELECT doc_id FROM tf WHERE term = 'data'
+        ), fg AS (
+            SELECT term, count(*) AS fg_df
+            FROM tf JOIN matched USING (doc_id) GROUP BY term
+        ), s2 AS (
+            SELECT (SELECT count(*) FROM matched) AS n_m,
+                   (SELECT count(*) FROM documents) AS n
+        )
+        SELECT f.term, f.fg_df, d.df AS bg_df,
+               round(((f.fg_df / n_m) - (d.df / n))
+                   * ((f.fg_df / n_m) / (d.df / n)), 6) AS score
+        FROM fg f JOIN dfreq d USING (term) CROSS JOIN s2
+        ORDER BY score DESC, f.term ASC LIMIT 10
+        """,
+        # histogram-facet oracle: same floor(x/width)*width buckets over
+        # the SQL match set
+        "engine_facet_histogram": _TOK_CTE + """
+        , matched AS (
+            SELECT DISTINCT doc_id FROM tf
+            WHERE term IN ('table', 'data')
+        )
+        SELECT floor(d.n_chars / 200.0) * 200.0 AS bucket,
+               count(*) AS n_docs
+        FROM documents d JOIN matched USING (doc_id)
+        WHERE d.n_chars IS NOT NULL
+        GROUP BY 1 ORDER BY bucket
         """,
         # rescore oracle: UNROUNDED bm25 window relation + DuckDB's own
         # list-op cosine (rounded 6, as the engine rounds) + the same

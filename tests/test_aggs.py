@@ -1,0 +1,108 @@
+"""Search-time aggregations (X65 significant_terms / X66 histogram
+facets) vs pure-python recomputation over the same corpus."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def built(spark, docs_df, tmp_path_factory):
+    from mahout_spark.index.build import build_index
+
+    return build_index(
+        spark, docs_df.select("doc_id", "text"),
+        str(tmp_path_factory.mktemp("aggidx")),
+        content_col="text", id_cols=["doc_id"], mode="simple",
+        n_buckets=4, docs_per_shard=64, block_size=16,
+    )
+
+
+@pytest.fixture(scope="module")
+def token_sets(docs_df):
+    rows = docs_df.select("doc_id", "text").collect()
+    out = {}
+    for r in rows:
+        toks = [t for t in re.split(r"[^a-z0-9]+", (r["text"] or "").lower())
+                if t]
+        out[r["doc_id"]] = set(toks)
+    return out
+
+
+def _manual_significant(token_sets, matched, n=10, exclude=()):
+    n_docs, n_m = len(token_sets), len(matched)
+    fg = Counter()
+    for d in matched:
+        fg.update(token_sets[d])
+    bg = Counter()
+    for s in token_sets.values():
+        bg.update(s)
+    rows = []
+    for t, f in fg.items():
+        if t in exclude:
+            continue
+        fr, br = f / n_m, bg[t] / n_docs
+        rows.append((t, f, bg[t], round((fr - br) * (fr / br), 6)))
+    rows.sort(key=lambda e: (-e[3], e[0]))
+    return rows[:n]
+
+
+def test_significant_terms_matches_manual(spark, built, token_sets):
+    from mahout_spark.index.aggs import significant_terms
+
+    matched = [d for d, s in token_sets.items()
+               if "table" in s and "data" in s]
+    assert matched
+    want = _manual_significant(token_sets, matched, n=10)
+    got = [(r["term"], r["fg_df"], r["bg_df"], r["score"])
+           for r in significant_terms(spark, built, "table AND data",
+                                      n=10).collect()]
+    assert got == want
+
+
+def test_significant_terms_excludes_query_terms(spark, built, token_sets):
+    from mahout_spark.index.aggs import significant_terms
+
+    matched = [d for d, s in token_sets.items()
+               if "table" in s and "data" in s]
+    want = _manual_significant(token_sets, matched, n=10,
+                               exclude={"table", "data"})
+    got = [(r["term"], r["fg_df"], r["bg_df"], r["score"])
+           for r in significant_terms(
+               spark, built, "table AND data", n=10,
+               exclude_query_terms=True).collect()]
+    assert got == want
+    assert all(t not in ("table", "data") for t, _, _, _ in got)
+
+
+def test_significant_terms_empty_match(spark, built):
+    from mahout_spark.index.aggs import significant_terms
+
+    assert significant_terms(spark, built, "zzzqqq").count() == 0
+
+
+def test_facet_histogram_matches_manual(spark, built, docs_df, token_sets):
+    from mahout_spark.index.aggs import facet_histogram
+
+    matched = {d for d, s in token_sets.items()
+               if "table" in s or "data" in s}
+    chars = {r["doc_id"]: r["n_chars"] for r in
+             docs_df.select("doc_id", "n_chars").collect()}
+    want = Counter(
+        (chars[d] // 200) * 200.0 for d in matched if chars[d] is not None
+    )
+    got = {r["bucket"]: r["n_docs"] for r in facet_histogram(
+        spark, built, docs_df, "table OR data", "n_chars", 200,
+    ).collect()}
+    assert got == dict(want)
+    with pytest.raises(ValueError, match="width"):
+        facet_histogram(spark, built, docs_df, "table", "n_chars", 0)
