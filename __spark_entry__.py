@@ -648,6 +648,48 @@ def q_engine_federated_search(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+FED_BOOL_QUERY = "mer* OR data NOT stream"
+
+
+def q_engine_federated_boolean(spark, sf_dir):
+    """Federated boolean search (X67): the full query language across a
+    parity-split two-index fleet — prefix expansion merged on GLOBAL df,
+    kernels run under global stats, so the result is identical to the
+    union index's boolean_topk. Oracle: the union-relation SQL set-op
+    tree (expansion via LIKE over the global df table, honoring the
+    parser's precedence: mer* OR (data AND NOT stream)) plus the
+    parity owner column."""
+    import shutil
+    import tempfile
+
+    from mahout_spark.index.build import build_index
+    from mahout_spark.index.federated import federated_boolean_topk
+
+    docs = _load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="msdrv_fbq_")
+    try:
+        cats = {}
+        for name, pred in (
+            ("even", F.col("doc_id") % 2 == 0),
+            ("odd", F.col("doc_id") % 2 == 1),
+        ):
+            cats[name] = build_index(
+                spark, docs.filter(pred), out_dir=f"{out}/{name}",
+                content_col="text", id_cols=["doc_id"], mode="simple",
+                resume=False,
+            )
+        result = federated_boolean_topk(
+            spark, cats, FED_BOOL_QUERY, k=10
+        ).select(
+            F.col("index").alias("src"), "doc_id",
+            F.round("score", 6).alias("score"),
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 SUGGEST_WORD = "hat"
 
 
@@ -1666,6 +1708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_indexed_bm25": q_engine_indexed_bm25,
         "engine_indexed_bm25_simple": q_engine_indexed_bm25_simple,
         "engine_federated_search": q_engine_federated_search,
+        "engine_federated_boolean": q_engine_federated_boolean,
         "engine_filtered_search": q_engine_filtered_search,
         "engine_delete_search": q_engine_delete_search,
         "engine_delete_purge_search": q_engine_delete_purge_search,
@@ -2252,6 +2295,35 @@ def _base_oracle_sql() -> dict[str, str]:
         """,
         # identical oracle text: the indexed engine must reproduce the
         # naive scorer's answer exactly (build->encode->prune->WAND)
+        # federated boolean oracle: fed ≡ union index, so the relation is
+        # the union set-op tree — mer* OR (data AND NOT stream), prefix
+        # expanded over the GLOBAL df table — plus the parity owner
+        "engine_federated_boolean": _TOK_CTE + f"""
+        , px AS (
+            SELECT DISTINCT term FROM dfreq WHERE term LIKE 'mer%'
+        ), matched AS (
+            SELECT DISTINCT doc_id FROM tf
+            WHERE term IN (SELECT term FROM px)
+            UNION
+            (SELECT doc_id FROM tf WHERE term = 'data'
+             EXCEPT
+             SELECT doc_id FROM tf WHERE term = 'stream')
+        ), contrib AS (
+            SELECT tf.doc_id, {_BM25_CONTRIB} AS c
+            FROM tf
+            JOIN dfreq USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN scal
+            WHERE tf.term IN (SELECT term FROM px) OR tf.term = 'data'
+        ), agg AS (
+            SELECT doc_id, round(sum(c), 6) AS score
+            FROM contrib JOIN matched USING (doc_id)
+            GROUP BY doc_id
+        )
+        SELECT CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END AS src,
+               doc_id, score FROM agg
+        ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
         # filter-context oracle: same BM25 relation, doc set restricted
         # by the metadata predicate via a join to the documents table
         "engine_filtered_search": _BM25_BASE + """

@@ -235,6 +235,44 @@ def main() -> None:
         timed("indexed_phrase_topk_cached", lambda: psearcher.phrase_topk_rows(
             ["table", "scan"], k=10
         ))
+
+        # batched boolean retrieval (X58): 20 full-language queries
+        # answered from one shared per-shard decode
+        from mahout_spark.index.boolquery import boolean_topk_batch
+
+        bvocab = ["table", "scan", "data", "merge", "stream", "query",
+                  "filter", "group", "join", "sort"]
+        bqueries = {
+            f"b{i}": f"{bvocab[i % 10]} OR {bvocab[(i + 3) % 10]} "
+                     f"AND {bvocab[(i + 5) % 10]}"
+            for i in range(20)
+        }
+        timed("indexed_boolean_batch20", lambda: boolean_topk_batch(
+            spark, pcat, bqueries, k=10
+        ).collect())
+
+        # search-time aggregations (X65) over the full match set
+        from mahout_spark.index.aggs import significant_terms
+
+        timed("indexed_significant_terms", lambda: significant_terms(
+            spark, pcat, "table AND data", n=10
+        ).collect())
+
+        # hybrid lexical+vector retrieval (X63/X64) — embedding table
+        # scanned once per query with the window broadcast into it
+        from mahout_spark.index.hybrid import hybrid_topk, rescore_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qvec = [float(x) for x in
+                emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        timed("indexed_rescore_topk", lambda: rescore_topk(
+            spark, pcat, "table OR data OR merge", emb, qvec,
+            k=10, window=50, rescore_weight=0.5,
+        ).collect())
+        timed("indexed_hybrid_rrf", lambda: hybrid_topk(
+            spark, pcat, "table OR data OR merge", emb, qvec,
+            k=10, depth=50,
+        ).collect())
     except Exception as exc:
         errors["positional_path"] = f"{type(exc).__name__}: {exc}"[:200]
 

@@ -212,6 +212,215 @@ def federated_topk(
     ).limit(k)
 
 
+def federated_boolean_topk(
+    spark: SparkSession,
+    cats,
+    query,
+    k: int = 10,
+    max_expansions: int | None = None,
+    normalize=None,
+    synonyms: dict | None = None,
+    synonym_blend: bool = False,
+    minimum_should_match: int = 0,
+    merge: str = "spark",
+) -> DataFrame:
+    """The FULL boolean query language (AND/OR/NOT, phrases, prefixes,
+    fuzzy, wildcards, regexps, boosts, mm, synonyms) across a catalog
+    fleet under global statistics: (index, doc_id, score), rank- and
+    score-identical to ``boolean_topk`` on the union index (test-gated
+    across every leaf kind).
+
+    Two federation-specific behaviors worth naming:
+
+    * **Expansions merge globally.** A prefix/fuzzy/wildcard/regexp leaf
+      collects candidates per index (each index's local top-cap), sums
+      df across indexes, and re-ranks under the ONE global cap with the
+      single-index ordering (fuzzy: distance asc, global df desc, term
+      asc; others: global df desc, term asc) — so the expanded term set
+      is the union index's whenever each index's candidate list is
+      exhaustive under the cap (always true until a single index has >
+      cap matching terms; past that, the per-index cap is the standard
+      distributed approximation — ES cross-cluster search doesn't merge
+      expansion statistics at all).
+    * **Synonym blending blends GLOBAL dfs** (group-max over summed
+      dfs), matching what the union index would compute.
+
+    Phrase leaves require every queried index positional. Per-index
+    tombstones are honored. One Spark job: per-index branches union
+    before the global cut, exactly like federated_topk."""
+    from mahout_spark.index import queryparse as qp
+    from mahout_spark.index.boolquery import (
+        MAX_EXPANSIONS,
+        _blended_idf,
+        _fuzzy_expansion_rows,
+        _make_boolean_kernel,
+        _regexp_expansion_rows,
+        _wildcard_expansion_rows,
+    )
+    from mahout_spark.index.delete import deleted_array
+
+    cap = MAX_EXPANSIONS if max_expansions is None else max_expansions
+    cats = _as_named(cats)
+    if not cats:
+        raise ValueError("federated_boolean_topk needs at least one index")
+    metas = {nm: c.read_meta("postings") for nm, c in cats.items()}
+    _check_compatible(metas)
+    first = metas[sorted(metas)[0]]
+    k1, b = first["k1"], first["b"]
+    norm = qp._simple_normalize if normalize is None else normalize
+
+    if isinstance(query, str):
+        node = qp.parse(query) if normalize is None else qp.parse(
+            query, normalize)
+    else:
+        qp.validate(query)
+        node = query
+    if synonyms:
+        node = qp.expand_synonyms(node, synonyms, norm)
+    if minimum_should_match:
+        node = qp.with_minimum_should_match(node, minimum_should_match)
+    if qp.has_phrase(node):
+        lacking = sorted(
+            nm for nm, m in metas.items() if not m.get("positional")
+        )
+        if lacking:
+            raise ValueError(
+                f"phrase/slop leaves need positional indexes; built "
+                f"without positions=True: {lacking}"
+            )
+
+    # -- expansions: per-index candidates -> global df merge -> one cap --
+    pres = qp.prefixes(node)
+    fzs = qp.fuzzies(node)
+    wcs = qp.wildcards(node)
+    rxs = qp.regexps(node)
+    if pres or fzs or wcs or rxs:
+        # candidates[kind_key][term] = [global_df, min_dist]
+        cand: dict = {}
+
+        def feed(key, rows):
+            slot = cand.setdefault(key, {})
+            for r in rows:
+                ent = slot.setdefault(r["term"], [0, None])
+                ent[0] += int(r["df"])
+                d = r["dist"] if "dist" in r.__fields__ else None
+                if d is not None:
+                    ent[1] = d if ent[1] is None else min(ent[1], d)
+
+        for nm in sorted(cats):
+            lex = cats[nm].read(spark, "lexicon")
+            for p in pres:
+                feed(("p", p), (
+                    lex.filter(F.col("term").startswith(p))
+                    .select("term", "bucket", "df")
+                    .orderBy(F.col("df").desc(), F.col("term").asc())
+                    .limit(cap).collect()
+                ))
+            for stem, ne in fzs:
+                feed(("f", stem, ne),
+                     _fuzzy_expansion_rows(lex, stem, ne, cap))
+            for pat in wcs:
+                feed(("w", pat), _wildcard_expansion_rows(lex, pat, cap))
+            for pat in rxs:
+                feed(("r", pat), _regexp_expansion_rows(lex, pat, cap))
+
+        def ranked(key, with_dist=False):
+            slot = cand.get(key, {})
+            if with_dist:
+                order = sorted(
+                    slot.items(), key=lambda e: (e[1][1], -e[1][0], e[0])
+                )
+            else:
+                order = sorted(
+                    slot.items(), key=lambda e: (-e[1][0], e[0])
+                )
+            return [t for t, _ in order[:cap]]
+
+        if pres:
+            node = qp.expand_prefixes(
+                node, {p: ranked(("p", p)) for p in pres})
+        if fzs:
+            node = qp.expand_fuzzies(
+                node, {(s, n): ranked(("f", s, n), with_dist=True)
+                       for s, n in fzs})
+        if wcs:
+            node = qp.expand_wildcards(
+                node, {p: ranked(("w", p)) for p in wcs})
+        if rxs:
+            node = qp.expand_regexps(
+                node, {p: ranked(("r", p)) for p in rxs})
+
+    # -- global stats + idf table over the EXPANDED tree ------------------
+    qterms = qp.all_terms(node)
+    out_schema = "index string, doc_id long, score double"
+    empty = spark.createDataFrame([], out_schema)
+    if not qterms:
+        return empty
+    n_docs, avgdl, df_global, lex_by_cat = global_stats(spark, cats, qterms)
+    score_terms_all = [t for t in qp.positive_terms(node) if t in df_global]
+    if not score_terms_all:
+        return empty
+    if synonyms and synonym_blend:
+        idf_by_term = _blended_idf(
+            {t: {"df": df} for t, df in df_global.items()},
+            qp.synonym_groups(synonyms, norm), n_docs,
+        )
+    else:
+        idf_by_term = {
+            t: float(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
+            for t, df in df_global.items()
+        }
+    weights = qp.term_weights(node)
+    if weights:
+        idf_by_term = {
+            t: v * weights.get(t, 1.0) for t, v in idf_by_term.items()
+        }
+
+    # -- per-index kernel branches, one union, one cut ---------------------
+    branches = []
+    for name in sorted(cats):
+        cat, meta = cats[name], metas[name]
+        rows = lex_by_cat[name]
+        if not rows:
+            continue
+        present = {r["term"] for r in rows}
+        score_terms = [t for t in score_terms_all if t in present]
+        if not score_terms:
+            continue  # no positive query term lives here -> nothing scores
+        deleted = None
+        if int(meta.get("deletes", 0)):
+            deleted = deleted_array(spark, cat, meta)
+        positional = bool(meta.get("positional"))
+        buckets = sorted({r["bucket"] for r in rows})
+        blocks = cat.read_partitions(
+            spark, "postings", "bucket", buckets
+        ).filter(F.col("term").isin(sorted(present)))
+        kernel = _make_boolean_kernel(
+            node, score_terms,
+            {t: idf_by_term[t] for t in present},
+            k1, b, avgdl, k, int(meta["docs_per_shard"]), positional,
+            deleted=deleted,
+        )
+        branches.append(
+            blocks.groupBy("shard")
+            .applyInPandas(kernel, "doc_id long, score double")
+            .select(F.lit(name).alias("index"), "doc_id", "score")
+        )
+    if not branches:
+        return empty
+    per_shard = branches[0]
+    for br in branches[1:]:
+        per_shard = per_shard.unionAll(br)
+    if merge == "driver":
+        rows = sorted(
+            per_shard.collect(), key=lambda r: (-r["score"], r["doc_id"])
+        )[:k]
+        return spark.createDataFrame(rows, out_schema)
+    return per_shard.orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    ).limit(k)
+
+
 _LAYOUT_KEYS = _SCORING_KEYS + ("positional", "block_size", "lang_col")
 
 

@@ -278,3 +278,112 @@ class TestMergeIndexes:
                 spark, {"a": cats["p0"], "b": cats["p0"]},
                 str(tmp_path_factory.mktemp("fed_merge_dup")),
             )
+
+
+# -- federated boolean query language (X67) ------------------------------------
+
+
+@pytest.fixture(scope="module")
+def bool_fleet(spark, tmp_path_factory):
+    """Two positional simple-mode part indexes + the union index, over
+    the sf0.001 corpus (small enough that every leaf kind exercises in
+    seconds)."""
+    from mahout_spark.index.build import build_index
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+
+    def build(df, name):
+        return build_index(
+            spark, df, str(tmp_path_factory.mktemp(name)),
+            content_col="text", id_cols=["doc_id"], mode="simple",
+            n_buckets=4, docs_per_shard=64, block_size=16,
+            positions=True,
+        )
+
+    cats = {
+        "lo": build(docs.filter(F.col("doc_id") < 200), "fb_lo"),
+        "hi": build(docs.filter(F.col("doc_id") >= 200), "fb_hi"),
+    }
+    return cats, build(docs, "fb_union")
+
+
+BOOL_FED_QUERIES = [
+    "table AND data",
+    "table OR scan NOT stream",
+    "mer* OR data",
+    "slot~2 AND data",
+    "/t[a-z]*le/ OR merge",
+    "*can* OR data",
+    '"table scan" OR data',
+    "table^3 OR merge OR scan",
+]
+
+
+class TestFederatedBoolean:
+    def test_equals_union_index_across_leaf_kinds(self, spark, bool_fleet):
+        from mahout_spark.index.boolquery import boolean_topk
+        from mahout_spark.index.federated import federated_boolean_topk
+
+        cats, union = bool_fleet
+        for q in BOOL_FED_QUERIES:
+            got = [(r["doc_id"], r["score"]) for r in federated_boolean_topk(
+                spark, cats, q, k=10).collect()]
+            want = [(r["doc_id"], r["score"]) for r in boolean_topk(
+                spark, union, q, k=10).collect()]
+            assert got == want, q
+
+    def test_msm_and_blended_synonyms(self, spark, bool_fleet):
+        from mahout_spark.index.boolquery import boolean_topk
+        from mahout_spark.index.federated import federated_boolean_topk
+
+        cats, union = bool_fleet
+        kw = dict(synonyms={"join": ["merge"]}, synonym_blend=True)
+        for q, extra in [
+            ("table OR scan OR merge OR data", {"minimum_should_match": 2}),
+            ("join AND data", kw),
+        ]:
+            got = [(r["doc_id"], r["score"]) for r in federated_boolean_topk(
+                spark, cats, q, k=10, **extra).collect()]
+            want = [(r["doc_id"], r["score"]) for r in boolean_topk(
+                spark, union, q, k=10, **extra).collect()]
+            assert got == want, q
+
+    def test_driver_merge_and_owner_column(self, spark, bool_fleet):
+        from mahout_spark.index.federated import federated_boolean_topk
+
+        cats, _ = bool_fleet
+        rows = federated_boolean_topk(
+            spark, cats, "table OR data", k=10, merge="driver"
+        ).collect()
+        assert rows
+        dist = federated_boolean_topk(
+            spark, cats, "table OR data", k=10
+        ).collect()
+        assert [(r["index"], r["doc_id"], r["score"]) for r in rows] == \
+            [(r["index"], r["doc_id"], r["score"]) for r in dist]
+        for r in rows:
+            assert r["index"] == ("lo" if r["doc_id"] < 200 else "hi")
+
+    def test_phrase_requires_all_positional(self, spark, bool_fleet,
+                                            tmp_path_factory):
+        from mahout_spark.index.build import build_index
+        from mahout_spark.index.federated import federated_boolean_topk
+
+        bcats, _ = bool_fleet
+        docs = (
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text").filter(F.col("doc_id") >= 400)
+        )
+        nopos = build_index(
+            spark, docs, str(tmp_path_factory.mktemp("fb_nopos")),
+            content_col="text", id_cols=["doc_id"], mode="simple",
+            n_buckets=4, docs_per_shard=64, block_size=16,
+        )
+        with pytest.raises(ValueError, match="positions=True"):
+            federated_boolean_topk(
+                spark, {"a": bcats["lo"], "b": nopos},
+                '"table scan" OR data', k=5,
+            )
