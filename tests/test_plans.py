@@ -208,3 +208,82 @@ class TestIndexPlans:
         assert "Window" in p
         assert "hashpartitioning(lang" in p
         assert "SinglePartition" not in p
+
+
+class TestFederatedHybridPlans:
+    """Plan gates for the round-3 federation/hybrid/aggregation family:
+    per-index branches stay bucket-pruned and union into one cut, the
+    corpus-sized embedding scan joins via BROADCAST (never a shuffle of
+    the embedding table), and significant_terms reads only the columns
+    its aggregation needs."""
+
+    @pytest.fixture(scope="class")
+    def two_cats(self, spark, tmp_path_factory):
+        from pyspark.sql import functions as F
+
+        from mahout_spark.index.build import build_index
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        return {
+            "a": build_index(
+                spark, docs.filter(F.col("doc_id") < 250),
+                str(tmp_path_factory.mktemp("fedplan_a")),
+                content_col="text", mode="simple", n_buckets=4,
+                resume=False,
+            ),
+            "b": build_index(
+                spark, docs.filter(F.col("doc_id") >= 250),
+                str(tmp_path_factory.mktemp("fedplan_b")),
+                content_col="text", mode="simple", n_buckets=4,
+                resume=False,
+            ),
+        }
+
+    def test_federated_branches_pruned_and_unioned(self, spark, two_cats):
+        from mahout_spark.index.federated import federated_topk
+
+        from mahout_spark.plans.audit import scan_count
+
+        p = _plan(federated_topk(spark, two_cats, ["table", "data"], k=10))
+        # one postings scan per index, term filter pushed into each,
+        # branches unioned, one global TakeOrderedAndProject cut
+        assert scan_count(p) == 2
+        assert p.count("In(term, [data,table])") == 2
+        assert "Union" in p
+        assert "TakeOrderedAndProject" in p
+        assert "SortMergeJoin" not in p
+
+    def test_rescore_broadcasts_window_into_embedding_scan(self, spark,
+                                                           two_cats):
+        from mahout_spark.index.hybrid import rescore_topk
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        qvec = [0.1] * 64
+        p = _plan(rescore_topk(
+            spark, two_cats["a"], "table OR data", emb, qvec,
+            k=10, window=20,
+        ))
+        # the window (<= 20 rows) broadcasts into the embedding scan and
+        # again into the final left join — the embedding table itself is
+        # never shuffled
+        assert p.count("BroadcastHashJoin") >= 2
+        assert "SortMergeJoin" not in p
+        assert "TakeOrderedAndProject" in p
+
+    def test_significant_terms_prunes_tf_columns(self, spark, two_cats):
+        from mahout_spark.index.aggs import significant_terms
+
+        p = _plan(significant_terms(spark, two_cats["a"],
+                                    "table AND data", n=10))
+        from mahout_spark.plans.audit import read_schemas
+
+        # the foreground count needs (doc_id, term) only: tf_raw's tf and
+        # doclen columns must stay out of its scan (the postings scan —
+        # identified by block_id — legitimately reads its binary payloads
+        # for the match kernel)
+        for rs in read_schemas(p):
+            if "block_id" in rs:
+                continue
+            assert "doclen" not in rs, rs
+            assert "tf:" not in rs, rs
+        assert "TakeOrderedAndProject" in p
