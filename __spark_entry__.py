@@ -690,6 +690,18 @@ def q_engine_federated_boolean(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def q_engine_percolate(spark, sf_dir):
+    """Percolation (X68, ES percolator): the BATCH_QUERIES registry
+    (AND, OR-with-NOT, prefix) matched against every document in one
+    stateless JVM projection — (doc_id, query_id) per hit. Oracle: each
+    stored query's match relation as SQL set ops, UNION ALLed under its
+    query_id label."""
+    from mahout_spark.index.percolate import percolate
+
+    docs = _load(spark, sf_dir, "documents")
+    return percolate(spark, BATCH_QUERIES, docs)
+
+
 SUGGEST_WORD = "hat"
 
 
@@ -1729,6 +1741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_collapse_search": q_engine_collapse_search,
         "engine_suggest": q_engine_suggest,
         "engine_boolean_batch": q_engine_boolean_batch,
+        "engine_percolate": q_engine_percolate,
         "engine_msm_search": q_engine_msm_search,
         "engine_search_after": q_engine_search_after,
         "engine_mlt_search": q_engine_mlt_search,
@@ -2586,6 +2599,32 @@ def _base_oracle_sql() -> dict[str, str]:
                CAST(rnk AS BIGINT) AS rank
         FROM ranked WHERE rnk <= 10
         ORDER BY query_id, rank
+        """,
+        # percolate oracle: each stored query's match relation as set
+        # ops, labeled and UNION ALLed (prefix is the uncapped predicate
+        # — doc has a token LIKE 'mer%')
+        "engine_percolate": _TOK_CTE + """
+        , px AS (
+            SELECT DISTINCT term FROM dfreq WHERE term LIKE 'mer%'
+        )
+        SELECT doc_id, 'q_and' AS query_id FROM (
+            SELECT doc_id FROM tf WHERE term = 'table'
+            INTERSECT
+            SELECT doc_id FROM tf WHERE term = 'data'
+        )
+        UNION ALL
+        SELECT doc_id, 'q_ornot' FROM (
+            SELECT doc_id FROM tf WHERE term = 'scan'
+            UNION
+            (SELECT doc_id FROM tf WHERE term = 'merge'
+             EXCEPT
+             SELECT doc_id FROM tf WHERE term = 'stream')
+        )
+        UNION ALL
+        SELECT doc_id, 'q_prefix' FROM (
+            SELECT DISTINCT doc_id FROM tf
+            WHERE term IN (SELECT term FROM px) OR term = 'data'
+        )
         """,
         # suggest oracle: DuckDB's independent levenshtein over the df
         # relation, same (dist, df desc, term) ranking, stem excluded

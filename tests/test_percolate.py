@@ -1,0 +1,184 @@
+"""Percolation (X68): stored queries vs incoming docs — engine vs a
+brute-force python evaluator over the same token sets, agreement with
+the index's match sets, and the streaming gate (the same call on a
+readStream frame)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+QUERIES = {
+    "q_and": "table AND data",
+    "q_ornot": "scan OR merge NOT stream",
+    "q_prefix": "mer* OR data",
+    "q_fuzzy": "slot~2 AND data",
+    "q_wild": "*can* OR merge",
+    "q_rx": "/t[a-z]*le/ AND data",
+    "q_phrase": '"table scan" OR vector',
+    "q_boost": "table^3 AND scan",
+}
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+
+
+@pytest.fixture(scope="module")
+def token_lists(docs_df):
+    rows = docs_df.collect()
+    return {
+        r["doc_id"]: [t for t in re.split(r"[^a-z0-9]+",
+                                          (r["text"] or "").lower()) if t]
+        for r in rows
+    }
+
+
+def _edit_distance(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _py_match(node, toks: list) -> bool:
+    import fnmatch
+
+    from mahout_spark.index import queryparse as qp
+
+    kind = node[0]
+    ts = set(toks)
+    if kind == "term":
+        return node[1] in ts
+    if kind == "prefix":
+        return any(t.startswith(node[1]) for t in ts)
+    if kind == "wildcard":
+        return any(fnmatch.fnmatchcase(t, node[1]) for t in ts)
+    if kind == "regexp":
+        rx = re.compile(node[1])
+        return any(rx.fullmatch(t) for t in ts)
+    if kind == "fuzzy":
+        stem, n = node[1], node[2]
+        return any(abs(len(t) - len(stem)) <= n
+                   and _edit_distance(t, stem) <= n for t in ts)
+    if kind == "phrase":
+        seq = list(node[1])
+        return any(toks[i:i + len(seq)] == seq
+                   for i in range(len(toks) - len(seq) + 1))
+    if kind in ("not",):
+        return not _py_match(node[1], toks)
+    if kind == "boost":
+        return _py_match(node[1], toks)
+    if kind == "and":
+        return all(_py_match(c, toks) for c in node[1])
+    if kind == "or":
+        return any(_py_match(c, toks) for c in node[1])
+    if kind == "msm":
+        return sum(_py_match(c, toks) for c in node[1]) >= node[2]
+    raise ValueError(kind)
+
+
+def _want(queries, token_lists, **kw):
+    from mahout_spark.index import queryparse as qp
+
+    out = set()
+    for qid, q in queries.items():
+        node = qp.parse(q)
+        if kw.get("synonyms"):
+            node = qp.expand_synonyms(node, kw["synonyms"])
+        if kw.get("minimum_should_match"):
+            node = qp.with_minimum_should_match(
+                node, kw["minimum_should_match"])
+        for d, toks in token_lists.items():
+            if _py_match(node, toks):
+                out.add((d, qid))
+    return out
+
+
+def test_percolate_matches_python_oracle(spark, docs_df, token_lists):
+    from mahout_spark.index.percolate import percolate
+
+    got = {(r["doc_id"], r["query_id"])
+           for r in percolate(spark, QUERIES, docs_df).collect()}
+    want = _want(QUERIES, token_lists)
+    assert got == want
+    assert {q for _, q in got} >= {"q_and", "q_prefix"}  # non-trivial
+
+
+def test_percolate_synonyms_and_msm(spark, docs_df, token_lists):
+    from mahout_spark.index.percolate import percolate
+
+    qs = {"m": "table OR scan OR merge OR data"}
+    kw = dict(minimum_should_match=2)
+    got = {(r["doc_id"], r["query_id"]) for r in percolate(
+        spark, qs, docs_df, **kw).collect()}
+    assert got == _want(qs, token_lists, **kw)
+
+    qs2 = {"s": "join AND data"}
+    kw2 = dict(synonyms={"join": ["merge"]})
+    got2 = {(r["doc_id"], r["query_id"]) for r in percolate(
+        spark, qs2, docs_df, **kw2).collect()}
+    assert got2 == _want(qs2, token_lists, **kw2)
+
+
+def test_percolate_agrees_with_index_match_set(spark, docs_df,
+                                               tmp_path_factory):
+    """Percolation and the simple-mode index must agree on the match
+    set — same tokenizer, same boolean semantics."""
+    from mahout_spark.index.boolquery import matching_docs
+    from mahout_spark.index.build import build_index
+    from mahout_spark.index.percolate import percolate
+
+    cat = build_index(
+        spark, docs_df, str(tmp_path_factory.mktemp("percidx")),
+        content_col="text", id_cols=["doc_id"], mode="simple",
+        n_buckets=4, docs_per_shard=64, block_size=16, positions=True,
+    )
+    for q in ["table AND data", "mer* OR data NOT stream",
+              '"table scan" OR vector']:
+        via_index = {r["doc_id"] for r in
+                     matching_docs(spark, cat, q).collect()}
+        via_perc = {r["doc_id"] for r in
+                    percolate(spark, {"q": q}, docs_df).collect()}
+        assert via_perc == via_index, q
+
+
+def test_percolate_rejects_slop_and_empty(spark, docs_df):
+    from mahout_spark.index.percolate import percolate
+
+    with pytest.raises(ValueError, match="slop"):
+        percolate(spark, {"bad": '"table scan"~3'}, docs_df)
+    assert percolate(spark, {}, docs_df).count() == 0
+
+
+def test_percolate_runs_under_structured_streaming(spark, docs_df,
+                                                   tmp_path, token_lists):
+    """The compiled plan is a stateless projection: the SAME call on a
+    readStream frame percolates at ingest. Results collected through a
+    memory sink must equal the batch percolation."""
+    from mahout_spark.index.percolate import percolate
+
+    src = str(tmp_path / "stream_in")
+    docs_df.coalesce(2).write.parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id long, text string"
+    ).parquet(src)
+    out = percolate(spark, QUERIES, stream)
+    q = (
+        out.writeStream.format("memory").queryName("perc_sink")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(r["doc_id"], r["query_id"])
+           for r in spark.table("perc_sink").collect()}
+    assert got == _want(QUERIES, token_lists)
