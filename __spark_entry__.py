@@ -690,6 +690,34 @@ def q_engine_federated_boolean(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def q_engine_index_stats(spark, sf_dir):
+    """Index diagnostics (X69): the corpus-derivable summary columns
+    (n_docs, n_terms, n_postings, avgdl) must agree with a from-scratch
+    DuckDB recount of the token stream — an end-to-end consistency audit
+    of meta + lexicon."""
+    import shutil
+    import tempfile
+
+    from mahout_spark.index.build import build_index
+    from mahout_spark.index.diag import index_stats
+
+    docs = _load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="msdrv_diag_")
+    try:
+        cat = build_index(
+            spark, docs, out_dir=out, content_col="text",
+            id_cols=["doc_id"], mode="simple", resume=False,
+        )
+        result = index_stats(spark, cat).select(
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "n_terms", "n_postings", "avgdl",
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def q_engine_percolate(spark, sf_dir):
     """Percolation (X68, ES percolator): the BATCH_QUERIES registry
     (AND, OR-with-NOT, prefix) matched against every document in one
@@ -1742,6 +1770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_suggest": q_engine_suggest,
         "engine_boolean_batch": q_engine_boolean_batch,
         "engine_percolate": q_engine_percolate,
+        "engine_index_stats": q_engine_index_stats,
         "engine_msm_search": q_engine_msm_search,
         "engine_search_after": q_engine_search_after,
         "engine_mlt_search": q_engine_mlt_search,
@@ -2599,6 +2628,13 @@ def _base_oracle_sql() -> dict[str, str]:
                CAST(rnk AS BIGINT) AS rank
         FROM ranked WHERE rnk <= 10
         ORDER BY query_id, rank
+        """,
+        # index-stats oracle: summary recounted from the raw token stream
+        "engine_index_stats": _TOK_CTE + """
+        SELECT (SELECT count(*) FROM documents) AS n_docs,
+               (SELECT count(*) FROM dfreq) AS n_terms,
+               (SELECT count(*) FROM tf) AS n_postings,
+               (SELECT round(avg(doclen), 6) FROM dl) AS avgdl
         """,
         # percolate oracle: each stored query's match relation as set
         # ops, labeled and UNION ALLed (prefix is the uncapped predicate

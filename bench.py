@@ -135,6 +135,7 @@ def main() -> None:
         "engine_dedup_groups",
         "cosine_topk",
         "engine_embedding_neardup_lsh",
+        "engine_percolate",
         "report_full",
     ]:
         if name in qs:

@@ -1,0 +1,101 @@
+"""Index diagnostics — the Lucene segments / ES ``_cat/indices`` analog.
+
+Operating a fleet of indexes (build → append → delete → compact,
+per-partition catalogs, federation) needs observable state: how big is
+the vocabulary, how many postings, how fragmented are the blocks (the
+signal that schedules compaction), how many tombstones are pending.
+Two relations provide it:
+
+* ``index_stats`` — one summary row per catalog. The corpus-derivable
+  subset (n_docs, n_terms, n_postings, avgdl) is DuckDB-oracle-checked:
+  it must agree with a from-scratch recount of the token stream, which
+  makes this a cheap end-to-end consistency audit of meta + lexicon
+  (a drifted df or a lost append shows up here before it skews BM25).
+* ``index_bucket_stats`` — one row per bucket dir: terms, blocks,
+  postings, and ``fragmented_groups`` (term,shard) groups holding more
+  than one block — which is exactly what appends create and
+  ``compact_index`` removes (asserted in tests: fragmentation > 0
+  after an append, == the fresh-build floor after compaction).
+
+Cost shape: lexicon and postings METADATA scans only (counts over
+columnar stats-friendly columns) — no payload decode, no doc scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mahout_spark.sources.catalog import ParquetCatalog
+
+
+def index_stats(spark: SparkSession, cat: ParquetCatalog) -> DataFrame:
+    """One summary row: (n_docs, n_terms, n_postings, avgdl, n_blocks,
+    fragmented_groups, n_buckets, appends, deletes, positional)."""
+    meta = cat.read_meta("postings")
+    lex = cat.read(
+        spark, "lexicon", schema_json=meta.get("lexicon_schema")
+    )
+    lex_agg = lex.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("df").cast("long").alias("n_postings"),
+    )
+    post = cat.read(spark, "postings")
+    frag = (
+        post.groupBy("term", "shard")
+        .agg(F.count(F.lit(1)).alias("blocks"))
+        .agg(
+            F.count(F.lit(1)).alias("groups"),
+            F.sum("blocks").cast("long").alias("n_blocks"),
+            F.sum((F.col("blocks") > 1).cast("long"))
+            .alias("fragmented_groups"),
+        )
+    )
+    return (
+        lex_agg.crossJoin(frag)
+        .select(
+            F.lit(int(meta["n_docs"])).alias("n_docs"),
+            "n_terms",
+            "n_postings",
+            F.round(F.lit(float(meta["avgdl"])), 6).alias("avgdl"),
+            "n_blocks",
+            "fragmented_groups",
+            F.lit(int(meta["n_buckets"])).alias("n_buckets"),
+            F.lit(int(meta.get("appends", 0))).alias("appends"),
+            F.lit(int(meta.get("deletes", 0))).alias("deletes"),
+            F.lit(bool(meta.get("positional"))).alias("positional"),
+        )
+    )
+
+
+def index_bucket_stats(
+    spark: SparkSession, cat: ParquetCatalog
+) -> DataFrame:
+    """Per-bucket detail: (bucket, n_terms, n_blocks, n_postings,
+    fragmented_groups) ordered by bucket — the unit compaction and
+    resume operate on."""
+    meta = cat.read_meta("postings")
+    lex = cat.read(
+        spark, "lexicon", schema_json=meta.get("lexicon_schema")
+    )
+    lex_b = lex.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("df").cast("long").alias("n_postings"),
+    )
+    post_b = (
+        cat.read(spark, "postings")
+        .groupBy("bucket", "term", "shard")
+        .agg(F.count(F.lit(1)).alias("blocks"))
+        .groupBy("bucket")
+        .agg(
+            F.sum("blocks").cast("long").alias("n_blocks"),
+            F.sum((F.col("blocks") > 1).cast("long"))
+            .alias("fragmented_groups"),
+        )
+    )
+    return (
+        lex_b.join(post_b, "bucket", "full_outer")
+        .fillna(0, ["n_terms", "n_postings", "n_blocks",
+                    "fragmented_groups"])
+        .orderBy("bucket")
+    )
