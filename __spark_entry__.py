@@ -718,6 +718,45 @@ def q_engine_index_stats(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def q_engine_content_sha(spark, sf_dir):
+    """The north-rule per-row invariant as an oracled relation: the
+    standard BM25 top-10 joined to the index's STORED content sha256 —
+    DuckDB recomputes the same ranking and hashes the source text
+    itself, so a MATCH proves sha equality per result row against the
+    source table (plus verify_content_integrity returns zero violations
+    over the whole corpus, asserted here before returning)."""
+    import shutil
+    import tempfile
+
+    from mahout_spark.index.build import build_index
+    from mahout_spark.index.diag import verify_content_integrity
+    from mahout_spark.index.wand import topk
+
+    docs = _load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="msdrv_sha_")
+    try:
+        cat = build_index(
+            spark, docs, out_dir=out, content_col="text",
+            id_cols=["doc_id"], mode="simple", resume=False,
+        )
+        violations = verify_content_integrity(spark, cat, docs).count()
+        if violations:
+            raise AssertionError(
+                f"content integrity violated for {violations} docs"
+            )
+        stored = cat.read(spark, "docstats").select("doc_id", "content_sha")
+        result = (
+            topk(spark, cat, BM25_QUERY_TERMS, k=10)
+            .join(F.broadcast(stored), "doc_id")
+            .select("doc_id", F.round("score", 6).alias("score"),
+                    "content_sha")
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def q_engine_percolate(spark, sf_dir):
     """Percolation (X68, ES percolator): the BATCH_QUERIES registry
     (AND, OR-with-NOT, prefix) matched against every document in one
@@ -1771,6 +1810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_boolean_batch": q_engine_boolean_batch,
         "engine_percolate": q_engine_percolate,
         "engine_index_stats": q_engine_index_stats,
+        "engine_content_sha": q_engine_content_sha,
         "engine_msm_search": q_engine_msm_search,
         "engine_search_after": q_engine_search_after,
         "engine_mlt_search": q_engine_mlt_search,
@@ -2628,6 +2668,17 @@ def _base_oracle_sql() -> dict[str, str]:
                CAST(rnk AS BIGINT) AS rank
         FROM ranked WHERE rnk <= 10
         ORDER BY query_id, rank
+        """,
+        # content-sha oracle: the same top-10 relation, sha256 computed
+        # from the SOURCE text by DuckDB itself — hash equality per row
+        "engine_content_sha": _BM25_BASE + """
+        , top AS (
+            SELECT doc_id, score FROM agg
+            ORDER BY score DESC, doc_id ASC LIMIT 10
+        )
+        SELECT t.doc_id, t.score, sha256(d.text) AS content_sha
+        FROM top t JOIN documents d USING (doc_id)
+        ORDER BY t.score DESC, t.doc_id ASC
         """,
         # index-stats oracle: summary recounted from the raw token stream
         "engine_index_stats": _TOK_CTE + """

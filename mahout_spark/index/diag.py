@@ -68,6 +68,40 @@ def index_stats(spark: SparkSession, cat: ParquetCatalog) -> DataFrame:
     )
 
 
+def verify_content_integrity(
+    spark: SparkSession,
+    cat: ParquetCatalog,
+    source: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The per-row content-sha256 invariant (BASELINE.json input_hint /
+    north rule: every indexed row must hash-match the source table) as
+    a RELATION of violations: (doc_id, stored_sha, source_sha) for every
+    doc whose stored docstats sha disagrees with a fresh sha256 of the
+    source content — plus rows indexed-but-missing-from-source and
+    vice versa (NULL on the absent side, via the full outer join). An
+    intact index returns ZERO rows; run it after any
+    build/append/compact as the end-to-end data-integrity audit. One
+    broadcast-free join keyed by doc_id over two narrow projections."""
+    meta = cat.read_meta("postings")
+    stored = cat.read(
+        spark, "docstats", schema_json=meta.get("docstats_schema")
+    ).select(id_col, F.col("content_sha").alias("stored_sha"))
+    fresh = source.select(
+        id_col,
+        F.sha2(F.col(content_col).cast("string"), 256).alias("source_sha"),
+    )
+    return (
+        stored.join(fresh, id_col, "full_outer")
+        .filter(
+            F.col("stored_sha").isNull()
+            | F.col("source_sha").isNull()
+            | (F.col("stored_sha") != F.col("source_sha"))
+        )
+    )
+
+
 def index_bucket_stats(
     spark: SparkSession, cat: ParquetCatalog
 ) -> DataFrame:

@@ -80,3 +80,39 @@ def test_fragmentation_tracks_append_and_compact(spark, corpus,
     row = index_stats(spark, cat).first()
     assert row["fragmented_groups"] == floor
     assert row["appends"] == 0
+
+
+def test_content_integrity_detects_corruption(spark, corpus,
+                                              tmp_path_factory):
+    """Intact index -> zero violations; a mutated source row, a
+    source-missing row, and an index-missing row each surface."""
+    from mahout_spark.index.build import build_index
+    from mahout_spark.index.diag import verify_content_integrity
+
+    cat = build_index(
+        spark, corpus, str(tmp_path_factory.mktemp("shaidx")),
+        content_col="text", id_cols=["doc_id"], mode="simple",
+        n_buckets=4, docs_per_shard=64, block_size=16,
+    )
+    assert verify_content_integrity(spark, cat, corpus).count() == 0
+
+    mutated = corpus.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 7, F.lit("tampered")).otherwise(
+            F.col("text")),
+    )
+    bad = verify_content_integrity(spark, cat, mutated).collect()
+    assert [r["doc_id"] for r in bad] == [7]
+    assert bad[0]["stored_sha"] != bad[0]["source_sha"]
+
+    # doc present in the index but dropped from the source
+    missing = verify_content_integrity(
+        spark, cat, corpus.filter(F.col("doc_id") != 3)).collect()
+    assert [(r["doc_id"], r["source_sha"]) for r in missing] == [(3, None)]
+
+    # doc present in the source but never indexed
+    extra_doc = spark.createDataFrame(
+        [(90001, "new unindexed doc")], ["doc_id", "text"])
+    extra = verify_content_integrity(
+        spark, cat, corpus.unionByName(extra_doc)).collect()
+    assert [(r["doc_id"], r["stored_sha"]) for r in extra] == [(90001, None)]
