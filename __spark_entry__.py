@@ -1280,11 +1280,11 @@ def q_engine_significant_terms(spark, sf_dir):
             spark, docs, out_dir=out, content_col="text",
             id_cols=["doc_id"], mode="simple", resume=False,
         )
+        cleanup: list = []
         result = significant_terms(
-            spark, cat, "table AND data", n=10
+            spark, cat, "table AND data", n=10, cleanup=cleanup
         )
-        rows = result.collect()
-        return spark.createDataFrame(rows, result.schema)
+        return _localize(spark, result, cleanup)
     finally:
         shutil.rmtree(out, ignore_errors=True)
 

@@ -38,6 +38,7 @@ def significant_terms(
     min_fg_df: int = 1,
     exclude_query_terms: bool = False,
     max_expansions: int = MAX_EXPANSIONS,
+    cleanup: list | None = None,
 ) -> DataFrame:
     """Top-``n`` terms most over-represented in ``query``'s match set
     (ES significant_terms, JLH heuristic): per term,
@@ -45,25 +46,33 @@ def significant_terms(
     ``fg_rate = fg_df / n_matched`` and ``bg_rate = df / n_docs``.
     Returns (term, fg_df, bg_df, score) ordered (score desc, term asc).
 
-    Physical plan: match set (distributed) -> one semi-join pruning
-    tf_raw to foreground rows -> count per term -> join the lexicon for
-    background df. The n_matched count rides the foreground aggregation
-    (a second tiny agg over fg_df rows, not a separate corpus pass).
+    Physical plan: match set (distributed, CHECKPOINTED so its kernel
+    job runs exactly once) -> one semi-join pruning tf_raw to foreground
+    rows -> count per term -> join the lexicon for background df. The
+    n_matched count reads the checkpointed blocks, not a recompute.
+    ``cleanup`` follows the repo's checkpoint-lifecycle convention
+    (checkpoint.release): pass a list to release the match-set blocks
+    after consuming the result; None leaves them to ContextCleaner GC.
     ``exclude_query_terms`` drops the query's own positive terms (they
     trivially top the ranking); ES keeps them, so the default does too.
     """
+    from mahout_spark.checkpoint import eager_checkpoint
+
     meta = cat.read_meta("postings")
     n_docs = int(meta["n_docs"])
-    m = matching_docs(spark, cat, query, max_expansions=max_expansions)
+    m = eager_checkpoint(
+        matching_docs(spark, cat, query, max_expansions=max_expansions),
+        cleanup,
+    )
     tf_raw = cat.read(spark, "tf_raw", schema_json=meta.get("tf_schema"))
     fg = (
         tf_raw.join(m, "doc_id", "left_semi")
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("fg_df"))
     )
-    # n_matched == number of fg docs; every matched doc has >= 1 term row
-    # only if non-empty — count the match set itself (tiny: one column,
-    # partial-agg count) to stay exact for empty/short docs
+    # n_matched == number of fg docs; counted on the materialized
+    # checkpoint blocks (tiny second action, no kernel recompute) to
+    # stay exact for docs with zero terms
     n_matched = m.count()
     if n_matched == 0:
         return spark.createDataFrame(

@@ -311,14 +311,27 @@ def _regexp_expansion_rows(lex, pattern: str, cap: int) -> list:
     uses). Same cost shape as wildcards: one column-pruned
     TakeOrderedAndProject lexicon scan, bounded by VOCABULARY size,
     never corpus size; the permuterm/n-gram dictionary tier is the
-    100 TB path behind this same call."""
-    return (
-        lex.filter(F.col("term").rlike(f"^(?:{pattern})$"))
-        .select("term", "bucket", "df")
-        .orderBy(F.col("df").desc(), F.col("term").asc())
-        .limit(cap)
-        .collect()
-    )
+    100 TB path behind this same call. A pattern that passed the
+    parse-time Python check but the JVM engine rejects surfaces HERE on
+    first evaluation — re-raised as the clean QueryParseError the
+    parse-time validation promises."""
+    from mahout_spark.index.queryparse import QueryParseError
+
+    try:
+        return (
+            lex.filter(F.col("term").rlike(f"^(?:{pattern})$"))
+            .select("term", "bucket", "df")
+            .orderBy(F.col("df").desc(), F.col("term").asc())
+            .limit(cap)
+            .collect()
+        )
+    except Exception as exc:
+        if "PatternSyntaxException" in str(exc) or "INVALID_PARAMETER" in str(exc):
+            raise QueryParseError(
+                f"regexp /{pattern}/ rejected by the JVM engine: "
+                f"{str(exc)[:200]}"
+            ) from None
+        raise
 
 
 def _compile_query(spark, cat, query, max_expansions, lex_rows, normalize,
@@ -573,16 +586,34 @@ def filtered_topk(
       picking broadcast vs shuffle — no driver materialization of
       anything corpus-shaped, the 100 TB path.
 
+    ``after`` (cursor pagination) works identically in BOTH regimes —
+    the kernel predicate in the small one, a relational filter in the
+    large one. ``merge`` is boolean_topk-only physical tuning and is
+    rejected here (the regime choice IS the physical plan). Remaining
     ``**kw`` passes through to the query machinery (synonyms,
-    minimum_should_match, max_expansions, normalize)."""
+    minimum_should_match, max_expansions, normalize) — every kwarg
+    must be valid for both regimes, so behavior never depends on
+    filter size."""
+    if "merge" in kw:
+        raise ValueError(
+            "filtered_topk picks its own physical plan; merge= is not "
+            "supported (use boolean_topk(filter_ids=...) directly)"
+        )
+    after = _normalize_after(kw.pop("after", None))
     flt = filter_df.select("doc_id").distinct()
     probe = flt.limit(max_collect + 1).collect()
     if len(probe) <= max_collect:
         return boolean_topk(
-            spark, cat, query, k=k,
+            spark, cat, query, k=k, after=after,
             filter_ids=[r["doc_id"] for r in probe], **kw,
         )
     scores = score_matches(spark, cat, query, **kw)
+    if after is not None:
+        a_score, a_doc = float(after[0]), int(after[1])
+        scores = scores.filter(
+            (F.col("score") < a_score)
+            | ((F.col("score") == a_score) & (F.col("doc_id") > a_doc))
+        )
     return (
         scores.join(flt, "doc_id", "left_semi")
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())

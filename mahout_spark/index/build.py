@@ -605,21 +605,12 @@ def _meta_matches(cat, mode, n_buckets, docs_per_shard, block_size,
 def verify_sha(spark: SparkSession, docs: DataFrame, cat: ParquetCatalog,
                content_col: str = "content") -> int:
     """Per-row invariant check (BASELINE.json): sha256(content) equality
-    between the source table and the built docstats. Returns mismatch count
-    (anti-join — fully distributed, no collect)."""
-    src = docs.select(
-        "doc_id", F.sha2(F.col(content_col).cast("string"), 256).alias("sha_src")
-    )
-    built = cat.read(
-        spark, "docstats",
-        schema_json=cat.read_meta("postings").get("docstats_schema"),
-    ).select("doc_id", "content_sha")
-    return (
-        src.join(built, "doc_id", "full")
-        .filter(
-            (F.col("sha_src") != F.col("content_sha"))
-            | F.col("sha_src").isNull()
-            | F.col("content_sha").isNull()
-        )
-        .count()
-    )
+    between the source table and the built docstats. Returns the
+    violation COUNT; the violation RELATION (which docs, which side) is
+    diag.verify_content_integrity — this is its count, one hashing
+    convention for both."""
+    from mahout_spark.index.diag import verify_content_integrity
+
+    return verify_content_integrity(
+        spark, cat, docs, content_col=content_col
+    ).count()

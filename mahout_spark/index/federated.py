@@ -98,8 +98,24 @@ def global_stats(
     for name, cat in cats.items():
         meta = cat.read_meta("postings")
         n_docs += int(meta["n_docs"])
-        dl_sum += int(meta.get("doclen_sum", 0))
-        dl_n += int(meta.get("doclen_n", 0))
+        if "doclen_sum" in meta and "doclen_n" in meta:
+            dl_sum += int(meta["doclen_sum"])
+            dl_n += int(meta["doclen_n"])
+        else:
+            # legacy meta without running doclen totals: recompute from
+            # docstats (one tiny agg, same as append.py's legacy path) —
+            # silently treating it as 0 would skew the global avgdl and
+            # break the bit-identical-to-union contract
+            ds = cat.read(
+                spark, "docstats", schema_json=meta.get("docstats_schema")
+            )
+            row = ds.agg(
+                F.sum(F.when(F.col("doclen") > 0, F.col("doclen")))
+                .alias("s"),
+                F.sum((F.col("doclen") > 0).cast("long")).alias("n"),
+            ).first()
+            dl_sum += int(row["s"] or 0)
+            dl_n += int(row["n"] or 0)
         n_buckets = int(meta["n_buckets"])
         qbuckets = sorted({term_bucket(t, n_buckets) for t in qterms})
         # an unbuilt index raises loudly here (missing lexicon table);
@@ -390,7 +406,10 @@ def federated_boolean_topk(
         deleted = None
         if int(meta.get("deletes", 0)):
             deleted = deleted_array(spark, cat, meta)
-        positional = bool(meta.get("positional"))
+        # positional decode only when the QUERY needs it (same gate as
+        # _compile_query): a phrase-free query on a positional index must
+        # not decode position payloads or trip the shard budget
+        positional = qp.has_phrase(node) and bool(meta.get("positional"))
         buckets = sorted({r["bucket"] for r in rows})
         blocks = cat.read_partitions(
             spark, "postings", "bucket", buckets

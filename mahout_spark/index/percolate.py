@@ -150,12 +150,11 @@ def percolate(
     # by every leaf — the >=2-reference barrier that keeps Catalyst's
     # CollapseProject from inlining the tokenizer into each leaf expr
     # (the round-3 lesson; see textstats.py)
+    from mahout_spark.operators.textstats import tokens_expr
+
     staged = docs.select(
         F.col(id_col),
-        F.filter(
-            F.split(F.lower(F.col(content_col)), "[^a-z0-9]+"),
-            lambda t: t != "",
-        ).alias("_toks"),
+        tokens_expr(F.col(content_col)).alias("_toks"),
     ).select(
         id_col, "_toks",
         F.concat(

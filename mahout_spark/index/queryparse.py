@@ -124,7 +124,7 @@ _BARE_BOOST_RE = re.compile(r"^\^(\d+(?:\.\d+)?)$")
 _TOKEN_RE = re.compile(
     r'\s*(?:(?P<lpar>\()|(?P<rpar>\))|"(?P<quoted>[^"]*)"(?:~(?P<slop>\d+))?'
     r"(?:\^(?P<qboost>\d+(?:\.\d+)?))?"
-    r"|/(?P<regex>(?:\\.|[^/\\])+)/(?:\^(?P<rboost>\d+(?:\.\d+)?))?"
+    r"|/(?P<regex>(?:\\.|[^/\\\s])+)/(?:\^(?P<rboost>\d+(?:\.\d+)?))?"
     r"|(?P<word>[^\s()\"]+))"
 )
 
@@ -201,12 +201,25 @@ def wildcard_regex(pattern: str) -> str:
 def _regexp_atom(body: str):
     """Build a ("regexp", pattern) leaf (Lucene RegexpQuery analog:
     ``/pattern/`` matches WHOLE index terms — the engine anchors it).
-    The pattern must compile (checked with Python re, a strict subset
-    check for the Spark ``rlike``/Java evaluation engine-side; keep to
-    the Java-and-RE2 common subset — classes, alternation, repetition —
-    for oracle-parity with DuckDB regexp_matches). Index terms are
-    lowercase, so patterns should be too (kept verbatim — lowercasing a
-    regex would corrupt classes like [A-Z])."""
+    Unescaped whitespace cannot appear inside the slashes (the lexer
+    stops the token there, so path-like words such as ``/etc NOT /usr``
+    lex as ordinary words and NOT keeps its meaning; escape a literal
+    space as ``\ ``). Validation: the pattern must compile under
+    Python re AND avoid known Python-only constructs (``(?P`` named
+    groups, ``(?(`` conditionals) — Python acceptance is NOT a subset
+    of the JVM engine, so anything that still slips through surfaces
+    as a clean QueryParseError when the lexicon expansion first
+    evaluates it (boolquery._regexp_expansion_rows). Keep to the
+    Java-and-RE2 common subset — classes, alternation, repetition —
+    for oracle-parity with DuckDB regexp_matches. Index terms are
+    lowercase, so patterns should be too (kept verbatim — lowercasing
+    a regex would corrupt classes like [A-Z])."""
+    for bad in ("(?P", "(?("):
+        if bad in body:
+            raise QueryParseError(
+                f"bad regexp /{body}/: {bad!r} is Python-only syntax "
+                "the JVM rlike engine rejects"
+            )
     try:
         re.compile(body)
     except re.error as exc:

@@ -972,3 +972,39 @@ def test_searcher_and_batch_support_regexp(spark, pos_built):
     batch = boolean_topk_batch(spark, pos_built, {"r": q}, k=10).collect()
     assert [(r["doc_id"], r["score"]) for r in
             sorted(batch, key=lambda r: r["rank"])] == direct
+
+
+def test_regexp_lexer_does_not_fuse_across_whitespace():
+    """Path-like words starting with '/' must not swallow operators:
+    the regex token stops at unescaped whitespace (escape a literal
+    space as '\\ ')."""
+    assert qp.parse("scan OR /etc NOT /usr") == (
+        "or", [("term", "scan"),
+               ("and", [("term", "etc"), ("not", ("term", "usr"))])]
+    )
+    assert qp.parse(r"/a\ b/") == ("regexp", r"a\ b")
+    # python-only regex syntax rejected at parse time, not mid-job
+    for bad in ["/(?P<x>ab)+/", "/(?(1)a|b)/"]:
+        with pytest.raises(qp.QueryParseError, match="Python-only"):
+            qp.parse(bad)
+
+
+def test_filtered_topk_after_and_merge_across_regimes(spark, pos_built,
+                                                      corpus):
+    """Cursor pagination must behave identically in both physical
+    regimes; merge= is rejected (regime choice IS the physical plan)."""
+    from mahout_spark.index.boolquery import filtered_topk
+
+    flt = corpus.filter(F.col("doc_id") % 2 == 0)
+    q = "table OR data OR scan"
+    p1_small = _rows(filtered_topk(spark, pos_built, q, flt, k=3))
+    cursor = (p1_small[-1][1], p1_small[-1][0])
+    p2_small = _rows(filtered_topk(spark, pos_built, q, flt, k=3,
+                                   after=cursor))
+    p2_large = _rows(filtered_topk(spark, pos_built, q, flt, k=3,
+                                   after=cursor, max_collect=0))
+    assert p2_small == p2_large
+    deep = _rows(filtered_topk(spark, pos_built, q, flt, k=6))
+    assert p1_small + p2_small == deep
+    with pytest.raises(ValueError, match="merge"):
+        filtered_topk(spark, pos_built, q, flt, k=3, merge="driver")

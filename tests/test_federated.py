@@ -387,3 +387,33 @@ class TestFederatedBoolean:
                 spark, {"a": bcats["lo"], "b": nopos},
                 '"table scan" OR data', k=5,
             )
+
+
+def test_legacy_meta_without_doclen_totals(spark, fleet, tmp_path_factory):
+    """An index whose meta predates the running doclen totals must not
+    contribute 0 to the global avgdl — global_stats recomputes from its
+    docstats, keeping the federation ≡ the union index."""
+    import json
+    import os
+
+    from mahout_spark.sources.catalog import ParquetCatalog
+
+    cats, full = fleet
+    legacy_root = str(tmp_path_factory.mktemp("fed_legacy"))
+    shutil.rmtree(legacy_root)
+    shutil.copytree(cats["p0"].root, legacy_root)
+    legacy = ParquetCatalog(legacy_root)
+    meta = legacy.read_meta("postings")
+    meta.pop("doclen_sum"), meta.pop("doclen_n")
+    with open(os.path.join(legacy_root, "postings", "_meta.json"),
+              "w") as f:
+        json.dump(meta, f)
+
+    from mahout_spark.index.federated import federated_topk
+    from mahout_spark.index.wand import topk
+
+    got = [(r["doc_id"], r["score"]) for r in federated_topk(
+        spark, {**cats, "p0": legacy}, ["data", "query"], k=10).collect()]
+    want = [(r["doc_id"], r["score"]) for r in topk(
+        spark, full, ["data", "query"], k=10).collect()]
+    assert got == want
