@@ -971,6 +971,36 @@ def q_engine_regexp_search(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def q_engine_wildcard_permuterm(spark, sf_dir):
+    """Permuterm-tier wildcard retrieval (X71): the SAME wildcard query
+    as engine_wildcard_search, served through the rotation-prefix
+    dictionary (build_permuterm) for its single-star leaf — a MATCH
+    against the same oracle proves the tier is a pure physical
+    optimization (identical expansions, identical ranking)."""
+    import shutil
+    import tempfile
+
+    from mahout_spark.index.boolquery import boolean_topk
+    from mahout_spark.index.build import build_index
+    from mahout_spark.index.permuterm import build_permuterm
+
+    docs = _load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="msdrv_pt_")
+    try:
+        cat = build_index(
+            spark, docs, out_dir=out, content_col="text",
+            id_cols=["doc_id"], mode="simple", resume=False,
+        )
+        build_permuterm(spark, cat)
+        result = boolean_topk(spark, cat, WILDCARD_QUERY, k=10).select(
+            "doc_id", F.round("score", 6).alias("score")
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 MSM_QUERY = "table OR scan OR merge OR data"
 MSM_M = 2
 
@@ -1798,6 +1828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_fuzzy_search": q_engine_fuzzy_search,
         "engine_boost_search": q_engine_boost_search,
         "engine_wildcard_search": q_engine_wildcard_search,
+        "engine_wildcard_permuterm": q_engine_wildcard_permuterm,
         "engine_regexp_search": q_engine_regexp_search,
         "engine_rescore_search": q_engine_rescore_search,
         "engine_significant_terms": q_engine_significant_terms,
@@ -2859,6 +2890,37 @@ def _base_oracle_sql() -> dict[str, str]:
         ORDER BY score DESC, doc_id ASC LIMIT 10
         """,
         "engine_wildcard_search": _TOK_CTE + f"""
+        , w1 AS (
+            SELECT DISTINCT term FROM dfreq
+            WHERE regexp_matches(term, '^.*e$')
+        ), w2 AS (
+            SELECT DISTINCT term FROM dfreq
+            WHERE regexp_matches(term, '^.a..$')
+        ), matched AS (
+            SELECT DISTINCT doc_id FROM tf
+            WHERE term IN (SELECT term FROM w1)
+            INTERSECT
+            SELECT DISTINCT doc_id FROM tf
+            WHERE term IN (SELECT term FROM w2)
+        ), contrib AS (
+            SELECT tf.doc_id, {_BM25_CONTRIB} AS c
+            FROM tf
+            JOIN dfreq USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN scal
+            WHERE tf.term IN (SELECT term FROM w1)
+               OR tf.term IN (SELECT term FROM w2)
+        ), agg AS (
+            SELECT doc_id, round(sum(c), 6) AS score
+            FROM contrib JOIN matched USING (doc_id)
+            GROUP BY doc_id
+        )
+        SELECT doc_id, score FROM agg
+        ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        # permuterm tier: same relation — the tier must be
+        # output-invisible
+        "engine_wildcard_permuterm": _TOK_CTE + f"""
         , w1 AS (
             SELECT DISTINCT term FROM dfreq
             WHERE regexp_matches(term, '^.*e$')

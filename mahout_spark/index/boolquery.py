@@ -391,9 +391,13 @@ def _compile_query(spark, cat, query, max_expansions, lex_rows, normalize,
                 prefix_lex.extend(rows)
             node = expand_fuzzies(node, fexp)
         if wcs:
+            from mahout_spark.index.permuterm import expand_wildcard_rows
+
             wexp: dict = {}
             for pat in wcs:
-                rows = _wildcard_expansion_rows(lex, pat, max_expansions)
+                rows = expand_wildcard_rows(
+                    spark, cat, lex, pat, max_expansions, meta=meta
+                )
                 wexp[pat] = [r["term"] for r in rows]
                 prefix_lex.extend(rows)
             node = expand_wildcards(node, wexp)
@@ -843,9 +847,13 @@ def boolean_topk_batch(
             rows = _fuzzy_expansion_rows(lex, stem, ne, max_expansions)
             fexp[stem, ne] = [r["term"] for r in rows]
             expansion_lex.extend(rows)
+        from mahout_spark.index.permuterm import expand_wildcard_rows
+
         wexp: dict = {}
         for pat in wcs:
-            rows = _wildcard_expansion_rows(lex, pat, max_expansions)
+            rows = expand_wildcard_rows(
+                spark, cat, lex, pat, max_expansions, meta=meta
+            )
             wexp[pat] = [r["term"] for r in rows]
             expansion_lex.extend(rows)
         rexp: dict = {}

@@ -271,7 +271,6 @@ def federated_boolean_topk(
         _fuzzy_expansion_rows,
         _make_boolean_kernel,
         _regexp_expansion_rows,
-        _wildcard_expansion_rows,
     )
     from mahout_spark.index.delete import deleted_array
 
@@ -323,6 +322,8 @@ def federated_boolean_topk(
                 if d is not None:
                     ent[1] = d if ent[1] is None else min(ent[1], d)
 
+        from mahout_spark.index.permuterm import expand_wildcard_rows
+
         for nm in sorted(cats):
             lex = cats[nm].read(spark, "lexicon")
             for p in pres:
@@ -336,7 +337,8 @@ def federated_boolean_topk(
                 feed(("f", stem, ne),
                      _fuzzy_expansion_rows(lex, stem, ne, cap))
             for pat in wcs:
-                feed(("w", pat), _wildcard_expansion_rows(lex, pat, cap))
+                feed(("w", pat), expand_wildcard_rows(
+                    spark, cats[nm], lex, pat, cap, meta=metas[nm]))
             for pat in rxs:
                 feed(("r", pat), _regexp_expansion_rows(lex, pat, cap))
 

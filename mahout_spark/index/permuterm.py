@@ -1,0 +1,138 @@
+"""Permuterm dictionary tier — leading/infix wildcards without a
+vocabulary scan.
+
+X53's wildcard leaves expand by scanning the lexicon with an anchored
+``rlike`` — vocabulary-bounded, but at 10^8+ terms that scan is the
+cost the classic permuterm index (Garfield; the standard IR-textbook
+structure Lucene solves with its term FST) removes: index every
+rotation of ``term + '$'`` sorted by rotation, and any single-``*``
+pattern becomes a PREFIX lookup:
+
+    X*Y  ->  rotations starting with  Y$X
+    *Y   ->  rotations starting with  Y$
+    (X* stays the plain prefix leaf — the parser never builds a
+    wildcard for it)
+
+The table is written range-partitioned + sorted by rotation, so a
+prefix probe prunes row groups via parquet min/max stats exactly like
+the term-sorted lexicon does for prefix leaves (plan-gated): lookup
+cost goes from O(vocabulary) to O(matching rotations). Storage is
+Σ(len(term)+1) rows ≈ one extra lexicon-sized table per ~9 chars of
+average term length.
+
+Query integration is transparent: ``expand_wildcard_rows`` (the single
+routing point used by boolquery/batch/Searcher) probes the permuterm
+table when it exists AND the pattern is single-``*``/no-``?``;
+everything else (multi-star, ``?``) keeps the exact rlike scan. Both
+paths return IDENTICAL expansions (the permuterm candidates are
+post-filtered with the same anchored regex before the same
+df-desc/term-asc cap — test-gated equality across pattern shapes), so
+the tier is purely a physical optimization, exactly like bucket
+pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mahout_spark.sources.catalog import ParquetCatalog
+
+#: rotation terminator — cannot collide with index terms: no tokenizer
+#: mode emits '$' (text/code/simple all split it away; lang tags use ':').
+SENTINEL = "$"
+
+
+def build_permuterm(spark: SparkSession, cat: ParquetCatalog) -> None:
+    """Materialize the permuterm table for an existing index: one row
+    per rotation of each lexicon term — (rot, term, bucket, df), sorted
+    by rotation on disk (range partitioning -> tight min/max stats ->
+    prefix probes prune row groups). Idempotent overwrite; meta gains
+    ``permuterm: true`` (bumping meta_version, so warm Searcher caches
+    re-key). Cost: one lexicon scan + one range shuffle of ~(avg term
+    length + 1) x vocabulary rows — run it after build/compact, or
+    whenever wildcard traffic warrants the tier."""
+    lex = cat.read(spark, "lexicon").select("term", "bucket", "df")
+    w = F.concat(F.col("term"), F.lit(SENTINEL))
+    rots = F.transform(
+        F.sequence(F.lit(0), F.length(w) - F.lit(1)),
+        lambda i: F.concat(F.substr(w, i + F.lit(1)),
+                           F.substr(w, F.lit(1), i)),
+    )
+    table = (
+        lex.select(F.explode(rots).alias("rot"), "term", "bucket", "df")
+        .repartitionByRange(
+            max(spark.sparkContext.defaultParallelism, 8), "rot"
+        )
+        .sortWithinPartitions("rot")
+    )
+    table.write.mode("overwrite").parquet(cat.table_path("permuterm"))
+    meta = cat.read_meta("postings")
+    meta["permuterm"] = True
+    cat.write_meta("postings", meta)
+
+
+def permuterm_prefix(pattern: str) -> str | None:
+    """The rotation prefix a wildcard pattern resolves to, or None when
+    the pattern is outside the tier (multi-star, ``?``, or field-tag
+    patterns containing the sentinel — impossible for real terms but
+    guarded anyway)."""
+    if pattern.count("*") != 1 or "?" in pattern or SENTINEL in pattern:
+        return None
+    x, y = pattern.split("*")
+    return f"{y}{SENTINEL}{x}"
+
+
+def permuterm_expansion_rows(
+    spark: SparkSession,
+    cat: ParquetCatalog,
+    pattern: str,
+    cap: int,
+    regex: str,
+) -> list:
+    """Expansion via one rotation-prefix probe: candidates from the
+    sorted permuterm scan, post-filtered with the SAME anchored regex
+    the rlike path uses (defense in depth — the prefix already implies
+    it for single-star patterns), deduped, ranked (df desc, term asc),
+    capped. Returns (term, bucket, df) rows, identical to the full-scan
+    expansion."""
+    prefix = permuterm_prefix(pattern)
+    assert prefix is not None, pattern
+    pt = spark.read.parquet(cat.table_path("permuterm"))
+    return (
+        pt.filter(F.col("rot").startswith(prefix))
+        .select("term", "bucket", "df")
+        .distinct()
+        .filter(F.col("term").rlike(regex))
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(cap)
+        .collect()
+    )
+
+
+def expand_wildcard_rows(
+    spark: SparkSession,
+    cat: ParquetCatalog,
+    lex: DataFrame,
+    pattern: str,
+    cap: int,
+    meta: dict | None = None,
+) -> list:
+    """THE wildcard-expansion routing point (boolquery / batch /
+    Searcher all call this): permuterm probe when the table exists and
+    the pattern qualifies, exact rlike vocabulary scan otherwise. Both
+    paths return the same rows (test-gated)."""
+    from mahout_spark.index.boolquery import _wildcard_expansion_rows
+    from mahout_spark.index.queryparse import wildcard_regex
+
+    if meta is None:
+        try:
+            meta = cat.read_meta("postings")
+        except FileNotFoundError:
+            meta = {}
+    meta_has = bool(meta.get("permuterm"))
+    if meta_has and permuterm_prefix(pattern) is not None:
+        return permuterm_expansion_rows(
+            spark, cat, pattern, cap, wildcard_regex(pattern)
+        )
+    return _wildcard_expansion_rows(lex, pattern, cap)

@@ -199,7 +199,7 @@ def wildcard_regex(pattern: str) -> str:
 
 
 def _regexp_atom(body: str):
-    """Build a ("regexp", pattern) leaf (Lucene RegexpQuery analog:
+    r"""Build a ("regexp", pattern) leaf (Lucene RegexpQuery analog:
     ``/pattern/`` matches WHOLE index terms — the engine anchors it).
     Unescaped whitespace cannot appear inside the slashes (the lexer
     stops the token there, so path-like words such as ``/etc NOT /usr``

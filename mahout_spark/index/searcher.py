@@ -342,12 +342,12 @@ class Searcher:
         until the index mutates."""
         key = (pattern, cap)
         if key not in self._wildcard:
-            from mahout_spark.index.boolquery import (
-                _wildcard_expansion_rows,
-            )
+            from mahout_spark.index.permuterm import expand_wildcard_rows
 
             lex = self.cat.read(self.spark, "lexicon")
-            self._wildcard[key] = _wildcard_expansion_rows(lex, pattern, cap)
+            self._wildcard[key] = expand_wildcard_rows(
+                self.spark, self.cat, lex, pattern, cap
+            )
             for r in self._wildcard[key]:
                 self._terms[r["term"]] = (int(r["bucket"]), int(r["df"]))
         return self._wildcard[key]
