@@ -1001,6 +1001,39 @@ def q_engine_wildcard_permuterm(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+GRAM_FUZZY_QUERY = "vektor~2 AND data"
+
+
+def q_engine_fuzzy_gramtier(spark, sf_dir):
+    """Gram-tier fuzzy retrieval (X72): ``vektor~2`` (stem length 6 —
+    inside the tier's soundness domain) expands through the bigram
+    count-filter table instead of the vocabulary scan; a MATCH against
+    the independent DuckDB levenshtein relation proves the tier is a
+    pure physical optimization."""
+    import shutil
+    import tempfile
+
+    from mahout_spark.index.boolquery import boolean_topk
+    from mahout_spark.index.build import build_index
+    from mahout_spark.index.gramindex import build_gramindex
+
+    docs = _load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="msdrv_gft_")
+    try:
+        cat = build_index(
+            spark, docs, out_dir=out, content_col="text",
+            id_cols=["doc_id"], mode="simple", resume=False,
+        )
+        build_gramindex(spark, cat)
+        result = boolean_topk(spark, cat, GRAM_FUZZY_QUERY, k=10).select(
+            "doc_id", F.round("score", 6).alias("score")
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 MSM_QUERY = "table OR scan OR merge OR data"
 MSM_M = 2
 
@@ -1826,6 +1859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_boolean_search": q_engine_boolean_search,
         "engine_prefix_search": q_engine_prefix_search,
         "engine_fuzzy_search": q_engine_fuzzy_search,
+        "engine_fuzzy_gramtier": q_engine_fuzzy_gramtier,
         "engine_boost_search": q_engine_boost_search,
         "engine_wildcard_search": q_engine_wildcard_search,
         "engine_wildcard_permuterm": q_engine_wildcard_permuterm,
@@ -2592,6 +2626,32 @@ def _base_oracle_sql() -> dict[str, str]:
         # engine) is exact because the vocabulary's matches (2) fit the
         # 64-expansion cap; DuckDB's levenshtein is an independent
         # implementation of the same ins/del/sub distance.
+        # gram-tier fuzzy: same independent-levenshtein relation, engine
+        # side served by the bigram count-filter table — output-invisible
+        "engine_fuzzy_gramtier": _TOK_CTE + f"""
+        , fz AS (
+            SELECT DISTINCT term FROM dfreq
+            WHERE abs(length(term) - 6) <= 2
+              AND levenshtein(term, 'vektor') <= 2
+        ), matched AS (
+            SELECT DISTINCT doc_id FROM tf WHERE term IN (SELECT term FROM fz)
+            INTERSECT
+            SELECT DISTINCT doc_id FROM tf WHERE term = 'data'
+        ), contrib AS (
+            SELECT tf.doc_id, {_BM25_CONTRIB} AS c
+            FROM tf
+            JOIN dfreq USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN scal
+            WHERE tf.term IN (SELECT term FROM fz) OR tf.term = 'data'
+        ), agg AS (
+            SELECT doc_id, round(sum(c), 6) AS score
+            FROM contrib JOIN matched USING (doc_id)
+            GROUP BY doc_id
+        )
+        SELECT doc_id, score FROM agg
+        ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
         "engine_fuzzy_search": _TOK_CTE + f"""
         , fz AS (
             SELECT DISTINCT term FROM dfreq

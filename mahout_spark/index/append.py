@@ -245,13 +245,15 @@ def append_to_index(
                 "appends": int(meta.get("appends", 0)) + 1,
             }
         )
-        if meta.pop("permuterm", None):
-            # the lexicon just changed: a stale rotation table would
-            # silently miss the new terms — drop the tier (rebuild with
-            # build_permuterm after the append burst / at compaction)
-            import shutil as _shutil
+        # the lexicon just changed: stale dictionary tiers would silently
+        # miss the new terms — drop them (rebuild with build_permuterm /
+        # build_gramindex after the append burst / at compaction)
+        import shutil as _shutil
 
+        if meta.pop("permuterm", None):
             _shutil.rmtree(cat.table_path("permuterm"), ignore_errors=True)
+        if meta.pop("gramindex", None):
+            _shutil.rmtree(cat.table_path("gramindex"), ignore_errors=True)
         cat.write_meta("postings", meta)
         cat.lineage_append(
             "appends",

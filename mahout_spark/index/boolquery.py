@@ -384,9 +384,13 @@ def _compile_query(spark, cat, query, max_expansions, lex_rows, normalize,
                 prefix_lex.extend(rows)
             node = expand_prefixes(node, expansions)
         if fzs:
+            from mahout_spark.index.gramindex import expand_fuzzy_rows
+
             fexp: dict = {}
             for stem, n in fzs:
-                rows = _fuzzy_expansion_rows(lex, stem, n, max_expansions)
+                rows = expand_fuzzy_rows(
+                    spark, cat, lex, stem, n, max_expansions, meta=meta
+                )
                 fexp[stem, n] = [r["term"] for r in rows]
                 prefix_lex.extend(rows)
             node = expand_fuzzies(node, fexp)
@@ -842,9 +846,13 @@ def boolean_topk_batch(
             )
             pexp[pfx] = [r["term"] for r in rows]
             expansion_lex.extend(rows)
+        from mahout_spark.index.gramindex import expand_fuzzy_rows
+
         fexp: dict = {}
         for stem, ne in fzs:
-            rows = _fuzzy_expansion_rows(lex, stem, ne, max_expansions)
+            rows = expand_fuzzy_rows(
+                spark, cat, lex, stem, ne, max_expansions, meta=meta
+            )
             fexp[stem, ne] = [r["term"] for r in rows]
             expansion_lex.extend(rows)
         from mahout_spark.index.permuterm import expand_wildcard_rows

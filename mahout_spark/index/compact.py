@@ -159,12 +159,14 @@ def compact_index(
     meta = dict(meta)
     meta["appends"] = 0  # block_max_score is tight again
     meta["compacted_at"] = started
+    # purge path re-aggregates the lexicon -> dictionary tiers are
+    # stale; even without a purge the compaction epoch is the natural
+    # rebuild point, so drop-and-rebuild beats silently serving a
+    # possibly-stale tier
     if meta.pop("permuterm", None):
-        # purge path re-aggregates the lexicon -> rotations are stale;
-        # even without a purge the compaction epoch is the natural
-        # rebuild point, so drop-and-rebuild beats silently serving a
-        # possibly-stale tier
         shutil.rmtree(cat.table_path("permuterm"), ignore_errors=True)
+    if meta.pop("gramindex", None):
+        shutil.rmtree(cat.table_path("gramindex"), ignore_errors=True)
     if purged:
         # every bucket swapped under post-delete stats — the mask is no
         # longer needed and the delete lifecycle closes here

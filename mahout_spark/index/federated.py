@@ -268,7 +268,6 @@ def federated_boolean_topk(
     from mahout_spark.index.boolquery import (
         MAX_EXPANSIONS,
         _blended_idf,
-        _fuzzy_expansion_rows,
         _make_boolean_kernel,
         _regexp_expansion_rows,
     )
@@ -322,6 +321,7 @@ def federated_boolean_topk(
                 if d is not None:
                     ent[1] = d if ent[1] is None else min(ent[1], d)
 
+        from mahout_spark.index.gramindex import expand_fuzzy_rows
         from mahout_spark.index.permuterm import expand_wildcard_rows
 
         for nm in sorted(cats):
@@ -334,8 +334,8 @@ def federated_boolean_topk(
                     .limit(cap).collect()
                 ))
             for stem, ne in fzs:
-                feed(("f", stem, ne),
-                     _fuzzy_expansion_rows(lex, stem, ne, cap))
+                feed(("f", stem, ne), expand_fuzzy_rows(
+                    spark, cats[nm], lex, stem, ne, cap, meta=metas[nm]))
             for pat in wcs:
                 feed(("w", pat), expand_wildcard_rows(
                     spark, cats[nm], lex, pat, cap, meta=metas[nm]))

@@ -327,10 +327,12 @@ class Searcher:
         until the index mutates."""
         key = (stem, n, cap)
         if key not in self._fuzzy:
-            from mahout_spark.index.boolquery import _fuzzy_expansion_rows
+            from mahout_spark.index.gramindex import expand_fuzzy_rows
 
             lex = self.cat.read(self.spark, "lexicon")
-            self._fuzzy[key] = _fuzzy_expansion_rows(lex, stem, n, cap)
+            self._fuzzy[key] = expand_fuzzy_rows(
+                self.spark, self.cat, lex, stem, n, cap
+            )
             for r in self._fuzzy[key]:
                 self._terms[r["term"]] = (int(r["bucket"]), int(r["df"]))
         return self._fuzzy[key]
