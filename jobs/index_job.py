@@ -27,6 +27,11 @@ Subcommands:
 * ``compact`` — re-encode postings after appends/deletes (tight bounds
   again; purges tombstones unless --no-purge).
 * ``delete``  — tombstone doc_ids (O(1) metadata write, index/delete.py).
+* ``search``  — full boolean query language (AND/OR/NOT, phrases,
+  prefix/fuzzy/wildcard/regexp, boosts, mm) against a built index.
+* ``tiers``   — build the permuterm + bigram dictionary tiers (run
+  after build/compact; appends drop them automatically).
+* ``stats``   — one-line index diagnostics (diag.index_stats).
 """
 
 from __future__ import annotations
@@ -79,6 +84,20 @@ def main(argv: list[str] | None = None) -> None:
     d.add_argument("--out", required=True, help="index dir")
     d.add_argument("--ids", required=True,
                    help="comma-separated doc_ids to tombstone")
+
+    sr = sub.add_parser("search")
+    sr.add_argument("--out", required=True, help="index dir")
+    sr.add_argument("--query", required=True,
+                    help="boolean query string (queryparse grammar)")
+    sr.add_argument("--k", type=int, default=10)
+    sr.add_argument("--msm", type=int, default=0,
+                    help="minimum_should_match clause count")
+
+    t = sub.add_parser("tiers")
+    t.add_argument("--out", required=True, help="index dir")
+
+    st = sub.add_parser("stats")
+    st.add_argument("--out", required=True, help="index dir")
 
     ns = ap.parse_args(argv)
 
@@ -146,7 +165,7 @@ def main(argv: list[str] | None = None) -> None:
                 "n_docs": meta["n_docs"], "appends": meta["appends"],
                 "deletes": int(meta.get("deletes", 0)),
             })
-        else:  # delete
+        elif ns.cmd == "delete":
             cat = ParquetCatalog(ns.out)
             started = time.time()
             meta = delete_docs(
@@ -157,6 +176,42 @@ def main(argv: list[str] | None = None) -> None:
                 "sec": round(time.time() - started, 4),
                 "deletes": int(meta["deletes"]),
             })
+        elif ns.cmd == "search":
+            from mahout_spark.index.boolquery import boolean_topk
+
+            cat = ParquetCatalog(ns.out)
+            started = time.time()
+            rows = boolean_topk(
+                spark, cat, ns.query, k=ns.k,
+                minimum_should_match=ns.msm,
+            ).collect()
+            _json_line({
+                "job": "search", "query": ns.query, "k": ns.k,
+                "sec": round(time.time() - started, 4),
+                "results": [
+                    {"doc_id": r["doc_id"], "score": round(r["score"], 6)}
+                    for r in rows
+                ],
+            })
+        elif ns.cmd == "tiers":
+            from mahout_spark.index.gramindex import build_gramindex
+            from mahout_spark.index.permuterm import build_permuterm
+
+            cat = ParquetCatalog(ns.out)
+            started = time.time()
+            build_permuterm(spark, cat)
+            build_gramindex(spark, cat)
+            _json_line({
+                "job": "tiers", "out": ns.out,
+                "sec": round(time.time() - started, 4),
+                "permuterm": True, "gramindex": True,
+            })
+        else:  # stats
+            from mahout_spark.index.diag import index_stats
+
+            cat = ParquetCatalog(ns.out)
+            row = index_stats(spark, cat).first().asDict()
+            _json_line({"job": "stats", "out": ns.out, **row})
     finally:
         spark.stop()
 

@@ -123,3 +123,47 @@ def test_spark_submit_build_and_query_roundtrip(spark, tmp_path):
     )
     got2 = [(r["doc_id"], r["score"]) for r in requeried["results"]]
     assert got2 == exp[1:5]
+
+
+def test_entrypoint_search_tiers_stats(spark, tmp_path, monkeypatch):
+    """The new subcommands through main() in-process (the zip/import
+    mechanics are already gated by the real-subprocess test above):
+    tiers builds both dictionary tables, search answers the boolean
+    grammar, stats emits the diagnostics row."""
+    import contextlib
+    import io
+    import json
+    import os
+
+    from jobs.index_job import main
+    from mahout_spark.index.build import build_index
+
+    # main() stops its session on exit (correct under spark-submit);
+    # in-process it must not kill the shared test session
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    out = str(tmp_path / "ep_idx")
+    build_index(spark, docs, out, content_col="text",
+                id_cols=["doc_id"], mode="simple", n_buckets=4,
+                docs_per_shard=64, block_size=16)
+
+    def run(argv):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            main(argv)
+        return json.loads(buf.getvalue().strip().splitlines()[-1])
+
+    t = run(["tiers", "--out", out])
+    assert t["permuterm"] and t["gramindex"]
+    assert os.path.isdir(os.path.join(out, "permuterm"))
+
+    s = run(["search", "--out", out, "--query", "*ble OR merge",
+             "--k", "5"])
+    assert s["results"] and all("doc_id" in r for r in s["results"])
+
+    st = run(["stats", "--out", out])
+    assert st["n_docs"] == 500 and st["n_terms"] > 0
