@@ -1846,8 +1846,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "events_top3_per_user": q_events_top3_per_user,
-        "engine_bm25_search": q_engine_bm25_search,
-        "engine_indexed_bm25": q_engine_indexed_bm25,
         "engine_indexed_bm25_simple": q_engine_indexed_bm25_simple,
         "engine_federated_search": q_engine_federated_search,
         "engine_federated_boolean": q_engine_federated_boolean,
@@ -1890,13 +1888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "cosine_topk": q_cosine_topk,
         "media_meta": q_media_meta,
-        "engine_minhash_neardup": q_engine_minhash_neardup,
-        "engine_simhash_neardup": q_engine_simhash_neardup,
-        "engine_ann_topk": q_engine_ann_topk,
         "engine_ivf_topk": q_engine_ivf_topk,
-        "engine_media_decode": q_engine_media_decode,
-        "engine_cluster_docs": q_engine_cluster_docs,
-        "engine_embedding_neardup_lsh": q_engine_embedding_neardup_lsh,
         "engine_dedup_groups": q_engine_dedup_groups,
         "chunk_documents": q_chunk_documents,
         "pii_redact": q_pii_redact,
@@ -1908,6 +1900,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "report_full": q_report_full,
         "tpch_q3_topk": q_tpch_q3_topk,
         "tpch_promo_share": q_tpch_promo_share,
+        # --- rows-only tail -------------------------------------------------
+        # The 8 documented non-SQL-expressible queries (iterative/stochastic
+        # or hash-seeded semantics DuckDB cannot reproduce) sit LAST so the
+        # driver's correctness window spends every slot on oracle-checkable
+        # entries (round-3 VERDICT ask #1).
+        "engine_bm25_search": q_engine_bm25_search,
+        "engine_indexed_bm25": q_engine_indexed_bm25,
+        "engine_minhash_neardup": q_engine_minhash_neardup,
+        "engine_simhash_neardup": q_engine_simhash_neardup,
+        "engine_ann_topk": q_engine_ann_topk,
+        "engine_media_decode": q_engine_media_decode,
+        "engine_cluster_docs": q_engine_cluster_docs,
+        "engine_embedding_neardup_lsh": q_engine_embedding_neardup_lsh,
     }
 
 

@@ -66,6 +66,26 @@ def main() -> None:
         F.sum(_warm(F.col("id")))
     ).first()
 
+    # A/A window-quality probe (round-3 VERDICT ask #10): the same fixed
+    # query three times, warm, before any timed work. On this host class
+    # identical runs swing 2-4x under hypervisor co-tenancy; recording the
+    # probe spread in the summary lets every BENCH_r*.json self-document
+    # whether its window was clean (spread <~20%) or noisy, so regressions
+    # can be judged against the probe instead of re-derived host weather.
+    aa_trials: list[float] = []
+    docs.groupBy().agg(  # untimed warm-up: exclude codegen cold-start
+        F.sum(F.length("text")), F.count("*")
+    ).collect()
+    for _ in range(3):
+        t0 = time.perf_counter()
+        docs.groupBy().agg(
+            F.sum(F.length("text")), F.count("*")
+        ).collect()
+        aa_trials.append(round(time.perf_counter() - t0, 4))
+    aa_spread = round(
+        (max(aa_trials) - min(aa_trials)) / max(min(aa_trials), 1e-9), 4
+    )
+
     best: dict[str, float] = {}
     trials: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
@@ -281,22 +301,35 @@ def main() -> None:
 
     total = round(sum(best.values()), 4)
     build_sec = best.get("index_build", 0.0) or 1e-9
-    print(
-        json.dumps(
-            {
-                "metric": "index_build_plus_queries_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": best,
-                "trials": trials,
-                "sf": sf_dir,
-                "cpus": cpus,
-                "docs_per_sec_build": round(n_docs / build_sec, 2),
-                "n_docs": n_docs,
-                **({"errors": errors} if errors else {}),
-            }
-        )
-    )
+    summary = {
+        "metric": "index_build_plus_queries_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": best,
+        "sf": sf_dir,
+        "cpus": cpus,
+        "docs_per_sec_build": round(n_docs / build_sec, 2),
+        "n_docs": n_docs,
+        "aa_probe": {"trials": aa_trials, "spread": aa_spread},
+        **({"errors": errors} if errors else {}),
+    }
+    full = dict(summary)
+    full["trials"] = trials
+    # Truncation-proofing (round-3 VERDICT ask #6: BENCH_r03.json's tail
+    # capture decapitated the one huge JSON line and `parsed` came back
+    # null). Emit the FULL payload (with per-query trial lists) first and
+    # to a sidecar file, then the compact summary as the FINAL line — a
+    # tail capture of any length ends on a complete, parseable line, and
+    # a head capture starts on one.
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "BENCH", "latest_full.json"), "w") as f:
+            json.dump(full, f)
+    except OSError:
+        pass
+    print(json.dumps(full))
+    summary["trials_file"] = "BENCH/latest_full.json"
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":
