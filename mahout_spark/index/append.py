@@ -233,6 +233,28 @@ def append_to_index(
 
         # -- lexicon write (the one overwrite, deferred to last) -----------
         cat.overwrite_table_partitioned(new_lexicon, "lexicon", "bucket")
+
+        # -- incremental dictionary-tier maintenance ------------------------
+        # The append knows exactly which terms it touched (the batch's
+        # distinct term set): merge their rotations/grams into the live
+        # tiers as an epoch-stamped delta instead of dropping them — the
+        # tier keeps serving with ZERO full rebuild, at O(batch vocab)
+        # delta cost (round-3 VERDICT ask #3). Readers pick each term's
+        # max-epoch row, so df-ranked expansions stay identical to a
+        # fresh vocabulary scan over the merged lexicon (test-gated).
+        epoch = int(meta.get("appends", 0)) + 1
+        if meta.get("permuterm") or meta.get("gramindex"):
+            touched = new_lexicon.join(
+                new_lex.select("term").distinct(), "term", "left_semi"
+            ).select("term", "bucket", "df")
+            if meta.get("permuterm"):
+                from mahout_spark.index.permuterm import append_permuterm
+
+                append_permuterm(spark, cat, touched, epoch, tag=tag)
+            if meta.get("gramindex"):
+                from mahout_spark.index.gramindex import append_gramindex
+
+                append_gramindex(spark, cat, touched, epoch, tag=tag)
         new_lexicon.unpersist()
 
         # -- meta + lineage ------------------------------------------------
@@ -245,15 +267,6 @@ def append_to_index(
                 "appends": int(meta.get("appends", 0)) + 1,
             }
         )
-        # the lexicon just changed: stale dictionary tiers would silently
-        # miss the new terms — drop them (rebuild with build_permuterm /
-        # build_gramindex after the append burst / at compaction)
-        import shutil as _shutil
-
-        if meta.pop("permuterm", None):
-            _shutil.rmtree(cat.table_path("permuterm"), ignore_errors=True)
-        if meta.pop("gramindex", None):
-            _shutil.rmtree(cat.table_path("gramindex"), ignore_errors=True)
         cat.write_meta("postings", meta)
         cat.lineage_append(
             "appends",
@@ -285,7 +298,8 @@ def _rollback_partial_append(spark, cat, tag, meta) -> None:
     if not tag:
         return
     removed = 0
-    for table in ("tf_raw", "docstats", "postings"):
+    for table in ("tf_raw", "docstats", "postings",
+                  "permuterm", "gramindex"):
         removed += cat.remove_tagged(table, tag)
     if removed:
         docstats = cat.read(

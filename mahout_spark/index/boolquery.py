@@ -197,7 +197,7 @@ def _make_boolean_kernel(node, score_terms: list[str], idf_by_term: dict,
         _check_shard_budget(docs_per_shard)
     qterms = all_terms(node)
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel(pdf, *, deleted=deleted):  # kw-only: applyInPandas sees 1 arg
         shard = int(pdf["shard"].iloc[0])
         base = np.uint64(shard * docs_per_shard)
         decoded = _decode_shard(pdf, qterms, positional)
@@ -278,12 +278,30 @@ def suggest_terms(
         raise QueryParseError(f"suggest needs one token: {word!r}")
     stem = toks[0]
     lex = cat.read(spark, "lexicon")
-    rows = _fuzzy_expansion_rows(lex, stem, max_edits, n + 1)
-    return [
-        (r["term"], int(r["dist"]), int(r["df"]))
-        for r in rows
-        if r["term"] != stem and r["df"] >= min_df
-    ][:n]
+    return _suggest_from(
+        lambda cap: _fuzzy_expansion_rows(lex, stem, max_edits, cap),
+        stem, n, min_df,
+    )
+
+
+def _suggest_from(fetch, stem: str, n: int, min_df: int) -> list:
+    """Shared suggest post-filter with adaptive over-fetch: the n+1 cap
+    only budgets for excluding the stem itself, so a min_df > 1 trim can
+    return fewer than ``n`` even when the lexicon holds enough candidates
+    (ADVICE round 3). Re-fetch with a growing cap until ``n`` survivors
+    or the expansion is exhausted (rows < cap ⇒ no more candidates in
+    edit range)."""
+    cap = n + 1
+    while True:
+        rows = fetch(cap)
+        out = [
+            (r["term"], int(r["dist"]), int(r["df"]))
+            for r in rows
+            if r["term"] != stem and r["df"] >= min_df
+        ]
+        if len(out) >= n or len(rows) < cap:
+            return out[:n]
+        cap *= 4
 
 
 def _wildcard_expansion_rows(lex, pattern: str, cap: int) -> list:
@@ -440,14 +458,14 @@ def _compile_query(spark, cat, query, max_expansions, lex_rows, normalize,
     blocks = cat.read_partitions(spark, "postings", "bucket", buckets).filter(
         F.col("term").isin(sorted(by_term))
     )
-    deleted = None
+    deleted, tomb = None, None
     if int(meta.get("deletes", 0)):
-        from mahout_spark.index.delete import deleted_array
+        from mahout_spark.index.delete import deleted_set
 
-        deleted = deleted_array(spark, cat, meta)
+        deleted, tomb = deleted_set(spark, cat, meta)
     return node, meta, by_term, blocks, (
         positional_needed and bool(meta.get("positional"))
-    ), deleted
+    ), deleted, tomb
 
 
 def _blended_idf(by_term: dict, groups: list, n_docs: int) -> dict:
@@ -539,7 +557,7 @@ def boolean_topk(
                           normalize, minimum_should_match, synonyms)
     if plan is None:
         return spark.createDataFrame([], schema)
-    node, meta, by_term, blocks, positional, deleted = plan
+    node, meta, by_term, blocks, positional, deleted, tomb = plan
     score_terms = [t for t in positive_terms(node) if t in by_term]
     if not score_terms:
         return spark.createDataFrame([], schema)
@@ -568,7 +586,8 @@ def boolean_topk(
         meta["avgdl"], k, int(meta["docs_per_shard"]), positional,
         deleted=deleted, after=after, allowed=allowed,
     )
-    return _run_positional_kernel(spark, blocks, kernel, k, merge)
+    return _run_positional_kernel(spark, blocks, kernel, k, merge,
+                                  tomb, int(meta["docs_per_shard"]))
 
 
 def filtered_topk(
@@ -662,7 +681,7 @@ def _make_explain_kernel(node, score_terms: list[str], idf_raw: dict,
         _check_shard_budget(docs_per_shard)
     qterms = all_terms(node)
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel(pdf, *, deleted=deleted):  # kw-only: applyInPandas sees 1 arg
         shard = int(pdf["shard"].iloc[0])
         base = np.uint64(shard * docs_per_shard)
         decoded = _decode_shard(pdf, qterms, positional)
@@ -749,7 +768,7 @@ def explain_topk(
                           normalize, minimum_should_match, synonyms)
     if plan is None:
         return spark.createDataFrame([], EXPLAIN_SCHEMA)
-    node, meta, by_term, blocks, positional, deleted = plan
+    node, meta, by_term, blocks, positional, deleted, tomb = plan
     score_terms = [t for t in positive_terms(node) if t in by_term]
     if not score_terms:
         return spark.createDataFrame([], EXPLAIN_SCHEMA)
@@ -773,7 +792,11 @@ def explain_topk(
     )
     from pyspark.sql import Window
 
-    per_shard = blocks.groupBy("shard").applyInPandas(kernel, EXPLAIN_SCHEMA)
+    from mahout_spark.index.delete import apply_shard_kernel
+
+    per_shard = apply_shard_kernel(
+        blocks, kernel, EXPLAIN_SCHEMA, tomb, int(meta["docs_per_shard"])
+    )
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
     return (
         per_shard.withColumn("_r", F.dense_rank().over(w))
@@ -933,11 +956,11 @@ def boolean_topk_batch(
     if not live:
         return empty
 
-    deleted = None
+    deleted, tomb = None, None
     if int(meta.get("deletes", 0)):
-        from mahout_spark.index.delete import deleted_array
+        from mahout_spark.index.delete import deleted_set
 
-        deleted = deleted_array(spark, cat, meta)
+        deleted, tomb = deleted_set(spark, cat, meta)
     buckets = sorted({r["bucket"] for r in by_term.values()})
     blocks = cat.read_partitions(spark, "postings", "bucket", buckets).filter(
         F.col("term").isin(sorted(by_term))
@@ -949,7 +972,7 @@ def boolean_topk_batch(
     docs_per_shard = int(meta["docs_per_shard"])
     kernel_terms = sorted(by_term)
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel(pdf, *, deleted=deleted):  # kw-only: applyInPandas sees 1 arg
         shard = int(pdf["shard"].iloc[0])
         base = np.uint64(shard * docs_per_shard)
         decoded = _decode_shard(pdf, kernel_terms, positional)
@@ -974,7 +997,11 @@ def boolean_topk_batch(
             })
         return pd.concat(outs, ignore_index=True)
 
-    per_shard = blocks.groupBy("shard").applyInPandas(kernel, out_schema)
+    from mahout_spark.index.delete import apply_shard_kernel
+
+    per_shard = apply_shard_kernel(
+        blocks, kernel, out_schema, tomb, docs_per_shard
+    )
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(
@@ -1010,7 +1037,7 @@ def score_matches(
                           normalize, minimum_should_match, synonyms)
     if plan is None:
         return spark.createDataFrame([], schema)
-    node, meta, by_term, blocks, positional, deleted = plan
+    node, meta, by_term, blocks, positional, deleted, tomb = plan
     score_terms = [t for t in positive_terms(node) if t in by_term]
     if not score_terms:
         return spark.createDataFrame([], schema)
@@ -1036,7 +1063,11 @@ def score_matches(
         meta["avgdl"], None, int(meta["docs_per_shard"]), positional,
         deleted=deleted,
     )
-    return blocks.groupBy("shard").applyInPandas(kernel, schema)
+    from mahout_spark.index.delete import apply_shard_kernel
+
+    return apply_shard_kernel(
+        blocks, kernel, schema, tomb, int(meta["docs_per_shard"])
+    )
 
 
 def collapse_topk(
@@ -1095,13 +1126,17 @@ def matching_docs(
                           normalize, minimum_should_match, synonyms)
     if plan is None:
         return spark.createDataFrame([], schema)
-    node, meta, by_term, blocks, positional, deleted = plan
+    node, meta, by_term, blocks, positional, deleted, tomb = plan
     if not any(t in by_term for t in positive_terms(node)):
         return spark.createDataFrame([], schema)
     kernel = _make_match_kernel(
         node, int(meta["docs_per_shard"]), positional, deleted=deleted,
     )
-    return blocks.groupBy("shard").applyInPandas(kernel, schema)
+    from mahout_spark.index.delete import apply_shard_kernel
+
+    return apply_shard_kernel(
+        blocks, kernel, schema, tomb, int(meta["docs_per_shard"])
+    )
 
 
 def _make_match_kernel(node, docs_per_shard: int, positional: bool,
@@ -1110,7 +1145,7 @@ def _make_match_kernel(node, docs_per_shard: int, positional: bool,
         _check_shard_budget(docs_per_shard)
     qterms = all_terms(node)
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel(pdf, *, deleted=deleted):  # kw-only: applyInPandas sees 1 arg
         shard = int(pdf["shard"].iloc[0])
         base = np.uint64(shard * docs_per_shard)
         decoded = _decode_shard(pdf, qterms, positional)

@@ -32,7 +32,6 @@ nightly on a rolling-ingest index. Idempotent and crash-safe per bucket
 
 from __future__ import annotations
 
-import os
 import shutil
 import time
 
@@ -62,14 +61,14 @@ def _purge_tombstones(spark: SparkSession, cat: ParquetCatalog,
     hint = F.broadcast(tomb) if n_tomb <= 5_000_000 else tomb
 
     # tf_raw: anti-join + staged atomic swap (same pattern as build
-    # stage 1 — partitionBy on the unshuffled stream, no repartition)
+    # stage 1 — partitionBy on the unshuffled stream, no repartition).
+    # The swap renames the old table aside before promoting the stage —
+    # a crash can never leave the catalog with tf_raw missing at its
+    # canonical path, which matters because tf_raw is the sole source
+    # for the re-encode and the purge re-run's no-op anti-join.
     tf_raw = cat.read(spark, "tf_raw", schema_json=meta.get("tf_schema"))
     tf_live = tf_raw.join(hint, "doc_id", "left_anti")
-    stage = cat.table_path("tf_raw") + ".__purge"
-    tf_live.write.mode("overwrite").partitionBy("bucket").parquet(stage)
-    final = cat.table_path("tf_raw")
-    shutil.rmtree(final)
-    os.rename(stage, final)
+    cat.overwrite_table_partitioned(tf_live, "tf_raw", "bucket")
 
     # docstats: filter + recompute corpus scalars on the write job
     from pyspark.sql import Observation

@@ -24,11 +24,27 @@ the WAND kernel filters the seed BEFORE θ selection — θ is then the k-th
 best LIVE lower bound and the safe-up-to-k argument goes through
 unchanged.
 
-Scale: the tombstone set rides into kernels as a sorted int64 array in
-the UDF closure — fine to ~10^7-10^8 deletes (0.1-1 GB broadcast-ish
-cost). Beyond that a real deployment shards the mask per docid range
-(tombstones are doc_id-sorted, so a per-shard slice join is one
-range-partitioned semi-join) — documented seam, same kernel signature.
+Scale — ADAPTIVE masking (two regimes, bit-identical results):
+
+* **array regime** (deletes <= ``DELETED_MAX_COLLECT``): the tombstone
+  set rides into kernels as one sorted uint64 array in the UDF closure —
+  the interactive shape, zero extra shuffle, fine to ~10^6-10^7 targeted
+  deletes.
+* **relational regime** (above the cap — the mass-delete shape, e.g. a
+  dedup pass tombstoning 20-30% of a crawl corpus): the tombstone table
+  NEVER reaches the driver. ``shard = doc_id // docs_per_shard`` is pure
+  math, so the tombstones map to shards relationally and each shard
+  kernel receives exactly ITS slice via a ``cogroup`` — the mask a doc
+  can hit is identical to the global array's (docs in shard s only ever
+  match tombstones in shard s), so scores, θ-seed filtering, and
+  tie-breaks are bit-identical to the array regime. Cost: one extra
+  hash-shuffle of the tombstone table by shard, amortized across every
+  term's blocks in the scan.
+
+``deleted_set`` picks the regime from the meta's delete counter (no
+probe job); ``apply_shard_kernel`` is the single execution seam every
+retrieval kernel (WAND or/and, batch, boolean, phrase, proximity,
+match-set, explain) runs through.
 """
 
 from __future__ import annotations
@@ -40,8 +56,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mahout_spark.sources.catalog import ParquetCatalog
-
-_TOMB_SCHEMA = "doc_id long, deleted_at double"
 
 
 def delete_docs(
@@ -64,17 +78,24 @@ def delete_docs(
         existing = cat.read(spark, "tombstones", schema_json=None)
         new = new.join(existing.select("doc_id"), "doc_id", "left_anti")
     now = time.time()
-    rows = new.withColumn("deleted_at", F.lit(now)).collect()
-    if rows:
-        cat.append_table(
-            spark.createDataFrame(rows, _TOMB_SCHEMA), "tombstones"
-        )
-    n_total = int(meta.get("deletes", 0)) + len(rows)
+    # count + append WITHOUT a driver round-trip (ADVICE round 3): a
+    # dedup-driven mass delete can be 10^7-10^8 ids, and the write path
+    # never needed them on the driver — the count folds into the write
+    # job as an Observation metric (one action, zero extra jobs).
+    from pyspark.sql import Observation
+
+    obs = Observation("delete_count")
+    new = new.withColumn(
+        "deleted_at", F.lit(now).cast("double")
+    ).observe(obs, F.count(F.lit(1)).alias("n"))
+    cat.append_table(new, "tombstones")
+    n_new = int(obs.get["n"])
+    n_total = int(meta.get("deletes", 0)) + n_new
     meta = dict(meta)
     meta["deletes"] = n_total
     cat.write_meta("postings", meta)  # bumps meta_version -> caches drop
     cat.lineage_append("postings", {
-        "op": "delete", "new": len(rows), "total": n_total, "at": now,
+        "op": "delete", "new": n_new, "total": n_total, "at": now,
     })
     return meta
 
@@ -96,6 +117,94 @@ def deleted_array(
     return np.sort(np.asarray(
         [r["doc_id"] for r in rows], dtype=np.uint64
     ))
+
+
+DELETED_MAX_COLLECT = 1 << 20  # regime switch: array mask vs cogroup slices
+
+
+def deleted_set(
+    spark: SparkSession,
+    cat: ParquetCatalog,
+    meta: dict | None = None,
+    max_collect: int | None = None,
+) -> tuple[np.ndarray | None, DataFrame | None]:
+    """Adaptive tombstone mask: ``(array, None)`` below the cap (the
+    sorted-uint64 kernel-closure format), ``(None, tombstones_df)`` above
+    it (the relational regime — apply_shard_kernel cogroups the slices
+    in). ``(None, None)`` when nothing is deleted. The regime choice
+    reads the meta's exact delete counter — no probe job."""
+    if meta is None:
+        meta = cat.read_meta("postings")
+    cap = DELETED_MAX_COLLECT if max_collect is None else max_collect
+    n = int(meta.get("deletes", 0))
+    if not n or not cat.exists("tombstones"):
+        return None, None
+    if n <= cap:
+        return deleted_array(spark, cat, meta), None
+    return None, cat.read(spark, "tombstones").select("doc_id").distinct()
+
+
+_NP_DTYPES = {
+    "long": "int64", "bigint": "int64", "int": "int32",
+    "double": "float64", "float": "float32", "boolean": "bool",
+    "string": "object",
+}
+
+
+def _empty_pdf(schema: str):
+    """Typed empty pandas frame for a 'name type, ...' DDL string — what
+    a cogroup wrapper returns for shards that hold tombstones but no
+    surviving blocks (the kernel itself assumes a non-empty group)."""
+    import pandas as pd
+
+    cols = {}
+    for field in schema.split(","):
+        name, typ = field.strip().split()
+        cols[name] = pd.Series(dtype=_NP_DTYPES.get(typ.lower(), "object"))
+    return pd.DataFrame(cols)
+
+
+def apply_shard_kernel(
+    blocks: DataFrame,
+    kernel,
+    schema: str,
+    tomb: DataFrame | None = None,
+    docs_per_shard: int | None = None,
+) -> DataFrame:
+    """THE execution seam for every per-shard retrieval kernel. Without
+    ``tomb`` (no deletes, or the array regime where the mask already sits
+    in the kernel closure): plain groupBy(shard).applyInPandas. With
+    ``tomb`` (relational regime): cogroup the tombstones — mapped to
+    shards by the same ``doc_id // docs_per_shard`` math the build uses —
+    so each kernel call receives exactly its shard's sorted slice as a
+    second argument. Bit-identical to the array regime: a shard's docs
+    can only ever collide with its own shard's tombstones. The tombstone
+    table never touches the driver or a task closure."""
+    if tomb is None:
+        return blocks.groupBy("shard").applyInPandas(kernel, schema)
+    if docs_per_shard is None:
+        raise ValueError("relational tombstone regime needs docs_per_shard")
+    tomb_s = tomb.select(
+        (F.col("doc_id") / F.lit(int(docs_per_shard)))
+        .cast("long").alias("shard"),
+        F.col("doc_id").cast("long"),
+    )
+
+    def wrapped(left, right):
+        if len(left) == 0:
+            return _empty_pdf(schema)  # tombstones-only shard: no blocks
+        dels = None
+        if len(right):
+            dels = np.unique(
+                right["doc_id"].to_numpy(np.int64).astype(np.uint64)
+            )
+        return kernel(left, deleted=dels)
+
+    return (
+        blocks.groupBy("shard")
+        .cogroup(tomb_s.groupBy("shard"))
+        .applyInPandas(wrapped, schema)
+    )
 
 
 def live_mask(docs: np.ndarray, deleted: np.ndarray | None) -> np.ndarray:

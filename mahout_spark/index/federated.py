@@ -159,7 +159,7 @@ def federated_topk(
     indexes tiny rows) for interactive latency, exactly like
     ``wand.topk``. Per-index tombstones are honored (each kernel masks
     its own index's deleted docs)."""
-    from mahout_spark.index.delete import deleted_array
+    from mahout_spark.index.delete import apply_shard_kernel, deleted_set
     from mahout_spark.index.wand import _make_shard_kernel
 
     cats = _as_named(cats)
@@ -193,9 +193,9 @@ def federated_topk(
         if mode_all and len(present) < len(qterms):
             # this index cannot host an all-terms match; skip its scan
             continue
-        deleted = None
+        deleted, tomb = None, None
         if int(meta.get("deletes", 0)):
-            deleted = deleted_array(spark, cat, meta)
+            deleted, tomb = deleted_set(spark, cat, meta)
         buckets = sorted({r["bucket"] for r in rows})
         blocks = cat.read_partitions(
             spark, "postings", "bucket", buckets
@@ -209,8 +209,10 @@ def federated_topk(
             use_stored_bounds=False, deleted=deleted,
         )
         branches.append(
-            blocks.groupBy("shard")
-            .applyInPandas(kernel, "doc_id long, score double")
+            apply_shard_kernel(
+                blocks, kernel, "doc_id long, score double",
+                tomb, int(meta["docs_per_shard"]),
+            )
             .select(F.lit(name).alias("index"), "doc_id", "score")
         )
     if not branches:
@@ -271,8 +273,6 @@ def federated_boolean_topk(
         _make_boolean_kernel,
         _regexp_expansion_rows,
     )
-    from mahout_spark.index.delete import deleted_array
-
     cap = MAX_EXPANSIONS if max_expansions is None else max_expansions
     cats = _as_named(cats)
     if not cats:
@@ -405,9 +405,11 @@ def federated_boolean_topk(
         score_terms = [t for t in score_terms_all if t in present]
         if not score_terms:
             continue  # no positive query term lives here -> nothing scores
-        deleted = None
+        deleted, tomb = None, None
         if int(meta.get("deletes", 0)):
-            deleted = deleted_array(spark, cat, meta)
+            from mahout_spark.index.delete import deleted_set
+
+            deleted, tomb = deleted_set(spark, cat, meta)
         # positional decode only when the QUERY needs it (same gate as
         # _compile_query): a phrase-free query on a positional index must
         # not decode position payloads or trip the shard budget
@@ -422,9 +424,13 @@ def federated_boolean_topk(
             k1, b, avgdl, k, int(meta["docs_per_shard"]), positional,
             deleted=deleted,
         )
+        from mahout_spark.index.delete import apply_shard_kernel
+
         branches.append(
-            blocks.groupBy("shard")
-            .applyInPandas(kernel, "doc_id long, score double")
+            apply_shard_kernel(
+                blocks, kernel, "doc_id long, score double",
+                tomb, int(meta["docs_per_shard"]),
+            )
             .select(F.lit(name).alias("index"), "doc_id", "score")
         )
     if not branches:

@@ -30,8 +30,10 @@ why the table stores per-gram counts — gated by the identity test's
 repetitive-vocabulary cases.
 
 Same lifecycle as the permuterm tier (X71): ``build_gramindex`` after
-build/compact; lexicon-changing appends/compactions DROP the table
-(meta flag + dir) so a stale tier can never miss new vocabulary;
+build/compact; appends maintain the tier INCREMENTALLY
+(``append_gramindex`` — an epoch-stamped delta for exactly the batch's
+touched terms, readers keep each candidate's max-epoch row), while
+compactions — where every stat moves — drop it for a fresh build;
 ``expand_fuzzy_rows`` is the single routing point and returns rows
 IDENTICAL to the scan path (test-gated across stems, distances, and
 both regimes).
@@ -55,19 +57,14 @@ def _grams(word: str) -> dict[str, int]:
     return out
 
 
-def build_gramindex(spark: SparkSession, cat: ParquetCatalog) -> None:
-    """Materialize the bigram table: (gram, term, cnt, tlen, bucket,
-    df), one row per DISTINCT gram per term with its occurrence count,
-    range-sorted by gram (prefix/IN probes prune row groups via parquet
-    min/max — the same physical trick as lexicon/permuterm). Idempotent
-    overwrite; meta gains ``gramindex: true`` (meta_version bump re-keys
-    warm caches)."""
-    lex = cat.read(spark, "lexicon").select("term", "bucket", "df")
+def _gram_rows(lex: DataFrame, epoch: int) -> DataFrame:
+    """(gram, term, cnt, tlen, bucket, df, epoch) rows — the shared
+    construction between the full build and the per-append delta."""
     grams = F.transform(
         F.sequence(F.lit(1), F.length("term") - F.lit(Q - 1)),
         lambda i: F.substr(F.col("term"), i, F.lit(Q)),
     )
-    table = (
+    return (
         lex.filter(F.length("term") >= Q)
         .select(
             "term", "bucket", "df",
@@ -76,6 +73,21 @@ def build_gramindex(spark: SparkSession, cat: ParquetCatalog) -> None:
         )
         .groupBy("term", "bucket", "df", "tlen", "gram")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("epoch", F.lit(int(epoch)))
+    )
+
+
+def build_gramindex(spark: SparkSession, cat: ParquetCatalog) -> None:
+    """Materialize the bigram table: (gram, term, cnt, tlen, bucket,
+    df, epoch), one row per DISTINCT gram per term with its occurrence
+    count, range-sorted by gram (prefix/IN probes prune row groups via
+    parquet min/max — the same physical trick as lexicon/permuterm).
+    Idempotent overwrite; meta gains ``gramindex: true`` (meta_version
+    bump re-keys warm caches). Appends then maintain it INCREMENTALLY
+    (append_gramindex) instead of rebuilding."""
+    lex = cat.read(spark, "lexicon").select("term", "bucket", "df")
+    table = (
+        _gram_rows(lex, 0)
         .repartitionByRange(
             max(spark.sparkContext.defaultParallelism, 8), "gram"
         )
@@ -85,6 +97,31 @@ def build_gramindex(spark: SparkSession, cat: ParquetCatalog) -> None:
     meta = cat.read_meta("postings")
     meta["gramindex"] = True
     cat.write_meta("postings", meta)
+
+
+def append_gramindex(
+    spark: SparkSession,
+    cat: ParquetCatalog,
+    touched_lex: DataFrame,
+    epoch: int,
+    tag: str | None = None,
+) -> None:
+    """Incremental tier maintenance on append (round-3 VERDICT ask #3),
+    the gram twin of append_permuterm: every term the append touched —
+    new or df-moved — gets a fresh full gram set stamped with the
+    append's ``epoch``; readers keep the max-epoch rows per candidate
+    term, so the count-filter and df ranking always see current values.
+    Delta cost is O(batch vocabulary x avg term length); delta files are
+    internally gram-sorted so row-group pruning survives. Compaction
+    drops the tier for a fresh build (its stats all move there)."""
+    delta = (
+        _gram_rows(touched_lex.select("term", "bucket", "df"), epoch)
+        .repartitionByRange(
+            max(spark.sparkContext.defaultParallelism, 8), "gram"
+        )
+        .sortWithinPartitions("gram", "term")
+    )
+    cat.append_table(delta, "gramindex", tag=tag)
 
 
 def gram_tier_applies(stem: str, n: int) -> bool:
@@ -111,6 +148,8 @@ def gram_fuzzy_expansion_rows(
     sg = _grams(stem)
     m = len(stem)
     gi = spark.read.parquet(cat.table_path("gramindex"))
+    if "epoch" not in gi.columns:  # pre-epoch table layout
+        gi = gi.withColumn("epoch", F.lit(0))
     qg = spark.createDataFrame(
         [(g, c) for g, c in sorted(sg.items())], "gram string, scnt int"
     )
@@ -118,8 +157,19 @@ def gram_fuzzy_expansion_rows(
         gi.filter(F.col("gram").isin(sorted(sg)))
         .filter(F.col("tlen").between(m - n, m + n))
         .join(F.broadcast(qg), "gram")
-        .groupBy("term", "bucket", "df", "tlen")
+        .groupBy("term", "bucket", "df", "tlen", "epoch")
         .agg(F.sum(F.least(F.col("cnt"), F.col("scnt"))).alias("shared"))
+    )
+    # appended deltas re-stamp touched terms (df moved): keep only each
+    # candidate's max-epoch row so ranking sees current df — the window
+    # runs over the gram-pruned candidate set, never the vocabulary
+    from pyspark.sql import Window
+
+    w_ep = Window.partitionBy("term").orderBy(F.col("epoch").desc())
+    shared = (
+        shared.withColumn("_rk", F.row_number().over(w_ep))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk", "epoch")
     )
     bound = F.greatest(F.col("tlen"), F.lit(m)) - F.lit(Q - 1 + n * Q)
     dist = F.levenshtein(F.col("term"), F.lit(stem), n)

@@ -50,17 +50,29 @@ from pyspark.sql import functions as F
 from mahout_spark.index import queryparse as qp
 
 
-def _leaf_patterns_ok(node) -> None:
-    if node[0] == "phrase" and node[2] is not None:
+def _leaf_patterns_ok(node, allow_fields: bool = False) -> None:
+    kind = node[0]
+    if kind == "phrase" and node[2] is not None:
         raise ValueError(
             "slop phrases are not supported in percolation (no positions "
             "materialized); use the positional index for proximity"
         )
-    if node[0] in ("not", "boost"):
-        _leaf_patterns_ok(node[1])
-    elif node[0] in ("and", "or", "msm"):
+    # Field-tag leaves (e.g. lang:java) only exist as SYNTHETIC tokens the
+    # indexer posts from a lang column — the simple tokenizer can never
+    # emit ':'. Without a lang_col seam here they would silently never
+    # match any document; reject loudly instead (ADVICE round 3).
+    if (not allow_fields and kind in ("term", "prefix", "wildcard", "regexp")
+            and ":" in node[1]):
+        raise ValueError(
+            f"field-tag leaf {node[1]!r} can never match: the tokenizer "
+            "never emits ':'; pass lang_col= to percolate() so the "
+            "synthetic 'lang:<x>' tag is appended to each doc's tokens"
+        )
+    if kind in ("not", "boost"):
+        _leaf_patterns_ok(node[1], allow_fields)
+    elif kind in ("and", "or", "msm"):
         for c in node[1]:
-            _leaf_patterns_ok(c)
+            _leaf_patterns_ok(c, allow_fields)
 
 
 def _compile_node(node, toks: Column, stream: Column) -> Column:
@@ -117,6 +129,7 @@ def percolate(
     normalize=None,
     synonyms: dict | None = None,
     minimum_should_match: int = 0,
+    lang_col: str | None = None,
 ) -> DataFrame:
     """Match every doc in ``docs`` against every stored query:
     ``DataFrame[<id_col>, query_id]``, one row per (doc, matching
@@ -124,9 +137,14 @@ def percolate(
     grammar) or pre-built node tree. Tokenization is the SQL-expressible
     simple tokenizer (split/lower — the mode='simple' index stream), so
     percolation decisions agree with a simple-mode index's match sets
-    (and with the DuckDB oracle). The compiled plan is one narrow
-    stateless projection — it accepts a Structured Streaming frame
-    unchanged."""
+    (and with the DuckDB oracle). With ``lang_col`` the synthetic
+    ``lang:<lowercased value>`` tag is appended to each doc's token set
+    (exactly the tf=1 row stats.term_frequencies posts), so field-tag
+    query leaves match; without it such leaves are rejected at compile
+    time rather than silently never matching. Tags stay OUT of the
+    phrase stream, mirroring the indexer's empty-positions contract.
+    The compiled plan is one narrow stateless projection — it accepts a
+    Structured Streaming frame unchanged."""
     norm = qp._simple_normalize if normalize is None else normalize
     if not queries:
         return spark.createDataFrame(
@@ -143,7 +161,7 @@ def percolate(
             node = qp.expand_synonyms(node, synonyms, norm)
         if minimum_should_match:
             node = qp.with_minimum_should_match(node, minimum_should_match)
-        _leaf_patterns_ok(node)
+        _leaf_patterns_ok(node, allow_fields=lang_col is not None)
         nodes[qid] = node
 
     # staged projection: the token array is aliased once and referenced
@@ -154,11 +172,25 @@ def percolate(
 
     staged = docs.select(
         F.col(id_col),
-        tokens_expr(F.col(content_col)).alias("_toks"),
+        tokens_expr(F.col(content_col)).alias("_raw"),
+        *([F.lower(F.col(lang_col)).alias("_lang")] if lang_col else []),
     ).select(
-        id_col, "_toks",
+        id_col,
+        # token set for leaf matching: raw tokens + the synthetic lang
+        # tag (when present); the phrase stream is built from raw tokens
+        # ONLY — tags carry no positions in the indexer either
+        (
+            F.when(
+                F.col("_lang").isNotNull(),
+                F.concat(
+                    F.col("_raw"),
+                    F.array(F.concat(F.lit("lang:"), F.col("_lang"))),
+                ),
+            ).otherwise(F.col("_raw"))
+            if lang_col else F.col("_raw")
+        ).alias("_toks"),
         F.concat(
-            F.lit(" "), F.array_join("_toks", " "), F.lit(" ")
+            F.lit(" "), F.array_join("_raw", " "), F.lit(" ")
         ).alias("_stream"),
     )
     toks, stream = F.col("_toks"), F.col("_stream")

@@ -43,24 +43,35 @@ from mahout_spark.sources.catalog import ParquetCatalog
 SENTINEL = "$"
 
 
-def build_permuterm(spark: SparkSession, cat: ParquetCatalog) -> None:
-    """Materialize the permuterm table for an existing index: one row
-    per rotation of each lexicon term — (rot, term, bucket, df), sorted
-    by rotation on disk (range partitioning -> tight min/max stats ->
-    prefix probes prune row groups). Idempotent overwrite; meta gains
-    ``permuterm: true`` (bumping meta_version, so warm Searcher caches
-    re-key). Cost: one lexicon scan + one range shuffle of ~(avg term
-    length + 1) x vocabulary rows — run it after build/compact, or
-    whenever wildcard traffic warrants the tier."""
-    lex = cat.read(spark, "lexicon").select("term", "bucket", "df")
+def _rotation_rows(lex: DataFrame, epoch: int) -> DataFrame:
+    """(rot, term, bucket, df, epoch) rows for every rotation of every
+    term in ``lex`` — the shared construction between the full build and
+    the per-append delta merge."""
     w = F.concat(F.col("term"), F.lit(SENTINEL))
     rots = F.transform(
         F.sequence(F.lit(0), F.length(w) - F.lit(1)),
         lambda i: F.concat(F.substr(w, i + F.lit(1)),
                            F.substr(w, F.lit(1), i)),
     )
+    return lex.select(
+        F.explode(rots).alias("rot"), "term", "bucket", "df",
+        F.lit(int(epoch)).alias("epoch"),
+    )
+
+
+def build_permuterm(spark: SparkSession, cat: ParquetCatalog) -> None:
+    """Materialize the permuterm table for an existing index: one row
+    per rotation of each lexicon term — (rot, term, bucket, df, epoch),
+    sorted by rotation on disk (range partitioning -> tight min/max
+    stats -> prefix probes prune row groups). Idempotent overwrite; meta
+    gains ``permuterm: true`` (bumping meta_version, so warm Searcher
+    caches re-key). Cost: one lexicon scan + one range shuffle of ~(avg
+    term length + 1) x vocabulary rows — run it after build/compact, or
+    whenever wildcard traffic warrants the tier. Appends then maintain
+    it INCREMENTALLY (append_permuterm) instead of rebuilding."""
+    lex = cat.read(spark, "lexicon").select("term", "bucket", "df")
     table = (
-        lex.select(F.explode(rots).alias("rot"), "term", "bucket", "df")
+        _rotation_rows(lex, 0)
         .repartitionByRange(
             max(spark.sparkContext.defaultParallelism, 8), "rot"
         )
@@ -70,6 +81,35 @@ def build_permuterm(spark: SparkSession, cat: ParquetCatalog) -> None:
     meta = cat.read_meta("postings")
     meta["permuterm"] = True
     cat.write_meta("postings", meta)
+
+
+def append_permuterm(
+    spark: SparkSession,
+    cat: ParquetCatalog,
+    touched_lex: DataFrame,
+    epoch: int,
+    tag: str | None = None,
+) -> None:
+    """Incremental tier maintenance on append (round-3 VERDICT ask #3):
+    the append knows exactly which terms it touched — new terms need
+    their rotations inserted, and existing touched terms' df moved (it
+    ranks expansions), so BOTH get fresh rows stamped with the append's
+    ``epoch``. Readers keep, per candidate term, the max-epoch row, so
+    expansion ranking always sees current df without the tier ever being
+    rebuilt: delta cost is O(batch vocabulary x avg term length), never
+    O(index vocabulary). Delta files are internally rot-sorted, so
+    parquet min/max row-group pruning on prefix probes keeps working
+    across base + deltas; a compaction (which rewrites all stats) drops
+    the tier for a fresh build — the natural re-sort point, exactly the
+    Lucene segment model applied to the dictionary."""
+    delta = (
+        _rotation_rows(touched_lex.select("term", "bucket", "df"), epoch)
+        .repartitionByRange(
+            max(spark.sparkContext.defaultParallelism, 8), "rot"
+        )
+        .sortWithinPartitions("rot")
+    )
+    cat.append_table(delta, "permuterm", tag=tag)
 
 
 def permuterm_prefix(pattern: str) -> str | None:
@@ -99,11 +139,18 @@ def permuterm_expansion_rows(
     prefix = permuterm_prefix(pattern)
     assert prefix is not None, pattern
     pt = spark.read.parquet(cat.table_path("permuterm"))
+    cand = pt.filter(F.col("rot").startswith(prefix))
+    if "epoch" in cand.columns:
+        # appended deltas re-stamp touched terms with their current df;
+        # per term the max-(epoch, df) struct IS the latest row (epoch
+        # dominates; df tiebreak is vacuous — one delta per epoch)
+        cand = cand.groupBy("term", "bucket").agg(
+            F.max(F.struct("epoch", "df"))["df"].alias("df")
+        )
+    else:  # pre-epoch table layout
+        cand = cand.select("term", "bucket", "df").distinct()
     return (
-        pt.filter(F.col("rot").startswith(prefix))
-        .select("term", "bucket", "df")
-        .distinct()
-        .filter(F.col("term").rlike(regex))
+        cand.filter(F.col("term").rlike(regex))
         .orderBy(F.col("df").desc(), F.col("term").asc())
         .limit(cap)
         .collect()

@@ -244,7 +244,7 @@ def _make_phrase_kernel(
     _check_shard_budget(docs_per_shard)
     distinct_terms = sorted(dict.fromkeys(phrase))
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel(pdf, *, deleted=deleted):  # kw-only: applyInPandas sees 1 arg
         front = _decode_intersect(pdf, distinct_terms, docs_per_shard)
         if front is None:
             return _empty_result()
@@ -281,7 +281,7 @@ def _make_proximity_kernel(
     _check_shard_budget(docs_per_shard)
     distinct_terms = sorted(dict.fromkeys(terms))
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel(pdf, *, deleted=deleted):  # kw-only: applyInPandas sees 1 arg
         front = _decode_intersect(pdf, distinct_terms, docs_per_shard)
         if front is None:
             return _empty_result()
@@ -335,17 +335,20 @@ def _positional_query_plan(spark, cat, qterms, lex_rows):
     blocks = cat.read_partitions(spark, "postings", "bucket", buckets).filter(
         F.col("term").isin(qterms)
     )
-    deleted = None
+    deleted, tomb = None, None
     if int(meta.get("deletes", 0)):
-        from mahout_spark.index.delete import deleted_array
+        from mahout_spark.index.delete import deleted_set
 
-        deleted = deleted_array(spark, cat, meta)
-    return meta, idf_by_term, blocks, deleted
+        deleted, tomb = deleted_set(spark, cat, meta)
+    return meta, idf_by_term, blocks, deleted, tomb
 
 
-def _run_positional_kernel(spark, blocks, kernel, k, merge) -> DataFrame:
-    per_shard = blocks.groupBy("shard").applyInPandas(
-        kernel, "doc_id long, score double"
+def _run_positional_kernel(spark, blocks, kernel, k, merge,
+                           tomb=None, docs_per_shard=None) -> DataFrame:
+    from mahout_spark.index.delete import apply_shard_kernel
+
+    per_shard = apply_shard_kernel(
+        blocks, kernel, "doc_id long, score double", tomb, docs_per_shard
     )
     if merge == "driver":
         rows = sorted(
@@ -372,12 +375,13 @@ def phrase_topk(
     plan = _positional_query_plan(spark, cat, qterms, lex_rows)
     if plan is None:
         return spark.createDataFrame([], "doc_id long, score double")
-    meta, idf_by_term, blocks, deleted = plan
+    meta, idf_by_term, blocks, deleted, tomb = plan
     kernel = _make_phrase_kernel(
         list(phrase), idf_by_term, meta["k1"], meta["b"], meta["avgdl"], k,
         int(meta["docs_per_shard"]), deleted=deleted,
     )
-    return _run_positional_kernel(spark, blocks, kernel, k, merge)
+    return _run_positional_kernel(spark, blocks, kernel, k, merge,
+                                  tomb, int(meta["docs_per_shard"]))
 
 
 def proximity_topk(
@@ -402,9 +406,10 @@ def proximity_topk(
     plan = _positional_query_plan(spark, cat, qterms, lex_rows)
     if plan is None:
         return spark.createDataFrame([], "doc_id long, score double")
-    meta, idf_by_term, blocks, deleted = plan
+    meta, idf_by_term, blocks, deleted, tomb = plan
     kernel = _make_proximity_kernel(
         qterms, window, idf_by_term, meta["k1"], meta["b"], meta["avgdl"],
         k, int(meta["docs_per_shard"]), deleted=deleted,
     )
-    return _run_positional_kernel(spark, blocks, kernel, k, merge)
+    return _run_positional_kernel(spark, blocks, kernel, k, merge,
+                                  tomb, int(meta["docs_per_shard"]))

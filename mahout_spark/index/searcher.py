@@ -58,8 +58,8 @@ class Searcher:
         self._wildcard: dict[tuple, list] = {}
         # (pattern, cap) -> [(term, bucket, df)] regexp expansions
         self._regexp: dict[tuple, list] = {}
-        # tombstone set (sorted uint64) | None; loaded lazily per epoch
-        self._deleted = None
+        # adaptive tombstone mask (array, tomb_df) — see _deleted_set
+        self._deleted = (None, None)
         self._deleted_loaded = False
         self._meta: dict = {}
 
@@ -91,13 +91,17 @@ class Searcher:
             self._meta = meta
 
     def _deleted_set(self):
-        """Epoch-cached tombstone array (index/delete.py) for the
-        driver-side kernels; a delete bumps meta_version, so staleness is
+        """Epoch-cached ADAPTIVE tombstone mask (index/delete.py
+        deleted_set): ``(array, None)`` below the collect cap — the
+        driver-side kernels' format — or ``(None, tomb_df)`` in the
+        mass-delete relational regime, where the interactive driver-exec
+        fast paths bail to the distributed kernels (which cogroup the
+        slices in). A delete bumps meta_version, so staleness is
         impossible past ``_ensure_fresh``."""
         if not self._deleted_loaded:
-            from mahout_spark.index.delete import deleted_array
+            from mahout_spark.index.delete import deleted_set
 
-            self._deleted = deleted_array(
+            self._deleted = deleted_set(
                 self.spark, self.cat, self._meta
             )
             self._deleted_loaded = True
@@ -169,7 +173,8 @@ class Searcher:
         qterms = list(dict.fromkeys(terms))
         if mode_all and len(lex) < len(qterms):
             return []  # a query term absent from the corpus -> empty AND
-        if sum(r["df"] for r in lex) <= DRIVER_EXEC_MAX_POSTINGS:
+        if (sum(r["df"] for r in lex) <= DRIVER_EXEC_MAX_POSTINGS
+                and self._deleted_set()[1] is None):
             return self._topk_rows_driver(qterms, lex, k, mode_all, prune)
         return wand.topk(
             self.spark, self.cat, qterms, k=k, mode_all=mode_all,
@@ -199,7 +204,7 @@ class Searcher:
             idf, meta["k1"], meta["b"], meta["avgdl"], k, mode_all,
             len(qterms), prune,
             use_stored_bounds=int(meta.get("appends", 0)) == 0,
-            deleted=self._deleted_set(),
+            deleted=self._deleted_set()[0],
         )
         import pandas as pd
 
@@ -263,7 +268,8 @@ class Searcher:
         lex = self._lex_rows(qterms)
         if len(lex) < len(qterms):
             return []  # some phrase term absent -> no doc can match
-        if sum(r["df"] for r in lex) > DRIVER_EXEC_MAX_POSTINGS:
+        if (sum(r["df"] for r in lex) > DRIVER_EXEC_MAX_POSTINGS
+                or self._deleted_set()[1] is not None):
             return phrase_mod.phrase_topk(
                 self.spark, self.cat, list(phrase), k=k, lex_rows=lex,
                 merge="driver",
@@ -284,7 +290,7 @@ class Searcher:
             return []
         kernel = phrase_mod._make_phrase_kernel(
             list(phrase), idf, meta["k1"], meta["b"], meta["avgdl"], k,
-            int(meta["docs_per_shard"]), deleted=self._deleted_set(),
+            int(meta["docs_per_shard"]), deleted=self._deleted_set()[0],
         )
         import pandas as pd
 
@@ -456,19 +462,27 @@ class Searcher:
         """Spell suggestions (boolquery.suggest_terms) served from the
         epoch-cached fuzzy expansion rows — a repeat suggest over the
         same stem launches no lexicon job."""
-        from mahout_spark.index.boolquery import suggest_terms
-        from mahout_spark.index.queryparse import _simple_normalize
+        from mahout_spark.index.boolquery import _suggest_from, suggest_terms
+        from mahout_spark.index.queryparse import (
+            MAX_FUZZY_EDITS,
+            QueryParseError,
+            _simple_normalize,
+        )
 
         self._ensure_fresh()
+        # same contract as suggest_terms — the cached fast path must not
+        # silently accept what the cold path rejects (ADVICE round 3)
+        if max_edits > MAX_FUZZY_EDITS:
+            raise QueryParseError(
+                f"max_edits is capped at {MAX_FUZZY_EDITS}: {max_edits}"
+            )
         toks = _simple_normalize(word)
         if len(toks) == 1:
             stem = toks[0]
-            rows = self._fuzzy_rows(stem, max_edits, n + 1)
-            return [
-                (r["term"], int(r["dist"]), int(r["df"]))
-                for r in rows
-                if r["term"] != stem and r["df"] >= min_df
-            ][:n]
+            return _suggest_from(
+                lambda cap: self._fuzzy_rows(stem, max_edits, cap),
+                stem, n, min_df,
+            )
         return suggest_terms(self.spark, self.cat, word, n, max_edits,
                              min_df)
 

@@ -111,7 +111,7 @@ def _make_shard_kernel(idf_by_term: dict, k1: float, b: float, avgdl: float,
             tfm + k1 * (1.0 - b + b * dlm / avgdl)
         )
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel(pdf, *, deleted=deleted):  # kw-only: applyInPandas sees 1 arg
         groups = {t: g for t, g in pdf.groupby("term")}
         present = [t for t in terms_sorted if t in groups]
         if mode_all and len(present) < n_terms:
@@ -279,10 +279,11 @@ def topk(
     # stored block_max_score was computed with build-time stats; after any
     # append df/avgdl may have moved, so switch to the append-safe bounds.
     use_stored_bounds = int(meta.get("appends", 0)) == 0
+    tomb = None
     if deleted is None and int(meta.get("deletes", 0)):
-        from mahout_spark.index.delete import deleted_array
+        from mahout_spark.index.delete import deleted_set
 
-        deleted = deleted_array(spark, cat, meta)
+        deleted, tomb = deleted_set(spark, cat, meta)
     qterms = list(dict.fromkeys(terms))
     # term -> bucket is pure hash math (pmod(xxhash64)), replicated driver-
     # side by the bit-compatible pure-Python XXH64 (functions/xxhash.py,
@@ -319,8 +320,11 @@ def topk(
         idf_by_term, k1, b, avgdl, k, mode_all, len(qterms), prune,
         use_stored_bounds=use_stored_bounds, deleted=deleted,
     )
-    per_shard = blocks.groupBy("shard").applyInPandas(
-        kernel, "doc_id long, score double"
+    from mahout_spark.index.delete import apply_shard_kernel
+
+    per_shard = apply_shard_kernel(
+        blocks, kernel, "doc_id long, score double",
+        tomb, int(meta["docs_per_shard"]),
     )
     if merge == "driver":
         rows = sorted(
@@ -391,15 +395,20 @@ def topk_batch(
     blocks = cat.read_partitions(spark, "postings", "bucket", buckets).filter(
         F.col("term").isin(sorted(present_terms))
     )
+    tomb = None
     if deleted is None and int(meta.get("deletes", 0)):
-        from mahout_spark.index.delete import deleted_array
+        from mahout_spark.index.delete import deleted_set
 
-        deleted = deleted_array(spark, cat, meta)
+        deleted, tomb = deleted_set(spark, cat, meta)
     kernel = _make_batch_shard_kernel(
         live_queries, idf_by_term, k1, b, avgdl, k, mode_all,
         deleted=deleted,
     )
-    per_shard = blocks.groupBy("shard").applyInPandas(kernel, out_schema)
+    from mahout_spark.index.delete import apply_shard_kernel
+
+    per_shard = apply_shard_kernel(
+        blocks, kernel, out_schema, tomb, int(meta["docs_per_shard"]),
+    )
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(
@@ -421,7 +430,7 @@ def _make_batch_shard_kernel(
     the same deterministic reduction as the single-query kernel."""
     qitems = sorted(queries.items())
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel(pdf, *, deleted=deleted):  # kw-only: applyInPandas sees 1 arg
         groups = {t: g for t, g in pdf.groupby("term")}
         decoded: dict[str, tuple] = {}
 

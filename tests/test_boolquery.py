@@ -1008,3 +1008,34 @@ def test_filtered_topk_after_and_merge_across_regimes(spark, pos_built,
     assert p1_small + p2_small == deep
     with pytest.raises(ValueError, match="merge"):
         filtered_topk(spark, pos_built, q, flt, k=3, merge="driver")
+
+
+def test_suggest_min_df_overfetch_and_fastpath_cap(spark, tmp_path_factory):
+    """ADVICE round 3: (a) the n+1 fetch cap only budgeted for excluding
+    the stem, so a min_df>1 trim could return fewer than n suggestions
+    even when the lexicon holds enough candidates — here six distance-1
+    df=1 terms fill the old cap and min_df=2 used to return NOTHING
+    despite five qualifying distance-2 terms; (b) Searcher.suggest's
+    cached fast path silently accepted max_edits=3 that suggest_terms
+    rejects."""
+    from mahout_spark.index.boolquery import suggest_terms
+    from mahout_spark.index.searcher import Searcher
+
+    texts = [f"cat{c}" for c in "abcdef"]  # dist 1 from catz, df=1 each
+    texts += ["carx cary carw carv caru"] * 2  # dist 2, df=2 each
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, content string"
+    )
+    cat = build_index(
+        spark, docs, str(tmp_path_factory.mktemp("sugidx")),
+        content_col="content", id_cols=["doc_id"], mode="simple",
+        n_buckets=2, docs_per_shard=8, block_size=8,
+    )
+    want = [(t, 2, 2) for t in ["caru", "carv", "carw", "carx", "cary"]]
+    assert suggest_terms(spark, cat, "catz", n=5, min_df=2) == want
+
+    s = Searcher(spark, cat)
+    assert s.suggest("catz", n=5, min_df=2) == want
+    assert s.suggest("catz", n=5, min_df=2) == want  # warm repeat
+    with pytest.raises(qp.QueryParseError):
+        s.suggest("catz", max_edits=3)

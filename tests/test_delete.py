@@ -228,3 +228,130 @@ def test_live_mask_helper():
     assert live_mask(docs, deleted).tolist() == [True, False, True, False]
     assert live_mask(docs, None).all()
     assert live_mask(np.array([], dtype=np.uint64), deleted).tolist() == []
+
+
+def test_relational_tombstone_regime_bit_identical(spark, corpus, tmp_path,
+                                                   monkeypatch):
+    """Round-3 VERDICT ask #2: above DELETED_MAX_COLLECT the tombstone
+    set must stay distributed (cogrouped per-shard slices), and every
+    retrieval path must return BIT-IDENTICAL rows to the array regime.
+    Forcing the cap to 0 routes everything through the relational path;
+    deleted_array is patched to explode so any residual corpus-shaped
+    driver collect fails loudly."""
+    from mahout_spark.index import delete as del_mod
+    from mahout_spark.index.boolquery import (
+        boolean_topk, explain_topk, matching_docs, score_matches,
+    )
+    from mahout_spark.index.phrase import phrase_topk, proximity_topk
+    from mahout_spark.index.searcher import Searcher
+
+    cat = _build(spark, corpus, tmp_path / "adapt", positions=True)
+    terms = ["data", "merge"]
+    dead = [r[0] for r in _rows(topk(spark, cat, terms, k=8))][:4]
+    delete_docs(spark, cat, dead)
+
+    def run_all():
+        out = {
+            "or": _rows(topk(spark, cat, terms, k=12)),
+            "or_noprune": _rows(topk(spark, cat, terms, k=12, prune=False)),
+            "and": _rows(topk(spark, cat, terms, k=12, mode_all=True)),
+            "batch": sorted(
+                (r["query_id"], r["doc_id"], round(r["score"], 9))
+                for r in topk_batch(
+                    spark, cat, {"a": terms, "b": ["table"]}, k=8
+                ).collect()
+            ),
+            "bool": _rows(boolean_topk(spark, cat, "data AND merge")),
+            "scores": sorted(_rows(score_matches(spark, cat, "data OR merge"))),
+            "match": sorted(
+                r["doc_id"]
+                for r in matching_docs(spark, cat, "data OR merge").collect()
+            ),
+            "explain": [
+                (r["doc_id"], r["term"], round(r["contrib"], 9))
+                for r in explain_topk(spark, cat, "data OR merge", k=5)
+                .collect()
+            ],
+            "phrase": _rows(phrase_topk(spark, cat, ["table", "scan"], k=8)),
+            "prox": _rows(
+                proximity_topk(spark, cat, ["data", "merge"], 8, k=8)
+            ),
+        }
+        s = Searcher(spark, cat)
+        out["searcher"] = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in s.topk_rows(terms, k=12)
+        ]
+        return out
+
+    array_regime = run_all()
+    # every dead doc is really gone
+    assert not (set(dead) & {d for d, _ in array_regime["or"]})
+
+    monkeypatch.setattr(del_mod, "DELETED_MAX_COLLECT", 0)
+
+    def _no_collect(*a, **kw):
+        raise AssertionError(
+            "relational regime must not collect tombstones to the driver"
+        )
+
+    monkeypatch.setattr(del_mod, "deleted_array", _no_collect)
+    relational = run_all()
+    assert relational == array_regime
+
+
+def test_theta_seed_live_filter_in_relational_regime(spark, tmp_path,
+                                                     monkeypatch):
+    """The θ-seed live filter must hold when the mask arrives as a
+    cogrouped shard slice: the dup-heavy corpus whose whole seed block is
+    deleted still returns all live docs, pruned ≡ unpruned."""
+    from mahout_spark.index import delete as del_mod
+
+    heavy = "signal " * 8
+    light = "signal noise filler words here"
+    docs = [(i, heavy) for i in range(40)] + [
+        (100 + i, light + " extra" * i) for i in range(6)
+    ]
+    sdf = spark.createDataFrame(docs, ["doc_id", "content"])
+    cat = _build(spark, sdf, tmp_path / "dup_rel", docs_per_shard=32,
+                 block_size=8)
+    delete_docs(spark, cat, list(range(40)))
+
+    monkeypatch.setattr(del_mod, "DELETED_MAX_COLLECT", 0)
+    got = _rows(topk(spark, cat, ["signal", "noise"], k=6))
+    ref = _rows(topk(spark, cat, ["signal", "noise"], k=6, prune=False))
+    assert got == ref
+    assert {d for d, _ in got} == {100 + i for i in range(6)}
+
+
+def test_federated_respects_relational_regime(spark, corpus, tmp_path,
+                                              monkeypatch):
+    """Per-index tombstones honored in both regimes across a federated
+    search (each index picks its own regime from its own meta)."""
+    from mahout_spark.index import delete as del_mod
+    from mahout_spark.index.federated import federated_topk
+
+    rows = corpus.collect()
+    half = len(rows) // 2
+    a = spark.createDataFrame(rows[:half], corpus.schema)
+    b = spark.createDataFrame(rows[half:], corpus.schema)
+    cat_a = _build(spark, a, tmp_path / "fa")
+    cat_b = _build(spark, b, tmp_path / "fb")
+    terms = ["data", "merge"]
+    base = federated_topk(spark, {"a": cat_a, "b": cat_b}, terms, k=10)
+    dead = [r["doc_id"] for r in base.collect()][:3]
+    delete_docs(spark, cat_a, dead)
+    delete_docs(spark, cat_b, dead)
+
+    def run():
+        return [
+            (r["index"], r["doc_id"], round(r["score"], 9))
+            for r in federated_topk(
+                spark, {"a": cat_a, "b": cat_b}, terms, k=10
+            ).collect()
+        ]
+
+    arr = run()
+    assert not ({d for _, d, _ in arr} & set(dead))
+    monkeypatch.setattr(del_mod, "DELETED_MAX_COLLECT", 0)
+    assert run() == arr

@@ -100,29 +100,72 @@ def test_fuzzy_query_results_unchanged(spark, built):
             for r in s.query(q, k=10).collect()] == with_tier  # warm
 
 
-def test_append_invalidates_gram_tier(spark, built, tmp_path_factory):
+def test_append_incrementally_maintains_gram_tier(spark, tmp_path_factory):
+    """Round-3 VERDICT ask #3, gram twin: an append merges the touched
+    terms' grams into the live tier as an epoch delta — no drop, no full
+    rebuild (base files survive byte-for-byte) — and fuzzy expansion
+    stays identical to the lexicon scan over the merged vocabulary,
+    including current df for df-moved existing terms."""
     import os
 
     from mahout_spark.index.append import append_to_index
+    from mahout_spark.index.boolquery import (
+        _fuzzy_expansion_rows,
+        boolean_topk,
+    )
     from mahout_spark.index.build import build_index
 
     docs = (
         spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-        .select("doc_id", "text").filter(F.col("doc_id") < 400)
+        .select("doc_id", "text")
     )
     cat = build_index(
-        spark, docs, str(tmp_path_factory.mktemp("gidx_inc")),
+        spark, docs.filter(F.col("doc_id") < 400),
+        str(tmp_path_factory.mktemp("gidx_inc")),
         content_col="text", id_cols=["doc_id"], mode="simple",
         n_buckets=4, docs_per_shard=64, block_size=16,
     )
     build_gramindex(spark, cat)
+    gi_dir = cat.table_path("gramindex")
+    base_files = {
+        f: os.path.getmtime(os.path.join(gi_dir, f))
+        for f in os.listdir(gi_dir) if f.startswith("part-")
+    }
+    assert base_files
+
+    # new term + df drift on the shared vocabulary
     extra = spark.createDataFrame(
         [(90002, "mergeeq data")], ["doc_id", "text"])
-    append_to_index(spark, cat, extra, content_col="text", batch_id="g1")
-    assert "gramindex" not in cat.read_meta("postings")
-    assert not os.path.isdir(cat.table_path("gramindex"))
-    # fallback finds the new vocabulary immediately
-    from mahout_spark.index.boolquery import boolean_topk
+    append_to_index(
+        spark, cat,
+        docs.filter(F.col("doc_id") >= 400).unionByName(extra),
+        content_col="text", batch_id="g1",
+    )
+    meta = cat.read_meta("postings")
+    assert meta.get("gramindex") is True  # tier still live
+    for f, mt in base_files.items():
+        assert os.path.getmtime(os.path.join(gi_dir, f)) == mt, f
+    assert any(f.startswith("a") for f in os.listdir(gi_dir))
 
+    # the tier (flag still set) serves the new vocabulary
     hits = boolean_topk(spark, cat, "mergeeq~1 AND data", k=5).collect()
     assert 90002 in {r["doc_id"] for r in hits}
+
+    # expansion ≡ lexicon scan over the MERGED vocabulary, current df
+    lex = cat.read(spark, "lexicon")
+    for stem, n in STEMS + [("mergeeq", 2), ("mergeq", 1)]:
+        scan = _rows4(_fuzzy_expansion_rows(lex, stem, n, 64))
+        tiered = _rows4(expand_fuzzy_rows(spark, cat, lex, stem, n, 64))
+        assert tiered == scan, (stem, n)
+
+    # second append stacks another delta correctly
+    append_to_index(
+        spark, cat,
+        spark.createDataFrame([(90003, "mergeeq again")],
+                              ["doc_id", "text"]),
+        content_col="text", batch_id="g2",
+    )
+    lex2 = cat.read(spark, "lexicon")
+    for stem, n in [("mergeeq", 1), ("againn", 1)]:
+        assert _rows4(expand_fuzzy_rows(spark, cat, lex2, stem, n, 64)) \
+            == _rows4(_fuzzy_expansion_rows(lex2, stem, n, 64)), (stem, n)

@@ -182,3 +182,54 @@ def test_percolate_runs_under_structured_streaming(spark, docs_df,
     got = {(r["doc_id"], r["query_id"])
            for r in spark.table("perc_sink").collect()}
     assert got == _want(QUERIES, token_lists)
+
+
+def test_percolate_field_tags_with_lang_col(spark, token_lists):
+    """Field-tag leaves match via the synthetic lang:<x> token when
+    lang_col is given (ADVICE round 3: previously they silently never
+    matched). Oracle: python evaluation over tokens + the tag."""
+    from mahout_spark.index.percolate import percolate
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text", "lang")
+    )
+    langs = {r["doc_id"]: (r["lang"] or "").lower()
+             for r in docs.select("doc_id", "lang").collect()}
+    qs = {"jfr": "lang:fr AND table", "pre": "lang:e* AND scan"}
+    got = {(r["doc_id"], r["query_id"]) for r in percolate(
+        spark, qs, docs, lang_col="lang").collect()}
+    want = set()
+    for d, toks in token_lists.items():
+        tagged = toks + [f"lang:{langs[d]}"] if langs[d] else toks
+        ts = set(tagged)
+        if "lang:fr" in ts and "table" in ts:
+            want.add((d, "jfr"))
+        if any(t.startswith("lang:e") for t in ts) and "scan" in ts:
+            want.add((d, "pre"))
+    assert got == want
+    assert {q for _, q in got} == {"jfr", "pre"}  # both non-trivial
+
+
+def test_percolate_field_tag_rejected_without_lang_col(spark, docs_df):
+    """Without the lang_col seam a field-tag leaf can never match any
+    document — compile must fail loudly, not return empty silently."""
+    from mahout_spark.index.percolate import percolate
+
+    with pytest.raises(ValueError, match="field-tag"):
+        percolate(spark, {"bad": "lang:java AND table"}, docs_df)
+
+
+def test_percolate_lang_tag_stays_out_of_phrase_stream(spark, token_lists):
+    """The synthetic tag extends the token SET only: phrase matching is
+    positional over real tokens, so lang_col must not perturb it."""
+    from mahout_spark.index.percolate import percolate
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text", "lang")
+    )
+    qs = {"ph": '"table scan" OR vector'}
+    with_tag = {(r["doc_id"], r["query_id"]) for r in percolate(
+        spark, qs, docs, lang_col="lang").collect()}
+    assert with_tag == _want(qs, token_lists)

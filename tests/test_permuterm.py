@@ -106,15 +106,21 @@ def test_probe_plan_is_pushed_prefix_scan(spark, built):
     assert "TakeOrderedAndProject" in p
 
 
-def test_append_and_compact_invalidate_the_tier(spark, tmp_path_factory):
-    """A lexicon-changing append must drop the rotation table (a stale
-    tier would silently miss new terms); rebuilding restores it and the
-    new vocabulary is findable by leading wildcard."""
+def test_append_incrementally_maintains_the_tier(spark, tmp_path_factory):
+    """Round-3 VERDICT ask #3: a lexicon-changing append must MERGE the
+    touched terms' rotations into the live tier (epoch-stamped delta)
+    instead of dropping it — zero full rebuild (the base files survive
+    byte-for-byte), new vocabulary findable by leading wildcard through
+    the tier, and expansion rows identical to a vocabulary scan over the
+    MERGED lexicon, including current df for touched existing terms."""
     import os
 
     from mahout_spark.index.append import append_to_index
+    from mahout_spark.index.boolquery import (
+        _wildcard_expansion_rows,
+        boolean_topk,
+    )
     from mahout_spark.index.build import build_index
-    from mahout_spark.index.boolquery import boolean_topk
 
     docs = (
         spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -127,21 +133,85 @@ def test_append_and_compact_invalidate_the_tier(spark, tmp_path_factory):
         n_buckets=4, docs_per_shard=64, block_size=16,
     )
     build_permuterm(spark, cat)
-    assert os.path.isdir(cat.table_path("permuterm"))
+    pt_dir = cat.table_path("permuterm")
+    base_files = {
+        f: os.path.getmtime(os.path.join(pt_dir, f))
+        for f in os.listdir(pt_dir) if f.startswith("part-")
+    }
+    assert base_files
 
+    # the appended batch introduces a NEW term and moves df on existing
+    # vocabulary (docs >= 400 re-use the corpus words)
     extra = spark.createDataFrame(
         [(90001, "zebraqux data")], ["doc_id", "text"])
     append_to_index(spark, cat,
                     docs.filter(F.col("doc_id") >= 400).unionByName(extra),
                     content_col="text", batch_id="b1")
+
+    meta = cat.read_meta("postings")
+    assert meta.get("permuterm") is True  # tier still live
+    # zero full rebuild: every base file survives untouched, the delta
+    # arrived as new tagged files
+    for f, mt in base_files.items():
+        assert os.path.getmtime(os.path.join(pt_dir, f)) == mt, f
+    assert any(f.startswith("a") for f in os.listdir(pt_dir))
+
+    # new vocabulary served THROUGH the tier (flag still set -> the
+    # routing point probes rotations, plan-gated elsewhere)
+    hits = boolean_topk(spark, cat, "*qux AND data", k=5).collect()
+    assert [r["doc_id"] for r in hits] == [90001]
+
+    # expansion ≡ vocabulary scan on the merged lexicon — including df
+    # values for touched existing terms (stale df would reorder caps)
+    lex = cat.read(spark, "lexicon")
+    for p in PATTERNS + ["*qux", "zeb*qux"]:
+        scan = _rows3(_wildcard_expansion_rows(lex, p, 64))
+        tiered = _rows3(expand_wildcard_rows(spark, cat, lex, p, 64))
+        assert tiered == scan, p
+
+    # a second append keeps stacking deltas correctly
+    append_to_index(
+        spark, cat,
+        spark.createDataFrame([(90002, "zebraqux reborn")],
+                              ["doc_id", "text"]),
+        content_col="text", batch_id="b2",
+    )
+    lex2 = cat.read(spark, "lexicon")
+    for p in ["*qux", "*born", "r*rn"]:
+        assert _rows3(expand_wildcard_rows(spark, cat, lex2, p, 64)) == \
+            _rows3(_wildcard_expansion_rows(lex2, p, 64)), p
+
+
+def test_compact_drops_the_tier_for_fresh_build(spark, tmp_path_factory):
+    """Compaction rewrites every stat — the tier drops there (the
+    natural re-sort point) and a rebuild restores identical results."""
+    import os
+
+    from mahout_spark.index.build import build_index
+    from mahout_spark.index.compact import compact_index
+    from mahout_spark.index.append import append_to_index
+    from mahout_spark.index.boolquery import boolean_topk
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    cat = build_index(
+        spark, docs.filter(F.col("doc_id") < 300),
+        str(tmp_path_factory.mktemp("pt_cmp")),
+        content_col="text", id_cols=["doc_id"], mode="simple",
+        n_buckets=4, docs_per_shard=64, block_size=16,
+    )
+    build_permuterm(spark, cat)
+    append_to_index(spark, cat,
+                    docs.filter(F.col("doc_id").between(300, 360)),
+                    content_col="text", batch_id="c1")
+    before = boolean_topk(spark, cat, "*an OR data", k=10).collect()
+    compact_index(spark, cat)
     meta = cat.read_meta("postings")
     assert "permuterm" not in meta
     assert not os.path.isdir(cat.table_path("permuterm"))
-    # fallback scan serves the new vocabulary immediately...
-    hits = boolean_topk(spark, cat, "*qux AND data", k=5).collect()
-    assert [r["doc_id"] for r in hits] == [90001]
-    # ...and a rebuilt tier serves it via the rotation probe
     build_permuterm(spark, cat)
-    hits2 = boolean_topk(spark, cat, "*qux AND data", k=5).collect()
-    assert [(r["doc_id"], r["score"]) for r in hits2] == \
-        [(r["doc_id"], r["score"]) for r in hits]
+    after = boolean_topk(spark, cat, "*an OR data", k=10).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in after] == \
+        [(r["doc_id"], round(r["score"], 9)) for r in before]
