@@ -769,6 +769,19 @@ def q_engine_percolate(spark, sf_dir):
     return percolate(spark, BATCH_QUERIES, docs)
 
 
+def q_engine_percolate_prefiltered(spark, sf_dir):
+    """Prefiltered percolation (X73, the ES percolator's 10^5-registry
+    tier): the same BATCH_QUERIES registry routed through the
+    required-term candidate index + interpreted verify
+    (percolate_prefiltered) — results are contract-identical to
+    q_engine_percolate, so the SAME DuckDB oracle checks both (and the
+    driver hash doubles as the cross-evaluator parity gate)."""
+    from mahout_spark.index.percolate import percolate_prefiltered
+
+    docs = _load(spark, sf_dir, "documents")
+    return percolate_prefiltered(spark, BATCH_QUERIES, docs)
+
+
 SUGGEST_WORD = "hat"
 
 
@@ -1872,6 +1885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_suggest": q_engine_suggest,
         "engine_boolean_batch": q_engine_boolean_batch,
         "engine_percolate": q_engine_percolate,
+        "engine_percolate_prefiltered": q_engine_percolate_prefiltered,
         "engine_index_stats": q_engine_index_stats,
         "engine_content_sha": q_engine_content_sha,
         "engine_msm_search": q_engine_msm_search,
@@ -2388,7 +2402,11 @@ def _pipeline_sql() -> dict[str, str]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return _base_oracle_sql() | _textstats_sql() | _pipeline_sql()
+    out = _base_oracle_sql() | _textstats_sql() | _pipeline_sql()
+    # the prefiltered percolator is contract-identical to the compiled
+    # one — the same relation checks both (cross-evaluator parity gate)
+    out["engine_percolate_prefiltered"] = out["engine_percolate"]
+    return out
 
 
 def _base_oracle_sql() -> dict[str, str]:

@@ -163,6 +163,49 @@ def main() -> None:
                   if "topk" in n or "search" in n
                   else qs[n](spark, sf_dir).count())
 
+    # percolator prefilter tier: registry-size scaling (the 10^5 rule).
+    # Sublinearity gate: wall(8k) / wall(1k) must sit far below 8x — the
+    # prefiltered evaluator's per-doc cost follows candidate counts, not
+    # registry size (compare in BENCH/BASELINE.md).
+    try:
+        from mahout_spark.index.percolate import percolate_prefiltered
+
+        # realistic alert-rule registry: rules trigger on SPECIFIC
+        # (rare-ish) corpus terms — the percolator workload shape (entity
+        # watchlists, taxonomy rules). One df aggregation derives the
+        # trigger vocabulary; each doc then matches few rules' covers.
+        tok = F.explode(F.array_distinct(F.split(
+            F.lower(F.col("text")), "[^a-z0-9]+"))).alias("term")
+        pvocab = [
+            r["term"] for r in (
+                docs.select(tok).filter(F.col("term") != "")
+                .groupBy("term").count()
+                .filter(F.col("count").between(3, 500))
+                .orderBy("term").limit(8_000).collect()
+            )
+        ]
+
+        def _registry(size):
+            V = len(pvocab)
+            out = {}
+            for i in range(size):
+                a, b = pvocab[(i * 13) % V], pvocab[(i * 29 + 7) % V]
+                c = pvocab[(i * 7 + 3) % V]
+                out[f"p{i}"] = (
+                    f"{a} AND {b}" if i % 3 == 0
+                    else f'"{a} {b}" OR {c}' if i % 3 == 1
+                    else f"{a} OR {b} AND {c}"
+                )
+            return out
+
+        r1k, r8k = _registry(1_000), _registry(8_000)
+        timed("percolate_prefilter_1k", lambda: percolate_prefiltered(
+            spark, r1k, docs, content_col="text").count())
+        timed("percolate_prefilter_8k", lambda: percolate_prefiltered(
+            spark, r8k, docs, content_col="text").count())
+    except Exception as exc:
+        errors["percolate_prefilter"] = f"{type(exc).__name__}: {exc}"[:200]
+
     # indexed query path over the kept build
     try:
         from mahout_spark.index.wand import topk as wand_topk

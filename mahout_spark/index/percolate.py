@@ -32,12 +32,14 @@ approximation, not this). Slop phrases are rejected: token positions
 are not materialized here (use the positional index + phrase_topk for
 proximity retrieval).
 
-Scale note: this evaluates EVERY stored query per doc — right up to
-registries of a few thousand rules (codegen handles wide boolean
-projections well). At 10^5+ stored queries the standard trick is a
-prefilter index OVER THE QUERIES (index query terms, candidate-select
-rules whose required terms appear in the doc) — that tier slots in
-front of this same compiled evaluator.
+Scale note: ``percolate`` evaluates EVERY stored query per doc — right
+up to registries of a few thousand rules (codegen handles wide boolean
+projections well). ``percolate_prefiltered`` is the 10^5+ tier: a
+REQUIRED-TERM index over the queries (the ES percolator's term-extraction
+trick) candidate-selects, per doc, only the rules whose cover terms the
+doc contains, then verifies exactly those — per-doc cost scales with the
+doc's candidate count, not registry size (bench-gated sublinear growth;
+parity with the full evaluator test-gated on a 10^4-rule registry).
 """
 
 from __future__ import annotations
@@ -202,3 +204,232 @@ def percolate(
         id_col,
         F.explode(F.filter(hits, lambda x: x.isNotNull())).alias("query_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefilter tier (the 10^5-registry regime)
+# ---------------------------------------------------------------------------
+
+
+def required_cover(node) -> frozenset | None:
+    """A REQUIRED-TERM cover of a query tree: a set of literal terms such
+    that EVERY matching document contains at least one of them — the
+    candidate-selection invariant the prefilter index needs (ES
+    percolator term extraction, Lucene TermsQuery cover). ``None`` means
+    unprefilterable (the query can match docs sharing no enumerable term
+    — pattern leaves, negations) and the query joins the always-verify
+    residual set.
+
+    Construction: a term covers itself; a phrase is covered by any one of
+    its words (the longest is chosen — longer ≈ rarer without df stats);
+    AND needs only ONE positive child's cover (the smallest set wins, ties
+    by total term length desc then lexicographic — fewer index rows, rarer
+    terms); OR/msm(m>=1) need the union over ALL children (any branch can
+    fire alone) and are poisoned by any uncoverable child."""
+    kind = node[0]
+    if kind == "term":
+        return frozenset([node[1]])
+    if kind == "phrase":
+        return frozenset([max(node[1], key=lambda t: (len(t), t))])
+    if kind == "boost":
+        return required_cover(node[1])
+    if kind in ("prefix", "wildcard", "regexp", "fuzzy", "not"):
+        return None
+    if kind == "and":
+        best = None
+        for c in node[1]:
+            if c[0] == "not":
+                continue
+            cov = required_cover(c)
+            if cov is None:
+                continue
+            key = (len(cov), -sum(len(t) for t in cov), tuple(sorted(cov)))
+            if best is None or key < best[0]:
+                best = (key, cov)
+        return best[1] if best else None
+    if kind in ("or", "msm"):
+        out: set = set()
+        for c in node[1]:
+            cov = required_cover(c)
+            if cov is None:
+                return None
+            out |= cov
+        return frozenset(out)
+    raise ValueError(f"unexpected node kind in cover extraction: {kind!r}")
+
+
+def _edit_within(a: str, b: str, n: int) -> bool:
+    """Banded Levenshtein <= n — the JVM threshold ``levenshtein(a, b,
+    n) >= 0`` predicate's exact python twin."""
+    if abs(len(a) - len(b)) > n:
+        return False
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        lo = len(b) + 1
+        for j, cb in enumerate(b, 1):
+            v = min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+            cur.append(v)
+            lo = min(lo, v)
+        if lo > n:
+            return False
+        prev = cur
+    return prev[-1] <= n
+
+
+def _py_eval(node, toks: list, tokset: set) -> bool:
+    """Interpreted evaluation of a query tree over one doc's token list —
+    the exact semantic twin of ``_compile_node``'s JVM projection (the
+    per-candidate verify step of the prefiltered path; parity with the
+    compiled evaluator is test-gated on every leaf kind)."""
+    import re as _re
+
+    kind = node[0]
+    if kind == "term":
+        return node[1] in tokset
+    if kind == "prefix":
+        p = node[1]
+        return any(t.startswith(p) for t in tokset)
+    if kind == "wildcard":
+        rx = _re.compile(qp.wildcard_regex(node[1]))
+        return any(rx.match(t) for t in tokset)
+    if kind == "regexp":
+        rx = _re.compile(f"^(?:{node[1]})$")
+        return any(rx.match(t) for t in tokset)
+    if kind == "fuzzy":
+        stem, n = node[1], node[2]
+        return any(_edit_within(t, stem, n) for t in tokset)
+    if kind == "phrase":
+        seq = list(node[1])
+        return any(
+            toks[i:i + len(seq)] == seq
+            for i in range(len(toks) - len(seq) + 1)
+        )
+    if kind == "boost":
+        return _py_eval(node[1], toks, tokset)
+    if kind == "not":
+        return not _py_eval(node[1], toks, tokset)
+    if kind == "and":
+        return all(_py_eval(c, toks, tokset) for c in node[1])
+    if kind == "or":
+        return any(_py_eval(c, toks, tokset) for c in node[1])
+    if kind == "msm":
+        hits = 0
+        for c in node[1]:
+            hits += _py_eval(c, toks, tokset)
+            if hits >= node[2]:
+                return True
+        return False
+    raise ValueError(f"unexpected node kind in percolation: {kind!r}")
+
+
+def percolate_prefiltered(
+    spark,
+    queries: dict,
+    docs: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    normalize=None,
+    synonyms: dict | None = None,
+    minimum_should_match: int = 0,
+    lang_col: str | None = None,
+) -> DataFrame:
+    """Percolation for LARGE registries (the module header's 10^5 rule):
+    same contract and results as ``percolate`` (parity test-gated), with
+    per-doc cost proportional to the doc's CANDIDATE queries instead of
+    registry size.
+
+    Plan: (1) registry side, once per call — parse + preprocess every
+    query exactly as ``percolate`` does, extract a required-term cover
+    per query (``required_cover``); uncoverable queries form the
+    always-verify residual. (2) doc side — the same staged JVM tokenizer
+    projection, then ONE ``mapInPandas`` pass: per doc, candidates =
+    (cover-term hits via a dict probe over the doc's token set) ∪
+    residual, each verified by the interpreted evaluator (``_py_eval``).
+    The term->queries map rides the UDF closure (registry metadata is
+    KB-MB scale — percolation's analog of the lexicon-slice collect);
+    docs never leave executors, the pass is stateless, and the same call
+    runs under Structured Streaming.
+
+    This is deliberately an Arrow-batched python stage where ``percolate``
+    is a pure JVM projection: a 10^5-column codegen projection is not a
+    plan Catalyst can compile, and evaluating only ~candidates per doc is
+    the asymptotic win the compiled path cannot express. Crossover is
+    registry-size dependent (bench-gated: sublinear growth 1k->10k)."""
+    norm = qp._simple_normalize if normalize is None else normalize
+    if not queries:
+        return spark.createDataFrame([], f"{id_col} long, query_id string")
+    nodes = {}
+    for qid, q in sorted(queries.items()):
+        if isinstance(q, str):
+            node = qp.parse(q) if normalize is None else qp.parse(q, norm)
+        else:
+            qp.validate(q)
+            node = q
+        if synonyms:
+            node = qp.expand_synonyms(node, synonyms, norm)
+        if minimum_should_match:
+            node = qp.with_minimum_should_match(node, minimum_should_match)
+        _leaf_patterns_ok(node, allow_fields=lang_col is not None)
+        nodes[qid] = node
+
+    term_to_qids: dict[str, list] = {}
+    residual: list = []
+    for qid, node in nodes.items():
+        cov = required_cover(node)
+        if cov is None:
+            residual.append(qid)
+        else:
+            for t in cov:
+                term_to_qids.setdefault(t, []).append(qid)
+
+    from mahout_spark.operators.textstats import tokens_expr
+
+    if not docs.isStreaming:
+        # few-split batch inputs would run the verify stage as one task
+        # (streaming sources own their parallelism; spread_input is
+        # batch-only — df.rdd is illegal on a streaming frame)
+        from mahout_spark.checkpoint import spread_input
+
+        docs = spread_input(docs)
+    staged = docs.select(
+        F.col(id_col),
+        tokens_expr(F.col(content_col)).alias("_raw"),
+        *([F.lower(F.col(lang_col)).alias("_lang")] if lang_col else []),
+    ).select(
+        id_col,
+        (
+            F.when(
+                F.col("_lang").isNotNull(),
+                F.concat(
+                    F.col("_raw"),
+                    F.array(F.concat(F.lit("lang:"), F.col("_lang"))),
+                ),
+            ).otherwise(F.col("_raw"))
+            if lang_col else F.col("_raw")
+        ).alias("_toks"),
+    )
+
+    out_schema = f"{id_col} long, query_id string"
+
+    def verify(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids_out, qids_out = [], []
+            for did, toks in zip(pdf[id_col], pdf["_toks"]):
+                toks = list(toks)
+                tokset = set(toks)
+                cands = set(residual)
+                for t in tokset:
+                    hit = term_to_qids.get(t)
+                    if hit:
+                        cands.update(hit)
+                for qid in cands:
+                    if _py_eval(nodes[qid], toks, tokset):
+                        ids_out.append(did)
+                        qids_out.append(qid)
+            yield pd.DataFrame({id_col: pd.Series(ids_out, dtype="int64"),
+                                "query_id": qids_out})
+
+    return staged.mapInPandas(verify, out_schema)

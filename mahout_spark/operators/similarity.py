@@ -193,6 +193,52 @@ def add_ivf_cells(
     return emb.withColumn("cell", cell_udf(F.col(vec_col)))
 
 
+def write_ivf_table(
+    emb: DataFrame, centroids: np.ndarray, path: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF layout on disk: the embedding table written
+    ``partitionBy("cell")`` (hive-style ``cell=<i>/`` dirs) so probes
+    become PARTITION-PRUNED scans — the embedding analog of the postings
+    table's term buckets. One narrow pass (the cell assignment matmul)
+    plus the partitioned write; run once per (corpus, quantizer), then
+    every query reads ~n_probes/n_cells of the data (plan-gated:
+    the probe's scan carries the cell predicate in PartitionFilters)."""
+    add_ivf_cells(emb, centroids, vec_col).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(path)
+
+
+def ivf_ann_topk_from_table(
+    spark, path: str, qvec: list[float], centroids: np.ndarray,
+    k: int = 10, n_probes: int = 4,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN over the cell-partitioned table ``write_ivf_table``
+    produced: probe-cell selection is driver-side math, the ``cell IN
+    (...)`` predicate prunes PARTITIONS (directories never opened, not
+    just row groups), and the exact cosine rerank runs inside the
+    surviving cells only. Results are identical to the in-memory
+    ``ivf_ann_topk`` on the same quantizer (test-gated), and exactly
+    brute force when ``n_probes >= n_cells``."""
+    C = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(qvec, dtype=np.float64)
+    order = np.argsort(-(C @ q), kind="stable")  # ties -> lowest cell
+    probes = [int(c) for c in order[:n_probes]]
+    cells = spark.read.parquet(path)
+    return (
+        cells.filter(F.col("cell").isin(probes))
+        .select(
+            id_col,
+            F.round(
+                cosine_to_query_expr(F.col(vec_col), qvec), 6
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def ivf_ann_topk(
     emb: DataFrame, qvec: list[float], centroids: np.ndarray,
     k: int = 10, n_probes: int = 4,

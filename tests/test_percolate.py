@@ -233,3 +233,127 @@ def test_percolate_lang_tag_stays_out_of_phrase_stream(spark, token_lists):
     with_tag = {(r["doc_id"], r["query_id"]) for r in percolate(
         spark, qs, docs, lang_col="lang").collect()}
     assert with_tag == _want(qs, token_lists)
+
+
+# -- prefilter tier (the 10^5-registry regime) --------------------------------
+
+
+def test_required_cover_rules():
+    from mahout_spark.index import queryparse as qp
+    from mahout_spark.index.percolate import required_cover
+
+    cov = lambda q: required_cover(qp.parse(q))
+    # AND picks one child; singleton tie broken toward the LONGER term
+    assert cov("table AND data") == frozenset({"table"})
+    assert cov("table OR data") == frozenset({"table", "data"})
+    assert cov('"table scan" OR vector') == frozenset({"table", "vector"})
+    assert cov("table AND mer*") == frozenset({"table"})  # AND picks coverable
+    assert cov("mer* OR table") is None  # OR poisoned by pattern branch
+    assert cov("slot~2") is None
+    assert cov("table NOT data") == frozenset({"table"})
+    # an OR branch that is pure negation poisons the cover (tree-level;
+    # the parser itself rejects this shape)
+    assert required_cover(
+        ("or", [("not", ("term", "data")), ("term", "table")])
+    ) is None
+    m = qp.with_minimum_should_match(qp.parse("a OR b OR c"), 2)
+    assert required_cover(m) == frozenset({"a", "b", "c"})
+
+
+def test_prefiltered_parity_small_registry(spark, docs_df, token_lists):
+    """Exact parity with the compiled evaluator on every leaf kind."""
+    from mahout_spark.index.percolate import percolate, percolate_prefiltered
+
+    full = {(r["doc_id"], r["query_id"])
+            for r in percolate(spark, QUERIES, docs_df).collect()}
+    pre = {(r["doc_id"], r["query_id"])
+           for r in percolate_prefiltered(spark, QUERIES, docs_df).collect()}
+    assert pre == full == _want(QUERIES, token_lists)
+
+    kw = dict(synonyms={"join": ["merge"]}, minimum_should_match=0)
+    qs = {"s": "join AND data"}
+    a = {(r["doc_id"], r["query_id"])
+         for r in percolate(spark, qs, docs_df, **kw).collect()}
+    b = {(r["doc_id"], r["query_id"])
+         for r in percolate_prefiltered(spark, qs, docs_df, **kw).collect()}
+    assert a == b
+
+
+def test_prefiltered_parity_10k_registry(spark, docs_df):
+    """Round-3 VERDICT ask #4 'done' gate: parity vs full evaluation on a
+    10^4-rule registry (full evaluator runs in compiled chunks — same
+    evaluator, bounded codegen width)."""
+    from mahout_spark.index.percolate import percolate, percolate_prefiltered
+
+    vocab = ["table", "scan", "data", "merge", "stream", "query", "filter",
+             "group", "join", "sort", "vector", "hash", "key", "value",
+             "batch", "row", "window", "index", "node", "graph"]
+    V = len(vocab)
+    qs = {}
+    for i in range(10_000):
+        a, b, c = vocab[i % V], vocab[(i // V) % V], vocab[(i * 7 + 3) % V]
+        shape = i % 5
+        if shape == 0:
+            qs[f"q{i}"] = f"{a} AND {b}"
+        elif shape == 1:
+            qs[f"q{i}"] = f"{a} OR {b} AND {c}"
+        elif shape == 2:
+            qs[f"q{i}"] = f'"{a} {b}" OR {c}'
+        elif shape == 3:
+            qs[f"q{i}"] = f"{a} NOT {b}"
+        else:
+            qs[f"q{i}"] = f"{a} AND {b[:3]}*"  # pattern leaf, term cover
+    # a residual-set slice: uncoverable rules must still verify
+    for i in range(50):
+        qs[f"r{i}"] = f"{vocab[i % V][:3]}* AND {vocab[(i + 5) % V]}~1"
+
+    docs100 = docs_df.limit(100).cache()
+    docs100.count()
+    pre = {(r["doc_id"], r["query_id"])
+           for r in percolate_prefiltered(spark, qs, docs100).collect()}
+    full = set()
+    items = sorted(qs.items())
+    for lo in range(0, len(items), 500):
+        chunk = dict(items[lo:lo + 500])
+        full |= {(r["doc_id"], r["query_id"])
+                 for r in percolate(spark, chunk, docs100).collect()}
+    docs100.unpersist()
+    assert pre == full
+    assert len(pre) > 1000  # non-trivial match volume
+
+
+def test_prefiltered_runs_under_structured_streaming(spark, docs_df,
+                                                     tmp_path, token_lists):
+    from mahout_spark.index.percolate import percolate_prefiltered
+
+    src = str(tmp_path / "stream_in_pre")
+    docs_df.coalesce(2).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    out = percolate_prefiltered(spark, QUERIES, stream)
+    q = (
+        out.writeStream.format("memory").queryName("perc_pre_sink")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(r["doc_id"], r["query_id"])
+           for r in spark.table("perc_pre_sink").collect()}
+    assert got == _want(QUERIES, token_lists)
+
+
+def test_prefiltered_field_tags_and_rejections(spark, docs_df):
+    from mahout_spark.index.percolate import percolate, percolate_prefiltered
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text", "lang")
+    )
+    qs = {"jfr": "lang:fr AND table"}
+    a = {(r["doc_id"], r["query_id"]) for r in percolate(
+        spark, qs, docs, lang_col="lang").collect()}
+    b = {(r["doc_id"], r["query_id"]) for r in percolate_prefiltered(
+        spark, qs, docs, lang_col="lang").collect()}
+    assert a == b and a
+    with pytest.raises(ValueError, match="field-tag"):
+        percolate_prefiltered(spark, qs, docs_df)
+    with pytest.raises(ValueError, match="slop"):
+        percolate_prefiltered(spark, {"bad": '"table scan"~3'}, docs_df)
