@@ -336,6 +336,48 @@ def q_engine_delete_search(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def q_engine_dedup_delete_search(spark, sf_dir):
+    """Mass-delete fed by dedup (X74 — the exact scenario round-3's
+    VERDICT flagged as the wrong shape for driver-collected tombstones):
+    exact-dedup the corpus (keep min doc_id per text group), tombstone
+    every OTHER copy as a DataFrame with the relational masking regime
+    FORCED (DELETED_MAX_COLLECT=0 — the 10^8-delete code path, cogrouped
+    per-shard slices, zero driver collect), then run the standard BM25
+    query. Lucene delete semantics: stats stay pre-delete, so the oracle
+    is the full-corpus BM25 relation with candidates restricted to the
+    dedup survivors."""
+    import shutil
+    import tempfile
+
+    from mahout_spark.index import delete as del_mod
+    from mahout_spark.index.build import build_index
+    from mahout_spark.index.delete import delete_docs
+    from mahout_spark.index.wand import topk
+
+    docs = _load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="msdrv_ddel_")
+    old_cap = del_mod.DELETED_MAX_COLLECT
+    try:
+        cat = build_index(
+            spark, docs, out_dir=out, content_col="text",
+            id_cols=["doc_id"], mode="simple", resume=False,
+        )
+        keep = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+        dups = docs.select("doc_id").join(
+            keep.select("doc_id"), "doc_id", "left_anti"
+        )
+        del_mod.DELETED_MAX_COLLECT = 0  # force the mass-delete regime
+        delete_docs(spark, cat, dups)
+        result = topk(spark, cat, BM25_QUERY_TERMS, k=10).select(
+            "doc_id", F.round("score", 6).alias("score")
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        del_mod.DELETED_MAX_COLLECT = old_cap
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def q_engine_delete_purge_search(spark, sf_dir):
     """Purge-at-compaction (X43's reclamation half): same deletes as
     engine_delete_search, then compact_index(purge_deleted=True) — tf_raw
@@ -1864,6 +1906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_federated_boolean": q_engine_federated_boolean,
         "engine_filtered_search": q_engine_filtered_search,
         "engine_delete_search": q_engine_delete_search,
+        "engine_dedup_delete_search": q_engine_dedup_delete_search,
         "engine_delete_purge_search": q_engine_delete_purge_search,
         "engine_phrase_search": q_engine_phrase_search,
         "engine_proximity_search": q_engine_proximity_search,
@@ -2446,6 +2489,14 @@ def _base_oracle_sql() -> dict[str, str]:
         "engine_delete_search": _BM25_BASE + f"""
         SELECT doc_id, score FROM agg
         WHERE doc_id % {DELETE_MOD} <> 0
+        ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        # dedup-driven mass delete: same pre-delete stats contract, the
+        # candidate set restricted to exact-dedup survivors (min doc_id
+        # per text group — NULL texts group together in both engines)
+        "engine_dedup_delete_search": _BM25_BASE + """
+        SELECT doc_id, score FROM agg
+        WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
         ORDER BY score DESC, doc_id ASC LIMIT 10
         """,
         # purge-at-compaction: the whole BM25 relation (tf/df/dl/scal)
