@@ -30,7 +30,10 @@ Subcommands:
 * ``search``  — full boolean query language (AND/OR/NOT, phrases,
   prefix/fuzzy/wildcard/regexp, boosts, mm) against a built index.
 * ``tiers``   — build the permuterm + bigram dictionary tiers (run
-  after build/compact; appends drop them automatically).
+  after build/compact; appends maintain them incrementally).
+* ``percolate`` — match a docs table against a stored-query registry
+  (JSON file of {query_id: query string}); ``--prefilter`` routes
+  through the required-term candidate tier for large registries.
 * ``stats``   — one-line index diagnostics (diag.index_stats).
 """
 
@@ -98,6 +101,18 @@ def main(argv: list[str] | None = None) -> None:
 
     st = sub.add_parser("stats")
     st.add_argument("--out", required=True, help="index dir")
+
+    pc = sub.add_parser("percolate")
+    pc.add_argument("--input", required=True, help="docs parquet/dir")
+    pc.add_argument("--queries", required=True,
+                    help="JSON file: {query_id: query string}")
+    pc.add_argument("--content-col", default="text")
+    pc.add_argument("--id-col", default="doc_id")
+    pc.add_argument("--lang-col", default=None)
+    pc.add_argument("--prefilter", action="store_true",
+                    help="required-term candidate tier (large registries)")
+    pc.add_argument("--matches-out", default=None,
+                    help="write (id, query_id) rows here instead of counting")
 
     ns = ap.parse_args(argv)
 
@@ -205,6 +220,32 @@ def main(argv: list[str] | None = None) -> None:
                 "job": "tiers", "out": ns.out,
                 "sec": round(time.time() - started, 4),
                 "permuterm": True, "gramindex": True,
+            })
+        elif ns.cmd == "percolate":
+            from mahout_spark.index.percolate import (
+                percolate,
+                percolate_prefiltered,
+            )
+
+            with open(ns.queries) as f:
+                registry = json.load(f)
+            docs = spark.read.parquet(ns.input)
+            fn = percolate_prefiltered if ns.prefilter else percolate
+            started = time.time()
+            out = fn(
+                spark, registry, docs, content_col=ns.content_col,
+                id_col=ns.id_col, lang_col=ns.lang_col,
+            )
+            if ns.matches_out:
+                out.write.mode("overwrite").parquet(ns.matches_out)
+                n = spark.read.parquet(ns.matches_out).count()
+            else:
+                n = out.count()
+            _json_line({
+                "job": "percolate", "rules": len(registry),
+                "prefilter": bool(ns.prefilter), "matches": n,
+                "sec": round(time.time() - started, 4),
+                **({"matches_out": ns.matches_out} if ns.matches_out else {}),
             })
         else:  # stats
             from mahout_spark.index.diag import index_stats

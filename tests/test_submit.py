@@ -167,3 +167,45 @@ def test_entrypoint_search_tiers_stats(spark, tmp_path, monkeypatch):
 
     st = run(["stats", "--out", out])
     assert st["n_docs"] == 500 and st["n_terms"] > 0
+
+
+def test_entrypoint_percolate(spark, tmp_path, monkeypatch):
+    """The percolate subcommand: registry JSON file in, one metrics line
+    out, and --prefilter routes through the candidate tier with the same
+    match count."""
+    import contextlib
+    import io
+    import json
+
+    from jobs.index_job import main
+
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+
+    src = str(tmp_path / "perc_docs")
+    (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text").write.parquet(src)
+    )
+    qfile = tmp_path / "rules.json"
+    qfile.write_text(json.dumps({
+        "q_and": "table AND data",
+        "q_phrase": '"table scan" OR vector',
+    }))
+
+    def run(argv):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            main(argv)
+        return json.loads(buf.getvalue().strip().splitlines()[-1])
+
+    full = run(["percolate", "--input", src, "--queries", str(qfile)])
+    pre = run(["percolate", "--input", src, "--queries", str(qfile),
+               "--prefilter"])
+    assert full["matches"] == pre["matches"] > 0
+    assert full["rules"] == 2 and pre["prefilter"] is True
+
+    outdir = str(tmp_path / "perc_out")
+    w = run(["percolate", "--input", src, "--queries", str(qfile),
+             "--matches-out", outdir])
+    assert w["matches"] == full["matches"]
+    assert spark.read.parquet(outdir).count() == full["matches"]
