@@ -651,6 +651,35 @@ def q_engine_filtered_search(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def q_engine_range_search(spark, sf_dir):
+    """Range-filter query syntax (X75): Lucene ``field:[lo TO hi]``
+    range conjuncts parsed out of the query string, compiled to a docs
+    table predicate, and run through the adaptive filter-context plan —
+    filter semantics, scores untouched. Oracle: the same full-corpus
+    BM25 relation joined to documents on the BETWEEN predicate."""
+    import shutil
+    import tempfile
+
+    from mahout_spark.index.build import build_index
+    from mahout_spark.index.rangequery import ranged_topk
+
+    docs = _load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="msdrv_rng_")
+    try:
+        cat = build_index(
+            spark, docs, out_dir=out, content_col="text",
+            id_cols=["doc_id"], mode="simple", resume=False,
+        )
+        q = f"({' OR '.join(BM25_QUERY_TERMS)}) AND n_chars:[200 TO 450]"
+        result = ranged_topk(spark, cat, docs, q, k=10).select(
+            "doc_id", F.round("score", 6).alias("score")
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def q_engine_federated_search(spark, sf_dir):
     """Federated multi-index search (X59): the corpus split by doc_id
     parity into TWO independently-built indexes, queried through
@@ -1905,6 +1934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_federated_search": q_engine_federated_search,
         "engine_federated_boolean": q_engine_federated_boolean,
         "engine_filtered_search": q_engine_filtered_search,
+        "engine_range_search": q_engine_range_search,
         "engine_delete_search": q_engine_delete_search,
         "engine_dedup_delete_search": q_engine_dedup_delete_search,
         "engine_delete_purge_search": q_engine_delete_purge_search,
@@ -2551,6 +2581,12 @@ def _base_oracle_sql() -> dict[str, str]:
         SELECT a.doc_id, a.score FROM agg a
         JOIN documents d ON a.doc_id = d.doc_id
         WHERE d.lang = 'en'
+        ORDER BY a.score DESC, a.doc_id ASC LIMIT 10
+        """,
+        "engine_range_search": _BM25_BASE + """
+        SELECT a.doc_id, a.score FROM agg a
+        JOIN documents d ON a.doc_id = d.doc_id
+        WHERE d.n_chars BETWEEN 200 AND 450
         ORDER BY a.score DESC, a.doc_id ASC LIMIT 10
         """,
         # federated oracle: global stats make the two-index federation

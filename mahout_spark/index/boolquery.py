@@ -59,6 +59,7 @@ from mahout_spark.index.phrase import (
     _window_anchor_keys,
 )
 from mahout_spark.index.queryparse import (
+    QueryParseError,
     _simple_normalize,
     all_terms,
     expand_fuzzies,
@@ -67,6 +68,7 @@ from mahout_spark.index.queryparse import (
     expand_wildcards,
     fuzzies,
     has_phrase,
+    has_ranges,
     parse,
     positive_terms,
     prefixes,
@@ -366,6 +368,12 @@ def _compile_query(spark, cat, query, max_expansions, lex_rows, normalize,
     else:
         validate(query)
         node = query
+    if has_ranges(node):
+        raise QueryParseError(
+            "range filters compare corpus-table columns the index does "
+            "not store — run this query through rangequery.ranged_topk "
+            "(or split_range_filters + filtered_topk) with the docs table"
+        )
     if synonyms:
         node = expand_synonyms(
             node, synonyms,

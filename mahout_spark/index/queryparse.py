@@ -109,6 +109,11 @@ def _simple_normalize(word: str) -> list[str]:
 #: one tag family build_index emits (stats.term_frequencies lang_col).
 DEFAULT_FIELDS = frozenset({"lang"})
 
+#: Numeric range fields are OPT-IN per query surface: the parser cannot
+#: know the corpus table's schema, so rangequery.ranged_topk derives the
+#: whitelist from the docs DataFrame (numeric columns) and passes it in.
+DEFAULT_RANGE_FIELDS = frozenset()
+
 _FIELD_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):(.+)$")
 
 #: Lucene caps fuzzy edit distance at 2 (LevenshteinAutomata bound); we
@@ -125,6 +130,8 @@ _TOKEN_RE = re.compile(
     r'\s*(?:(?P<lpar>\()|(?P<rpar>\))|"(?P<quoted>[^"]*)"(?:~(?P<slop>\d+))?'
     r"(?:\^(?P<qboost>\d+(?:\.\d+)?))?"
     r"|/(?P<regex>(?:\\.|[^/\\\s])+)/(?:\^(?P<rboost>\d+(?:\.\d+)?))?"
+    r"|(?P<rfield>[A-Za-z_][A-Za-z0-9_]*):(?P<lb>[\[{])(?P<rlo>[^\s\]}]+)"
+    r"\s+TO\s+(?P<rhi>[^\s\]}]+)(?P<rb>[\]}])"
     r"|(?P<word>[^\s()\"]+))"
 )
 
@@ -158,6 +165,11 @@ def _lex(q: str) -> list[tuple]:
             out.append((
                 "regex", m.group("regex"),
                 float(rboost) if rboost else None,
+            ))
+        elif m.group("rfield") is not None:
+            out.append((
+                "range", m.group("rfield"), m.group("lb"),
+                m.group("rlo"), m.group("rhi"), m.group("rb"),
             ))
         else:
             out.append(("word", m.group("word")))
@@ -227,12 +239,29 @@ def _regexp_atom(body: str):
     return ("regexp", body)
 
 
+def _range_bound(raw: str, which: str, tok: str) -> float | None:
+    """Parse one range endpoint: ``*`` is the open bound, anything else
+    must be a number (numeric doc-values semantics — lexical/date ranges
+    are out of scope; dates compare fine once projected to epoch
+    numbers by the caller)."""
+    if raw == "*":
+        return None
+    try:
+        return float(raw)
+    except ValueError:
+        raise QueryParseError(
+            f"range {which} bound must be a number or '*': {tok!r}"
+        ) from None
+
+
 class _Parser:
-    def __init__(self, tokens: list, normalize, fields=DEFAULT_FIELDS):
+    def __init__(self, tokens: list, normalize, fields=DEFAULT_FIELDS,
+                 range_fields=DEFAULT_RANGE_FIELDS):
         self.toks = tokens
         self.pos = 0
         self.norm = normalize
         self.fields = fields
+        self.range_fields = range_fields
 
     def peek(self):
         return self.toks[self.pos] if self.pos < len(self.toks) else None
@@ -302,6 +331,8 @@ class _Parser:
             raise QueryParseError("unexpected ')'")
         if t[0] == "regex":
             return self._wrap_boost(_regexp_atom(t[1]), t[2])
+        if t[0] == "range":
+            return self._range_atom(t)
         if t[0] == "quote":
             seq = []
             for w in t[1].split():
@@ -323,6 +354,36 @@ class _Parser:
                 self._word_atom(bm.group(1)), float(bm.group(2))
             )
         return self._word_atom(word)
+
+    def _range_atom(self, t):
+        """Build a ("range", field, lo, hi, lo_inc, hi_inc) filter leaf
+        from a lexed ``field:[lo TO hi]`` token (Lucene range syntax:
+        ``[..]`` inclusive, ``{..}`` exclusive, ``*`` open). The field
+        must be whitelisted via ``range_fields`` — range leaves compare
+        CORPUS-TABLE column values, not index terms, so the caller that
+        owns the docs DataFrame declares which columns are rangeable
+        (rangequery.ranged_topk derives the set from the schema)."""
+        _, field, lb, lo_raw, hi_raw, rb = t
+        tok = f"{field}:{lb}{lo_raw} TO {hi_raw}{rb}"
+        if field.lower() not in self.range_fields:
+            raise QueryParseError(
+                f"unknown range field {field!r} in {tok!r}: range syntax "
+                "needs the field whitelisted via range_fields (ranged_topk "
+                "derives it from the docs table's numeric columns)"
+            )
+        lo = _range_bound(lo_raw, "lower", tok)
+        hi = _range_bound(hi_raw, "upper", tok)
+        if lo is None and hi is None:
+            raise QueryParseError(f"range needs at least one bound: {tok!r}")
+        if lo is not None and hi is not None and lo > hi:
+            raise QueryParseError(f"range lower bound exceeds upper: {tok!r}")
+        nxt = self.peek()
+        if nxt is not None and nxt[0] == "word" and _BARE_BOOST_RE.match(nxt[1]):
+            raise QueryParseError(
+                f"boost cannot apply to a range filter (filter context "
+                f"never scores): {tok!r}"
+            )
+        return ("range", field.lower(), lo, hi, lb == "[", rb == "]")
 
     def _word_atom(self, word):
         fm = _FIELD_RE.match(word)
@@ -378,31 +439,49 @@ class _Parser:
         return ("and", [("term", x) for x in toks])
 
 
-def parse(query: str, normalize=_simple_normalize, fields=DEFAULT_FIELDS):
+def parse(query: str, normalize=_simple_normalize, fields=DEFAULT_FIELDS,
+          range_fields=DEFAULT_RANGE_FIELDS):
     """Parse a query string into a validated node tree. ``fields`` is the
     whitelist of ``field:value`` names mapped to synthetic tag terms;
-    pass ``frozenset()`` to disable field syntax entirely."""
+    pass ``frozenset()`` to disable field syntax entirely. ``range_fields``
+    whitelists numeric corpus columns for ``field:[lo TO hi]`` range
+    filters (empty by default — rangequery.ranged_topk passes the docs
+    table's numeric columns)."""
     tokens = _lex(query)
     if not tokens:
         raise QueryParseError("empty query")
-    node = _Parser(tokens, normalize, fields).parse()
+    node = _Parser(tokens, normalize, fields, range_fields).parse()
     validate(node)
     return node
 
 
 def validate(node) -> None:
     """Reject trees no engine can answer without the doc universe: NOT at
-    the top level, under OR, or in an AND with no positive sibling."""
+    the top level, under OR, or in an AND with no positive sibling.
+    Range leaves are FILTER CONTEXT and must sit in top-conjunct
+    position (the root, a conjunct of the root AND — nested ANDs are
+    associative so they keep the property — or directly under such a
+    conjunct's NOT); under OR/msm/boost the filter semantics are
+    undefined (an un-scored disjunct would surface score-0 rows), so
+    those positions are rejected loudly."""
 
-    def rec(n, ctx):
+    def rec(n, ctx, top):
         kind = n[0]
-        if kind == "not":
+        if kind == "range":
+            if not top:
+                raise QueryParseError(
+                    "range filters are filter context: they may only "
+                    "appear as top-level conjuncts (optionally under "
+                    "NOT), never inside OR / minimum_should_match / "
+                    "boost / phrases"
+                )
+        elif kind == "not":
             if ctx != "and":
                 raise QueryParseError(
                     "NOT is only supported inside an AND with at least "
                     "one positive branch"
                 )
-            rec(n[1], "not")
+            rec(n[1], "not", top)
         elif kind == "boost":
             if n[1][0] == "not":
                 raise QueryParseError(
@@ -411,7 +490,7 @@ def validate(node) -> None:
                 )
             if not (isinstance(n[2], float) and n[2] > 0):
                 raise QueryParseError(f"boost must be a positive float: {n[2]!r}")
-            rec(n[1], ctx)
+            rec(n[1], ctx, False)
         elif kind == "and":
             children = n[1]
             if all(c[0] == "not" for c in children):
@@ -419,10 +498,10 @@ def validate(node) -> None:
                     "AND of only NOT branches is a pure-negative query"
                 )
             for c in children:
-                rec(c, "and")
+                rec(c, "and", top)
         elif kind == "or":
             for c in n[1]:
-                rec(c, "or")
+                rec(c, "or", False)
         elif kind == "msm":
             children, m = n[1], n[2]
             if not children:
@@ -438,12 +517,56 @@ def validate(node) -> None:
                         "NOT cannot be a minimum_should_match clause "
                         "(negative branches never count toward m)"
                     )
-                rec(c, "or")
+                rec(c, "or", False)
         elif kind not in ("term", "phrase", "prefix", "wildcard",
                           "fuzzy", "regexp"):
             raise QueryParseError(f"unknown node kind: {kind!r}")
 
-    rec(node, "top")
+    rec(node, "top", True)
+
+
+def has_ranges(node) -> bool:
+    """True when the tree carries any range filter leaf — the guard the
+    index-only entry points use to route callers to rangequery (range
+    leaves compare corpus-table columns the index does not store)."""
+
+    def rec(n):
+        if n[0] == "range":
+            return True
+        if n[0] in ("not", "boost"):
+            return rec(n[1])
+        if n[0] in ("and", "or", "msm"):
+            return any(rec(c) for c in n[1])
+        return False
+
+    return rec(node)
+
+
+def split_range_filters(node):
+    """Split a validated tree into ``(residual, specs)``: the boolean
+    tree with every range conjunct removed (None when nothing remains),
+    and the list of ``(field, lo, hi, lo_inc, hi_inc, negated)`` range
+    specs. Validation already pinned ranges to top-conjunct position,
+    so stripping them is exact — the residual matches iff the original
+    would, restricted to docs passing every range filter."""
+    specs: list = []
+
+    def strip(n, neg):
+        if n[0] == "range":
+            specs.append((n[1], n[2], n[3], n[4], n[5], neg))
+            return None
+        if n[0] == "not":
+            child = strip(n[1], not neg)
+            return None if child is None else ("not", child)
+        if n[0] == "and":
+            kept = [c2 for c in n[1] if (c2 := strip(c, neg)) is not None]
+            if not kept:
+                return None
+            return kept[0] if len(kept) == 1 else ("and", kept)
+        return n
+
+    residual = strip(node, False)
+    return residual, specs
 
 
 def with_minimum_should_match(node, m: int):
