@@ -680,6 +680,155 @@ def q_engine_range_search(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def q_engine_sorted_search(spark, sf_dir):
+    """Sort-by-field retrieval (X76, the ES ``sort`` parameter): the
+    match set ordered by a corpus column instead of relevance — BM25
+    never runs. Oracle: the SQL match set joined to documents, ordered
+    by the same column with the doc_id tiebreak."""
+    import shutil
+    import tempfile
+
+    from mahout_spark.index.build import build_index
+    from mahout_spark.index.ranking import sorted_topk
+
+    docs = _load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="msdrv_srt_")
+    try:
+        cat = build_index(
+            spark, docs, out_dir=out, content_col="text",
+            id_cols=["doc_id"], mode="simple", resume=False,
+        )
+        result = sorted_topk(
+            spark, cat, docs, " OR ".join(BM25_QUERY_TERMS),
+            "-n_chars", k=15,
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def q_engine_match_count(spark, sf_dir):
+    """Count API (X77, the ES ``_count`` endpoint): the match-set size
+    of a boolean query with NOT — one partial-aggregated scalar, no
+    scoring. Oracle: count over the SQL set-op relation."""
+    import shutil
+    import tempfile
+
+    from mahout_spark.index.aggs import match_count
+    from mahout_spark.index.build import build_index
+
+    docs = _load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="msdrv_cnt_")
+    try:
+        cat = build_index(
+            spark, docs, out_dir=out, content_col="text",
+            id_cols=["doc_id"], mode="simple", resume=False,
+        )
+        result = match_count(spark, cat, "(spark OR query) AND data")
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def q_engine_cardinality(spark, sf_dir):
+    """Cardinality aggregation (X77, ES ``cardinality`` agg, exact
+    regime): distinct lang / source values over the match set. Oracle:
+    COUNT(DISTINCT ...) over the same relation."""
+    import shutil
+    import tempfile
+
+    from mahout_spark.index.aggs import facet_cardinality
+    from mahout_spark.index.build import build_index
+
+    docs = _load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="msdrv_card_")
+    try:
+        cat = build_index(
+            spark, docs, out_dir=out, content_col="text",
+            id_cols=["doc_id"], mode="simple", resume=False,
+        )
+        result = facet_cardinality(
+            spark, cat, docs, " OR ".join(BM25_QUERY_TERMS),
+            ["lang", "source"],
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def q_engine_function_score(spark, sf_dir):
+    """function_score retrieval (X78, ES field_value_factor): BM25
+    blended with a per-doc signal column —
+    ``score = bm25 * (2 * log1p(0.01 * n_chars))`` — components
+    returned for auditability. Oracle: the unrounded BM25 relation
+    joined to documents with the same arithmetic."""
+    import shutil
+    import tempfile
+
+    from mahout_spark.index.build import build_index
+    from mahout_spark.index.ranking import function_score_topk
+
+    docs = _load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="msdrv_fsc_")
+    try:
+        cat = build_index(
+            spark, docs, out_dir=out, content_col="text",
+            id_cols=["doc_id"], mode="simple", resume=False,
+        )
+        result = function_score_topk(
+            spark, cat, docs, " OR ".join(BM25_QUERY_TERMS),
+            "n_chars", k=10, factor=0.01, modifier="log1p", weight=2.0,
+            boost_mode="multiply",
+        ).select(
+            "doc_id", F.round("score", 6).alias("score"),
+            F.round("bm25", 6).alias("bm25"), F.round("fn", 6).alias("fn"),
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def q_engine_term_vectors(spark, sf_dir):
+    """Term vectors (X79, the ES ``_termvectors`` API): per-doc term
+    stats (tf, doclen, corpus df) read from the row-form forward index
+    with the doc_id predicate pushed to parquet. Oracle: the token
+    stream recounted per doc and joined to the df relation."""
+    import shutil
+    import tempfile
+
+    from mahout_spark.index.build import build_index
+    from mahout_spark.index.diag import term_vectors
+
+    docs = _load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="msdrv_tv_")
+    try:
+        cat = build_index(
+            spark, docs, out_dir=out, content_col="text",
+            id_cols=["doc_id"], mode="simple", resume=False,
+        )
+        result = term_vectors(spark, cat, [0, 1, 2, 3, 4])
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def q_date_histogram(spark, sf_dir):
+    """Calendar date_histogram (X80, the ES date_histogram agg with
+    calendar intervals): daily tumbling buckets over the events
+    stream with count/sum/avg of the value column. Oracle: DuckDB
+    date_trunc — Spark and DuckDB agree on calendar-truncation
+    semantics, which is the point of the test."""
+    from mahout_spark.operators.timeseries import date_histogram
+
+    events = _load(spark, sf_dir, "events")
+    return date_histogram(events, "ts", "day", "value")
+
+
 def q_engine_federated_search(spark, sf_dir):
     """Federated multi-index search (X59): the corpus split by doc_id
     parity into TWO independently-built indexes, queried through
@@ -1935,6 +2084,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_federated_boolean": q_engine_federated_boolean,
         "engine_filtered_search": q_engine_filtered_search,
         "engine_range_search": q_engine_range_search,
+        "engine_sorted_search": q_engine_sorted_search,
+        "engine_match_count": q_engine_match_count,
+        "engine_cardinality": q_engine_cardinality,
+        "engine_function_score": q_engine_function_score,
+        "engine_term_vectors": q_engine_term_vectors,
+        "date_histogram": q_date_histogram,
         "engine_delete_search": q_engine_delete_search,
         "engine_dedup_delete_search": q_engine_dedup_delete_search,
         "engine_delete_purge_search": q_engine_delete_purge_search,
@@ -2588,6 +2743,68 @@ def _base_oracle_sql() -> dict[str, str]:
         JOIN documents d ON a.doc_id = d.doc_id
         WHERE d.n_chars BETWEEN 200 AND 450
         ORDER BY a.score DESC, a.doc_id ASC LIMIT 10
+        """,
+        "engine_sorted_search": _TOK_CTE + f"""
+        SELECT d.doc_id, d.n_chars FROM documents d
+        WHERE d.doc_id IN (
+            SELECT DISTINCT doc_id FROM tf WHERE term IN {_TERMS_IN}
+        )
+        ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 15
+        """,
+        "engine_match_count": _TOK_CTE + """
+        SELECT count(*) AS n_matches FROM (
+            SELECT DISTINCT doc_id FROM tf
+            WHERE term IN ('spark', 'query')
+            INTERSECT
+            SELECT DISTINCT doc_id FROM tf WHERE term = 'data'
+        )
+        """,
+        "engine_cardinality": _TOK_CTE + f"""
+        SELECT count(DISTINCT d.lang) AS lang_cardinality,
+               count(DISTINCT d.source) AS source_cardinality
+        FROM documents d
+        WHERE d.doc_id IN (
+            SELECT DISTINCT doc_id FROM tf WHERE term IN {_TERMS_IN}
+        )
+        """,
+        # function_score oracle: the blend must multiply the UNROUNDED
+        # BM25 sum (the engine rounds only at the driver projection), so
+        # this reuses the raw contrib relation, not _BM25_BASE's rounded
+        # agg; ln(1+x) is DuckDB's log1p
+        "engine_function_score": _TOK_CTE + f"""
+        , contrib AS (
+            SELECT tf.doc_id, {_BM25_CONTRIB} AS c
+            FROM tf JOIN dfreq USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN scal
+            WHERE tf.term IN {_TERMS_IN}
+        ), aggr AS (
+            SELECT doc_id, sum(c) AS bm25 FROM contrib GROUP BY doc_id
+        ), fs AS (
+            SELECT a.doc_id, a.bm25,
+                   2.0 * ln(1 + 0.01 * d.n_chars) AS fn
+            FROM aggr a JOIN documents d ON a.doc_id = d.doc_id
+        )
+        SELECT doc_id, round(bm25 * fn, 6) AS score,
+               round(bm25, 6) AS bm25, round(fn, 6) AS fn
+        FROM fs ORDER BY bm25 * fn DESC, doc_id ASC LIMIT 10
+        """,
+        "engine_term_vectors": _TOK_CTE + """
+        SELECT tf.doc_id, tf.term, tf.tf,
+               CAST(dl.doclen AS BIGINT) AS doclen, dfreq.df
+        FROM tf
+        JOIN dl ON tf.doc_id = dl.doc_id
+        JOIN dfreq USING (term)
+        WHERE tf.doc_id IN (0, 1, 2, 3, 4)
+        ORDER BY tf.doc_id, tf.term
+        """,
+        "date_histogram": """
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+               count(*) AS n_events,
+               round(sum(value), 6) AS sum_value,
+               round(avg(value), 6) AS avg_value
+        FROM events WHERE ts IS NOT NULL
+        GROUP BY 1 ORDER BY 1
         """,
         # federated oracle: global stats make the two-index federation
         # score-identical to the union index, so the relation is the same

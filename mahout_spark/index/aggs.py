@@ -132,3 +132,55 @@ def facet_histogram(
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("bucket")
     )
+
+
+def match_count(
+    spark: SparkSession,
+    cat: ParquetCatalog,
+    query,
+    max_expansions: int = MAX_EXPANSIONS,
+    **kw,
+) -> DataFrame:
+    """The ES ``_count`` API: how many docs match ``query`` — one row
+    ``(n_matches long)``, no scoring, no ranking. The cheapest possible
+    plan for the question everyone asks before exporting a training
+    set: the match kernel emits doc_ids, the count is one partial
+    aggregation — nothing but the final scalar crosses the driver."""
+    m = matching_docs(spark, cat, query, max_expansions=max_expansions, **kw)
+    return m.agg(F.count(F.lit(1)).alias("n_matches"))
+
+
+def facet_cardinality(
+    spark: SparkSession,
+    cat: ParquetCatalog,
+    docs: DataFrame,
+    query,
+    cols: list[str],
+    id_col: str = "doc_id",
+    approx: bool = False,
+    rsd: float = 0.05,
+    max_expansions: int = MAX_EXPANSIONS,
+) -> DataFrame:
+    """ES ``cardinality`` agg: distinct values of corpus columns over
+    the match set — one row with a ``<col>_cardinality`` count per
+    requested column (NULLs excluded, SQL count-distinct semantics).
+
+    ``approx=False`` (default) is EXACT ``count_distinct`` — one extra
+    shuffle keyed by value, the oracle-checkable regime. ``approx=True``
+    switches to HyperLogLog++ (``approx_count_distinct`` with relative
+    error ``rsd``) — ES's own algorithm and the 100 TB regime for
+    high-cardinality columns (url, user id): fixed-size sketches merge
+    in partial aggregation, no value-keyed shuffle at all."""
+    if not cols:
+        raise ValueError("facet_cardinality needs at least one column")
+    m = matching_docs(spark, cat, query, max_expansions=max_expansions)
+    base = docs.select(F.col(id_col).alias("doc_id"), *cols).join(
+        m, "doc_id", "left_semi"
+    )
+    if approx:
+        aggs = [F.approx_count_distinct(c, rsd).alias(f"{c}_cardinality")
+                for c in cols]
+    else:
+        aggs = [F.count_distinct(F.col(c)).alias(f"{c}_cardinality")
+                for c in cols]
+    return base.agg(*aggs)

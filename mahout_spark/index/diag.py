@@ -133,3 +133,38 @@ def index_bucket_stats(
                     "fragmented_groups"])
         .orderBy("bucket")
     )
+
+
+def term_vectors(
+    spark: SparkSession,
+    cat: ParquetCatalog,
+    doc_ids,
+    include_df: bool = True,
+) -> DataFrame:
+    """The ES ``_termvectors`` API: per requested doc, every indexed
+    term with its in-doc frequency, the doc length, and (optionally)
+    the term's corpus df — the per-document view of the index that
+    relevance debugging and keyword-extraction pipelines read.
+
+    Plan: tf_raw IS the forward index in row form (doc_id, term, tf,
+    doclen), so the fetch is one column-pruned scan with the doc_id
+    predicate pushed to parquet (row-group min/max stats prune it —
+    tf_raw is written in doc order within each bucket partition); df
+    joins in from the lexicon with the requested docs' term set as the
+    (AQE-broadcast) build side. Nothing here decodes posting blocks."""
+    ids = [int(x) for x in doc_ids]
+    if not ids:
+        raise ValueError("term_vectors needs at least one doc_id")
+    tf = (
+        cat.read(spark, "tf_raw")
+        .filter(F.col("doc_id").isin(ids))
+        .select("doc_id", "term", "tf", "doclen")
+    )
+    if not include_df:
+        return tf.orderBy("doc_id", "term")
+    lex = cat.read(spark, "lexicon").select("term", "df")
+    return (
+        tf.join(lex, "term", "left")
+        .select("doc_id", "term", "tf", "doclen", "df")
+        .orderBy("doc_id", "term")
+    )

@@ -1,0 +1,275 @@
+"""Sort-by-field retrieval, function_score blending, the count /
+cardinality aggregations, per-doc term vectors, and the calendar
+date_histogram (X76-X81): parity vs brute-force/pandas oracles, cursor
+reassembly, NULL semantics, and the forward-index plan gate."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from mahout_spark.index.aggs import facet_cardinality, match_count
+from mahout_spark.index.boolquery import score_matches
+from mahout_spark.index.build import build_index
+from mahout_spark.index.diag import term_vectors
+from mahout_spark.index.ranking import function_score_topk, sorted_topk
+from mahout_spark.operators.timeseries import date_histogram
+from mahout_spark.plans.audit import capture_plan, pushed_filters
+from tests.oracle import OracleIndex, simple_tokenize
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def built(spark, docs, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("rankidx"))
+    return build_index(
+        spark, docs, out, content_col="text", id_cols=["doc_id"],
+        mode="simple", n_buckets=4, docs_per_shard=64, block_size=16,
+        positions=True,
+    )
+
+
+@pytest.fixture(scope="module")
+def oracle(docs):
+    rows = docs.select("doc_id", "text").collect()
+    return OracleIndex({r["doc_id"]: r["text"] for r in rows},
+                       mode="simple")
+
+
+@pytest.fixture(scope="module")
+def meta(docs):
+    return {r["doc_id"]: (r["n_chars"], r["lang"], r["source"])
+            for r in docs.collect()}
+
+
+def _match(oracle, q):
+    return {d for d, _ in oracle.boolean_search(q, k=10**9)}
+
+
+# ------------------------------------------------------------- sorted_topk
+
+def test_sorted_topk_matches_python_sort(spark, built, docs, oracle, meta):
+    q = "spark OR data OR query"
+    got = [(r["doc_id"], r["n_chars"]) for r in
+           sorted_topk(spark, built, docs, q, "-n_chars", k=15).collect()]
+    want = sorted(((d, meta[d][0]) for d in _match(oracle, q)),
+                  key=lambda x: (-x[1], x[0]))[:15]
+    assert got == want
+
+
+def test_sorted_topk_mixed_directions(spark, built, docs, oracle, meta):
+    q = "table OR scan"
+    rows = sorted_topk(spark, built, docs, q,
+                       [("lang", "asc"), ("n_chars", "desc")], k=12).collect()
+    got = [(r["doc_id"], r["lang"], r["n_chars"]) for r in rows]
+    want = sorted(((d, meta[d][1], meta[d][0]) for d in _match(oracle, q)),
+                  key=lambda x: (x[1], -x[2], x[0]))[:12]
+    assert got == want
+
+
+def test_sorted_topk_cursor_reassembles(spark, built, docs):
+    q = "spark OR data OR query"
+    deep = sorted_topk(spark, built, docs, q, "-n_chars", k=20).collect()
+    p1 = sorted_topk(spark, built, docs, q, "-n_chars", k=10).collect()
+    p2 = sorted_topk(spark, built, docs, q, "-n_chars", k=10,
+                     after=p1[-1]).collect()
+    assert [tuple(r) for r in p1 + p2] == [tuple(r) for r in deep]
+
+
+def test_sorted_topk_null_rows_excluded(spark, tmp_path):
+    rows = [(0, "alpha beta", 10), (1, "alpha beta", None),
+            (2, "alpha gamma", 99)]
+    d = spark.createDataFrame(rows, ["doc_id", "text", "n_chars"])
+    cat = build_index(
+        spark, d, str(tmp_path / "nullsort"), content_col="text",
+        id_cols=["doc_id"], mode="simple", n_buckets=2,
+        docs_per_shard=8, block_size=4,
+    )
+    got = [r["doc_id"] for r in
+           sorted_topk(spark, cat, d, "alpha", "-n_chars").collect()]
+    assert got == [2, 0]
+
+
+def test_sorted_topk_rejects(spark, built, docs):
+    with pytest.raises(ValueError, match="asc|desc"):
+        sorted_topk(spark, built, docs, "spark", [("n_chars", "down")])
+    with pytest.raises(ValueError, match="non-NULL"):
+        sorted_topk(spark, built, docs, "spark", "-n_chars",
+                    after=(None, 3))
+
+
+# ------------------------------------------------------ function_score
+
+@pytest.mark.parametrize("modifier,boost_mode,fn", [
+    ("log1p", "multiply", lambda v: math.log1p(0.01 * v)),
+    ("sqrt", "sum", lambda v: math.sqrt(0.01 * v)),
+    ("none", "multiply", lambda v: 0.01 * v),
+])
+def test_function_score_manual_recompute(spark, built, docs, meta,
+                                         modifier, boost_mode, fn):
+    q = "spark OR data OR query"
+    bm25 = {r["doc_id"]: r["score"]
+            for r in score_matches(spark, built, q).collect()}
+    want = []
+    for d, s in bm25.items():
+        v = 2.0 * fn(meta[d][0])
+        want.append((d, s * v if boost_mode == "multiply" else s + v))
+    want.sort(key=lambda x: (-x[1], x[0]))
+    got = function_score_topk(
+        spark, built, docs, q, "n_chars", k=10, factor=0.01,
+        modifier=modifier, weight=2.0, boost_mode=boost_mode,
+    ).collect()
+    assert [r["doc_id"] for r in got] == [w[0] for w in want[:10]]
+    for g, w in zip(got, want):
+        assert g["score"] == pytest.approx(w[1], rel=1e-12)
+        assert g["bm25"] == pytest.approx(bm25[g["doc_id"]], abs=0)
+
+
+def test_function_score_missing_field_value(spark, tmp_path):
+    rows = [(0, "alpha beta", 4.0), (1, "alpha beta", None)]
+    d = spark.createDataFrame(rows, ["doc_id", "text", "sig"])
+    cat = build_index(
+        spark, d, str(tmp_path / "fsmiss"), content_col="text",
+        id_cols=["doc_id"], mode="simple", n_buckets=2,
+        docs_per_shard=8, block_size=4,
+    )
+    got = {r["doc_id"]: r["fn"] for r in function_score_topk(
+        spark, cat, d, "alpha", "sig", modifier="none", missing=9.0,
+    ).collect()}
+    assert got[0] == pytest.approx(4.0)
+    assert got[1] == pytest.approx(9.0)  # NULL -> missing, not NaN
+
+
+def test_function_score_rejects(spark, built, docs):
+    with pytest.raises(ValueError, match="modifier"):
+        function_score_topk(spark, built, docs, "spark", "n_chars",
+                            modifier="exp")
+    with pytest.raises(ValueError, match="boost_mode"):
+        function_score_topk(spark, built, docs, "spark", "n_chars",
+                            boost_mode="max")
+
+
+# ------------------------------------------------- count / cardinality
+
+@pytest.mark.parametrize("q", [
+    "spark OR data", "table AND scan", "mer* AND data",
+    '("table scan" OR merge) NOT stream',
+])
+def test_match_count(spark, built, oracle, q):
+    got = match_count(spark, built, q).collect()
+    assert got[0]["n_matches"] == len(_match(oracle, q))
+
+
+def test_facet_cardinality_exact(spark, built, docs, oracle, meta):
+    q = "spark OR data"
+    m = _match(oracle, q)
+    got = facet_cardinality(
+        spark, built, docs, q, ["lang", "source"]).collect()[0]
+    assert got["lang_cardinality"] == len({meta[d][1] for d in m})
+    assert got["source_cardinality"] == len({meta[d][2] for d in m})
+
+
+def test_facet_cardinality_approx_close(spark, built, docs, oracle, meta):
+    q = "spark OR data"
+    m = _match(oracle, q)
+    exact = len({meta[d][2] for d in m})
+    got = facet_cardinality(
+        spark, built, docs, q, ["source"], approx=True, rsd=0.05,
+    ).collect()[0]["source_cardinality"]
+    assert abs(got - exact) <= max(1, 0.15 * exact)
+
+
+def test_facet_cardinality_rejects_empty(spark, built, docs):
+    with pytest.raises(ValueError, match="at least one column"):
+        facet_cardinality(spark, built, docs, "spark", [])
+
+
+# ------------------------------------------------------- term vectors
+
+def test_term_vectors_match_token_counts(spark, built, docs, oracle):
+    from collections import Counter
+
+    rows = docs.select("doc_id", "text").orderBy("doc_id").limit(2).collect()
+    ids = [r["doc_id"] for r in rows]
+    got = term_vectors(spark, built, ids).collect()
+    by_doc: dict = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], {})[r["term"]] = (
+            r["tf"], r["doclen"], r["df"]
+        )
+    for r in rows:
+        toks = simple_tokenize(r["text"])
+        want = Counter(toks)
+        have = by_doc[r["doc_id"]]
+        assert {t: tf for t, (tf, _, _) in have.items()} == dict(want)
+        for t, (tf, dl, df) in have.items():
+            assert dl == len(toks)
+            assert df == oracle.df[t]
+    # ordered (doc_id, term)
+    assert [(r["doc_id"], r["term"]) for r in got] == sorted(
+        (r["doc_id"], r["term"]) for r in got
+    )
+
+
+def test_term_vectors_plan_pushes_doc_filter(spark, built):
+    tv = term_vectors(spark, built, [3, 7], include_df=False)
+    plan = capture_plan(tv)
+    assert any("doc_id" in p for p in pushed_filters(plan))
+    with pytest.raises(ValueError, match="at least one doc_id"):
+        term_vectors(spark, built, [])
+
+
+# ----------------------------------------------------- date histogram
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+
+
+@pytest.mark.parametrize("interval,trunc", [
+    ("day", lambda t: t.replace(hour=0, minute=0, second=0, microsecond=0)),
+    ("month", lambda t: t.replace(day=1, hour=0, minute=0, second=0,
+                                  microsecond=0)),
+])
+def test_date_histogram_matches_pandas(spark, events, interval, trunc):
+    got = {r["bucket"]: (r["n_events"], r["sum_value"]) for r in
+           date_histogram(events, "ts", interval, "value").collect()}
+    rows = events.select("ts", "value").collect()
+    want: dict = {}
+    for r in rows:
+        b = trunc(r["ts"])
+        n, s = want.get(b, (0, 0.0))
+        want[b] = (n + 1, s + r["value"])
+    assert set(got) == set(want)
+    for b, (n, s) in want.items():
+        assert got[b][0] == n
+        assert got[b][1] == pytest.approx(round(s, 6), abs=1e-6)
+
+
+def test_date_histogram_group_col(spark, events):
+    got = date_histogram(events, "ts", "month", group_col="event_type")
+    rows = got.collect()
+    total = sum(r["n_events"] for r in rows)
+    assert total == events.count()
+    # ordered (bucket, group)
+    keys = [(r["bucket"], r["event_type"]) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_date_histogram_null_ts_excluded(spark):
+    import datetime as dt
+
+    rows = [(dt.datetime(2024, 1, 1, 5), 1.0), (None, 2.0),
+            (dt.datetime(2024, 1, 1, 9), 3.0)]
+    df = spark.createDataFrame(rows, ["ts", "value"])
+    got = date_histogram(df, "ts", "day", "value").collect()
+    assert len(got) == 1 and got[0]["n_events"] == 2
+
+
+def test_date_histogram_rejects_interval(spark, events):
+    with pytest.raises(ValueError, match="interval"):
+        date_histogram(events, "ts", "fortnight")
