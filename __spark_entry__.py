@@ -829,6 +829,71 @@ def q_date_histogram(spark, sf_dir):
     return date_histogram(events, "ts", "day", "value")
 
 
+def q_passage_search(spark, sf_dir):
+    """Passage retrieval with parent-doc rollup (X81, MaxP / ES
+    inner_hits): chunk-level BM25 over the chunk corpus, each doc
+    ranked by its best passage. Fully relational — the oracle
+    reproduces the chunk arithmetic and the whole scoring relation in
+    SQL."""
+    from mahout_spark.operators.passage import passage_topk
+
+    docs = _load(spark, sf_dir, "documents")
+    result = passage_topk(
+        docs, BM25_QUERY_TERMS, k=10, chunk_tokens=24, overlap=8,
+    ).select(
+        "doc_id", "chunk_id", F.round("score", 6).alias("score")
+    )
+    rows = result.collect()
+    return spark.createDataFrame(rows, result.schema)
+
+
+def q_engine_did_you_mean(spark, sf_dir):
+    """Whole-query spell correction (X82, the ES phrase-suggester
+    shape): per-token best lexicon correction by (distance asc, df
+    desc, term asc), present tokens kept. Oracle: DuckDB's independent
+    levenshtein over the df relation per token."""
+    import shutil
+    import tempfile
+
+    from mahout_spark.index.boolquery import did_you_mean
+    from mahout_spark.index.build import build_index
+
+    docs = _load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="msdrv_dym_")
+    try:
+        cat = build_index(
+            spark, docs, out_dir=out, content_col="text",
+            id_cols=["doc_id"], mode="simple", resume=False,
+        )
+        result = did_you_mean(spark, cat, "sparkk dtaa query")
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def q_engine_filtered_ann(spark, sf_dir):
+    """Attribute-filtered ANN (X83, the ES kNN ``filter`` model) in the
+    FULL-PROBE regime, where adaptive over-probing + exact rerank is
+    provably the filtered brute force — the oracle is the exact cosine
+    relation restricted to the predicate. The approximate regime's
+    over-probe escalation is test-gated in tests/."""
+    from mahout_spark.operators.similarity import (
+        add_ivf_cells,
+        ivf_ann_topk_filtered,
+        ivf_train_centroids,
+    )
+
+    emb = _load(spark, sf_dir, "embeddings")
+    qvec = [float(x)
+            for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    cents = ivf_train_centroids(emb, n_cells=IVF_CELLS, sample_n=1024)
+    cells = add_ivf_cells(emb, cents)
+    return ivf_ann_topk_filtered(
+        cells, qvec, cents, F.col("label") == 2, k=10, n_probes=IVF_CELLS,
+    )
+
+
 def q_engine_federated_search(spark, sf_dir):
     """Federated multi-index search (X59): the corpus split by doc_id
     parity into TWO independently-built indexes, queried through
@@ -2090,6 +2155,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_function_score": q_engine_function_score,
         "engine_term_vectors": q_engine_term_vectors,
         "date_histogram": q_date_histogram,
+        "passage_search": q_passage_search,
+        "engine_did_you_mean": q_engine_did_you_mean,
+        "engine_filtered_ann": q_engine_filtered_ann,
         "engine_delete_search": q_engine_delete_search,
         "engine_dedup_delete_search": q_engine_dedup_delete_search,
         "engine_delete_purge_search": q_engine_delete_purge_search,
@@ -2202,6 +2270,39 @@ _BM25_BASE = _TOK_CTE + f"""
     FROM contrib GROUP BY doc_id
 )
 """
+
+_DYM_TOKENS = ["sparkk", "dtaa", "query"]
+
+
+def _dym_block(i: int, tok: str) -> str:
+    """One per-token SELECT of the did_you_mean oracle: the present-term
+    branch (distance 0, own df) or DuckDB's independent levenshtein best
+    within 2 edits, ranked (dist asc, df desc, term asc) like
+    suggest_terms."""
+    return f"""
+        SELECT {i} AS pos, '{tok}' AS token,
+               coalesce(p.term, s.term) AS suggestion,
+               CAST(CASE WHEN p.term IS NOT NULL THEN 0 ELSE s.dist END
+                    AS INTEGER) AS distance,
+               CAST(coalesce(p.df, s.df) AS BIGINT) AS df
+        FROM (SELECT 1 AS one)
+        LEFT JOIN (SELECT term, df FROM dfreq WHERE term = '{tok}') p
+               ON TRUE
+        LEFT JOIN (SELECT term, levenshtein('{tok}', term) AS dist, df
+                   FROM dfreq
+                   WHERE term <> '{tok}'
+                     AND levenshtein('{tok}', term) <= 2
+                   ORDER BY dist ASC, df DESC, term ASC LIMIT 1) s
+               ON p.term IS NULL
+    """
+
+
+_DYM_SQL = (
+    _TOK_CTE
+    + "SELECT * FROM ("
+    + " UNION ALL ".join(_dym_block(i, t) for i, t in enumerate(_DYM_TOKENS))
+    + ") ORDER BY pos"
+)
 
 
 def _textstats_sql() -> dict[str, str]:
@@ -2465,6 +2566,21 @@ def _pipeline_sql() -> dict[str, str]:
                    round({qdot} / ({nrm.replace('embedding', 'e.embedding')}
                        * (SELECT {nrm} FROM q)), 6) AS cosine
             FROM embeddings e CROSS JOIN q
+        )
+        SELECT vec_id, cosine FROM n
+        ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        # filtered-ANN oracle: the full-probe regime is provably the
+        # filtered brute force, so the relation is engine_ivf_topk's
+        # restricted by the attribute predicate
+        "engine_filtered_ann": f"""
+        WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+        n AS (
+            SELECT e.vec_id,
+                   round({qdot} / ({nrm.replace('embedding', 'e.embedding')}
+                       * (SELECT {nrm} FROM q)), 6) AS cosine
+            FROM embeddings e CROSS JOIN q
+            WHERE e.label = 2
         )
         SELECT vec_id, cosine FROM n
         ORDER BY cosine DESC, vec_id ASC LIMIT 10
@@ -2805,6 +2921,65 @@ def _base_oracle_sql() -> dict[str, str]:
                round(avg(value), 6) AS avg_value
         FROM events WHERE ts IS NOT NULL
         GROUP BY 1 ORDER BY 1
+        """,
+        "engine_did_you_mean": _DYM_SQL,
+        # passage oracle: the whole MaxP relation in SQL — chunk windows
+        # (same arithmetic as the chunk_documents oracle), BM25 over the
+        # CHUNK corpus, best chunk per doc, global cut
+        "passage_search": f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                               t -> t <> '') AS ts
+            FROM documents
+        ), counted AS (
+            SELECT doc_id, ts,
+                   CASE WHEN len(ts) <= 0 THEN 0
+                        ELSE CAST(floor(greatest(len(ts) - {CHUNK_TOKENS}, 0)
+                                        / {CHUNK_TOKENS - CHUNK_OVERLAP})
+                                  AS BIGINT) + 1
+                             + CASE WHEN len(ts) > {CHUNK_TOKENS}
+                                     AND (len(ts) - {CHUNK_TOKENS})
+                                         % {CHUNK_TOKENS - CHUNK_OVERLAP} > 0
+                                    THEN 1 ELSE 0 END
+                   END AS n_chunks
+            FROM toks
+        ), chunks AS (
+            SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+                   ts[chunk_id * {CHUNK_TOKENS - CHUNK_OVERLAP} + 1
+                      : chunk_id * {CHUNK_TOKENS - CHUNK_OVERLAP}
+                        + {CHUNK_TOKENS}] AS w
+            FROM (SELECT doc_id, ts,
+                         unnest(generate_series(
+                             0, CAST(n_chunks AS INTEGER) - 1)) AS chunk_id
+                  FROM counted WHERE n_chunks > 0)
+        ), cstat AS (
+            SELECT count(*) AS nc, avg(len(w)) AS avgdl FROM chunks
+        ), ctok AS (
+            SELECT doc_id, chunk_id, len(w) AS dl, unnest(w) AS term
+            FROM chunks
+        ), ctf AS (
+            SELECT doc_id, chunk_id, dl, term, count(*) AS tf
+            FROM ctok WHERE term IN {_TERMS_IN}
+            GROUP BY doc_id, chunk_id, dl, term
+        ), cdf AS (
+            SELECT term, count(*) AS df FROM ctf GROUP BY term
+        ), cscore AS (
+            SELECT c.doc_id, c.chunk_id,
+                   sum(ln(1.0 + (s.nc - d.df + 0.5) / (d.df + 0.5))
+                       * c.tf * {BM25_K1 + 1.0}
+                       / (c.tf + {BM25_K1} * (1.0 - {BM25_B}
+                          + {BM25_B} * c.dl / s.avgdl))) AS score
+            FROM ctf c JOIN cdf d USING (term) CROSS JOIN cstat s
+            GROUP BY c.doc_id, c.chunk_id
+        ), best AS (
+            SELECT doc_id, chunk_id, score,
+                   row_number() OVER (PARTITION BY doc_id
+                       ORDER BY score DESC, chunk_id ASC) AS rn
+            FROM cscore
+        )
+        SELECT doc_id, chunk_id, round(score, 6) AS score FROM best
+        WHERE rn = 1 ORDER BY score DESC, doc_id ASC LIMIT 10
         """,
         # federated oracle: global stats make the two-index federation
         # score-identical to the union index, so the relation is the same

@@ -1185,3 +1185,65 @@ def facet_counts(
         .groupBy(*facet_cols)
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+def did_you_mean(
+    spark: SparkSession,
+    cat: ParquetCatalog,
+    query: str,
+    max_edits: int = 2,
+    min_df: int = 1,
+    normalize=None,
+) -> DataFrame:
+    """Whole-query spell correction (the ES phrase-suggester shape,
+    per-token candidates without the language-model rerank): every
+    normalized query token gets one row ``(pos, token, suggestion,
+    distance, df)`` — a token PRESENT in the lexicon keeps itself
+    (distance 0, its own df); an unknown token gets the best correction
+    by suggest_terms' ranking (distance asc, df desc, term asc) within
+    ``max_edits``, or NULL suggestion (df 0, distance NULL) when
+    nothing is in range. Corrected-query assembly and collation
+    (re-running the corrected query) stay with the caller — they
+    compose from this relation and boolean_topk.
+
+    Cost: ONE bucket-pruned lexicon read covering all present tokens
+    (driver-side xxhash64 routing, no Spark job to find buckets) plus
+    one suggest scan per MISSING token — misses are the rare case in
+    real queries, and each scan is the vocabulary-bounded
+    TakeOrderedAndProject suggest_terms already uses. Output is
+    query-sized, built driver-side."""
+    from mahout_spark.functions.xxhash import term_bucket
+    from mahout_spark.index.wand import _read_query_lexicon
+
+    norm = _simple_normalize if normalize is None else normalize
+    toks: list[str] = []
+    for w in str(query).split():
+        toks.extend(norm(w))
+    if not toks:
+        raise QueryParseError(f"query normalizes to nothing: {query!r}")
+    meta = cat.read_meta("postings")
+    n_buckets = int(meta["n_buckets"])
+    qbuckets = sorted({term_bucket(t, n_buckets) for t in toks})
+    lex = _read_query_lexicon(spark, cat, qbuckets)
+    present: dict = {}
+    if lex is not None:
+        for r in (
+            lex.filter(F.col("term").isin(sorted(set(toks))))
+            .select("term", "df").collect()
+        ):
+            present[r["term"]] = int(r["df"])
+    out = []
+    for i, t in enumerate(toks):
+        if t in present:
+            out.append((i, t, t, 0, present[t]))
+            continue
+        best = suggest_terms(spark, cat, t, n=1, max_edits=max_edits,
+                             min_df=min_df, normalize=normalize)
+        if best:
+            term, dist, dfv = best[0]
+            out.append((i, t, term, dist, dfv))
+        else:
+            out.append((i, t, None, None, 0))
+    return spark.createDataFrame(
+        out, "pos int, token string, suggestion string, distance int, df long"
+    )

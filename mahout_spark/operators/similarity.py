@@ -351,3 +351,45 @@ def pairwise_topk_join(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivf_ann_topk_filtered(
+    emb: DataFrame, qvec: list[float], centroids: np.ndarray,
+    filter_pred, k: int = 10, n_probes: int = 4,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Attribute-filtered ANN (the ES kNN ``filter`` model): top-k by
+    exact cosine among vectors that pass ``filter_pred`` (a Column or a
+    SQL string), candidates drawn from IVF probe cells with ADAPTIVE
+    over-probing — a selective filter empties the first probe set, and
+    silently returning fewer than k is the classic filtered-ANN recall
+    trap, so the probe count doubles (one cheap ``limit(k).count()``
+    per step — candidate-bounded, not corpus-bounded) until k filtered
+    candidates exist or every cell is probed. At ``n_probes >=
+    n_cells`` the result is EXACTLY the filtered brute force — the
+    oracle regime; recall below that is test-gated on planted
+    neighbors. The filter composes with cell-partition pruning: both
+    predicates reach the same scan."""
+    C = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(qvec, dtype=np.float64)
+    if isinstance(filter_pred, str):
+        filter_pred = F.expr(filter_pred)
+    order = np.argsort(-(C @ q), kind="stable")
+    n_cells = len(C)
+    probes = min(max(1, int(n_probes)), n_cells)
+    while True:
+        cells = [int(c) for c in order[:probes]]
+        cand = emb.filter(F.col(cell_col).isin(cells)).filter(filter_pred)
+        if probes >= n_cells or cand.limit(k).count() >= k:
+            break
+        probes = min(n_cells, probes * 2)
+    return (
+        cand.select(
+            id_col,
+            F.round(cosine_to_query_expr(F.col(vec_col), qvec), 6)
+            .alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
