@@ -894,6 +894,23 @@ def q_engine_filtered_ann(spark, sf_dir):
     )
 
 
+def q_engine_pq_ann(spark, sf_dir):
+    """Product-quantized ANN (X84, the FAISS PQ analog) in the
+    FULL-RERANK regime: ADC candidate selection over the m-byte codes
+    with ``rerank >= corpus`` makes every row a candidate and the exact
+    cosine rerank decides — provably brute force, so the oracle is the
+    plain exact cosine relation. The ADC-only recall regime (the 100 TB
+    bandwidth path) is test-gated in tests/test_pq.py."""
+    from mahout_spark.operators.pq import add_pq_codes, pq_ann_topk, pq_train
+
+    emb = _load(spark, sf_dir, "embeddings")
+    qvec = [float(x)
+            for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    books = pq_train(emb, m=16, n_codes=256, sample_n=1024)
+    coded = add_pq_codes(emb, books)
+    return pq_ann_topk(coded, qvec, books, k=10, rerank=10**9)
+
+
 def q_engine_federated_search(spark, sf_dir):
     """Federated multi-index search (X59): the corpus split by doc_id
     parity into TWO independently-built indexes, queried through
@@ -2158,6 +2175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "passage_search": q_passage_search,
         "engine_did_you_mean": q_engine_did_you_mean,
         "engine_filtered_ann": q_engine_filtered_ann,
+        "engine_pq_ann": q_engine_pq_ann,
         "engine_delete_search": q_engine_delete_search,
         "engine_dedup_delete_search": q_engine_dedup_delete_search,
         "engine_delete_purge_search": q_engine_delete_purge_search,
@@ -2581,6 +2599,20 @@ def _pipeline_sql() -> dict[str, str]:
                        * (SELECT {nrm} FROM q)), 6) AS cosine
             FROM embeddings e CROSS JOIN q
             WHERE e.label = 2
+        )
+        SELECT vec_id, cosine FROM n
+        ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        # PQ-ANN oracle: rerank >= corpus makes ADC selection total and
+        # the exact rerank decides, so the relation is plain brute-force
+        # cosine (query vector = row 7)
+        "engine_pq_ann": f"""
+        WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 7),
+        n AS (
+            SELECT e.vec_id,
+                   round({qdot} / ({nrm.replace('embedding', 'e.embedding')}
+                       * (SELECT {nrm} FROM q)), 6) AS cosine
+            FROM embeddings e CROSS JOIN q
         )
         SELECT vec_id, cosine FROM n
         ORDER BY cosine DESC, vec_id ASC LIMIT 10
