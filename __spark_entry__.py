@@ -911,6 +911,61 @@ def q_engine_pq_ann(spark, sf_dir):
     return pq_ann_topk(coded, qvec, books, k=10, rerank=10**9)
 
 
+def _contam_split(spark, sf_dir):
+    """The decontamination fixture: eval set = every 97th doc by id, train
+    = the rest (deterministic, SQL-replayable split of the one corpus)."""
+    docs = _load(spark, sf_dir, "documents")
+    return (docs.filter(F.col("doc_id") % 97 != 0),
+            docs.filter(F.col("doc_id") % 97 == 0))
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (X85, the GPT-3 appendix-C standard):
+    train docs sharing >= 1 distinct word 4-gram with the eval split —
+    (doc_id, n_shared). n=4 rather than the conventional 13 because the
+    synthetic 31-word corpus has no 13-gram overlap at all — same
+    operator, denser check. The eval gram set is broadcast; the corpus
+    is never shuffled. Oracle: the same n-gram set-intersection relation
+    on gram STRINGS (the engine joins on xxhash64 — MATCH doubles as
+    the collision-freedom check)."""
+    from mahout_spark.operators.curation import contaminated_docs
+
+    train, test = _contam_split(spark, sf_dir)
+    return contaminated_docs(train, test, n=4)
+
+
+def q_contamination_pairs(spark, sf_dir):
+    """Contamination attribution (X85): which EVAL doc leaked into which
+    train doc — (train_id, test_id, n_shared distinct 4-grams)."""
+    from mahout_spark.operators.curation import contamination_pairs
+
+    train, test = _contam_split(spark, sf_dir)
+    return contamination_pairs(train, test, n=4)
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing (X86, concat-and-chunk): per-doc placement in the
+    seed-42 shuffled 64-token-sequence packing — (doc_id, n_tokens,
+    offset, seq_first, seq_last). The Spark side computes the prefix sum
+    with the two-phase distributed form (no global window); the oracle
+    is ONE SQL window cumsum over the same multiplicative-permutation
+    key — MATCH proves the distributed decomposition exact."""
+    from mahout_spark.operators.curation import pack_documents
+
+    docs = _load(spark, sf_dir, "documents")
+    return pack_documents(docs, seq_len=64, seed=42)
+
+
+def q_packing_stats(spark, sf_dir):
+    """Packing summary (X86): sequences produced, tail padding, and
+    boundary-crossing docs for the seed-42 / 64-token packing — one row,
+    one partial aggregation."""
+    from mahout_spark.operators.curation import pack_documents, packing_stats
+
+    docs = _load(spark, sf_dir, "documents")
+    return packing_stats(pack_documents(docs, seq_len=64, seed=42), 64)
+
+
 def q_engine_federated_search(spark, sf_dir):
     """Federated multi-index search (X59): the corpus split by doc_id
     parity into TWO independently-built indexes, queried through
@@ -2176,6 +2231,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_did_you_mean": q_engine_did_you_mean,
         "engine_filtered_ann": q_engine_filtered_ann,
         "engine_pq_ann": q_engine_pq_ann,
+        "decontaminate": q_decontaminate,
+        "contamination_pairs": q_contamination_pairs,
+        "pack_sequences": q_pack_sequences,
+        "packing_stats": q_packing_stats,
         "engine_delete_search": q_engine_delete_search,
         "engine_dedup_delete_search": q_engine_dedup_delete_search,
         "engine_delete_purge_search": q_engine_delete_purge_search,
@@ -2382,6 +2441,41 @@ def _textstats_sql() -> dict[str, str]:
         FROM documents
         """,
     }
+
+
+def _gram_ctes(tok: str, n: int) -> str:
+    """Distinct word n-grams per doc as gram STRINGS (decontamination
+    oracle; ts[i:i+n-1] is DuckDB's inclusive n-element slice)."""
+    return f"""
+        toksg AS (
+            SELECT doc_id, {tok} AS ts FROM documents WHERE text IS NOT NULL
+        ), gg AS (
+            SELECT DISTINCT doc_id, g FROM (
+                SELECT doc_id, unnest(list_transform(
+                    generate_series(1, greatest(0, len(ts) - {n - 1})),
+                    i -> array_to_string(ts[i:i+{n - 1}], ' '))) AS g
+                FROM toksg)
+        )"""
+
+
+def _pack_ctes(tok: str) -> str:
+    """Packing oracle CTEs: token counts, the seed-42 multiplicative
+    permutation key (pack_multiplier(42) — same constant the engine
+    uses), and ONE global window cumsum offset."""
+    from mahout_spark.operators.curation import PACK_MOD, pack_multiplier
+
+    return f"""
+        tpk AS (
+            SELECT doc_id, len({tok}) AS n_tokens,
+                   (doc_id * {pack_multiplier(42)}) % {PACK_MOD} AS k
+            FROM documents WHERE text IS NOT NULL
+        ), o AS (
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(coalesce(sum(n_tokens) OVER (ORDER BY k, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS "offset"
+            FROM tpk WHERE n_tokens > 0
+        )"""
 
 
 def _pipeline_sql() -> dict[str, str]:
@@ -2616,6 +2710,43 @@ def _pipeline_sql() -> dict[str, str]:
         )
         SELECT vec_id, cosine FROM n
         ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        # decontamination (X85): distinct 4-gram intersection on gram
+        # STRINGS — the engine joins on xxhash64, so MATCH doubles as
+        # the hash-collision-freedom check (n=4 because the synthetic
+        # 31-word corpus leaves 13-gram overlap empty; same operator)
+        "decontaminate": "WITH " + _gram_ctes(tok, 4) + """
+        , eg AS (SELECT DISTINCT g FROM gg WHERE doc_id % 97 = 0),
+        tg AS (SELECT doc_id, g FROM gg WHERE doc_id % 97 <> 0)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+        FROM tg JOIN eg USING (g) GROUP BY doc_id
+        """,
+        "contamination_pairs": "WITH " + _gram_ctes(tok, 4) + """
+        SELECT a.doc_id AS train_id, b.doc_id AS test_id,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM gg a JOIN gg b USING (g)
+        WHERE a.doc_id % 97 <> 0 AND b.doc_id % 97 = 0
+        GROUP BY 1, 2
+        """,
+        # packing (X86): ONE global window cumsum over the same
+        # multiplicative-permutation key the engine uses — MATCH proves
+        # the engine's two-phase distributed prefix sum exact
+        "pack_sequences": "WITH " + _pack_ctes(tok) + """
+        SELECT doc_id, n_tokens, "offset",
+               "offset" // 64 AS seq_first,
+               ("offset" + n_tokens - 1) // 64 AS seq_last
+        FROM o
+        """,
+        "packing_stats": "WITH " + _pack_ctes(tok) + """
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               CAST((sum(n_tokens) + 63) // 64 AS BIGINT) AS n_sequences,
+               CAST(((sum(n_tokens) + 63) // 64) * 64 - sum(n_tokens)
+                    AS BIGINT) AS tail_padding,
+               CAST(sum(CASE WHEN ("offset" + n_tokens - 1) // 64
+                             > "offset" // 64 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS boundary_docs
+        FROM o
         """,
         "doc_distances": _TOK_CTE + f"""
         , w AS (

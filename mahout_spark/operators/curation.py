@@ -1,0 +1,268 @@
+"""Training-set curation: benchmark decontamination and sequence packing.
+
+Two operations every large-scale pretraining pipeline runs between
+dedup and tokenization, neither of which the plain dedup operators
+cover:
+
+* **Decontamination** — the GPT-3 appendix-C standard: flag every
+  training document that shares at least one word ``n``-gram (13 by
+  convention) with a held-out evaluation set, so benchmark text can be
+  scrubbed from the corpus before training. This is NOT symmetric dedup:
+  the eval side is tiny (MBs) and the train side is the whole corpus
+  (100 TB), so the plan broadcasts the eval side's distinct gram set and
+  streams the corpus through a broadcast hash join — the corpus is never
+  shuffled, and the join keys are 8-byte xxhash64 values, never gram
+  strings (collisions ignored by design, like exact_dedup_groups'
+  sha256: ~(#grams²)/2⁶⁴).
+
+* **Sequence packing** — the concat-and-chunk model: documents are
+  deterministically shuffled, concatenated, and split into fixed
+  ``seq_len``-token training sequences; each document's placement is
+  its token offset in the concatenation. The offset is a prefix sum
+  over the shuffle order — the naive formulation (one global
+  ``Window.orderBy``) funnels the corpus through a SINGLE task, so this
+  implements the classic two-phase distributed prefix sum instead:
+  order-preserving range buckets from the shuffle key's high bits,
+  per-bucket token totals (one tiny aggregate — ``n_buckets`` rows —
+  collected and prefix-summed driver-side), then a per-bucket PARTITIONED
+  window cumsum plus the broadcast bucket base. Identical output to the
+  global window at any parallelism; plan-gated to never contain a
+  partition-less Window.
+
+Determinism: the packing shuffle key is a seeded multiplicative-hash
+permutation in plain int64 arithmetic (``id · (1000003^(seed+1) mod p)
+mod p``, multiplier precomputed driver-side) so
+an independent SQL engine reproduces the exact order (the DuckDB oracle
+does); swap in ``xxhash64`` via ``key_expr`` if cryptographic-quality
+mixing matters more than SQL replayability.
+
+Reference behaviors mirrored: the reference's dedup/tombstone pipeline
+(see SURVEY §2 X1-X5) stops at duplicate removal; decontamination and
+packing are the adjacent curation stages its users run downstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mahout_spark.checkpoint import spread_input
+from mahout_spark.operators.dedup import _shingles_expr
+
+# order-preserving range buckets for the packing prefix sum: the shuffle
+# key's high bits. 256 buckets keeps the driver-side prefix array trivial
+# while bounding each window partition to ~corpus/256.
+PACK_BUCKETS = 256
+
+# the packing shuffle-key permutation: (id*A + seed) mod P, P prime.
+# Plain int64 arithmetic (no overflow below ~9e12 ids) -> bit-identical
+# in Spark and any SQL oracle.
+PACK_MULT = 1_000_003
+PACK_MOD = 999_999_937
+
+
+def _gram_hashes(
+    docs: DataFrame, n: int, content_col: str, id_col: str, out_id: str,
+) -> DataFrame:
+    """(out_id, g): the doc's DISTINCT word n-gram xxhash64 values,
+    exploded. Hashing happens JVM-side inside codegen — Python never
+    sees a gram string, and downstream joins carry 8-byte keys."""
+    grams = F.array_distinct(
+        F.transform(_shingles_expr(content_col, n), lambda s: F.xxhash64(s))
+    )
+    return docs.select(
+        F.col(id_col).alias(out_id), F.explode(grams).alias("g")
+    )
+
+
+def contaminated_docs(
+    train: DataFrame,
+    test: DataFrame,
+    n: int = 13,
+    min_shared: int = 1,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    test_content_col: str | None = None,
+    test_id_col: str | None = None,
+) -> DataFrame:
+    """GPT-3-style decontamination: every train doc sharing at least
+    ``min_shared`` distinct word ``n``-grams with ANY eval doc, as
+    ``(doc_id, n_shared)`` — ``n_shared`` counts the train doc's
+    distinct grams that appear anywhere in the eval set.
+
+    Plan: the eval set collapses to one DISTINCT gram-hash relation and
+    is explicitly broadcast; the train side streams through a broadcast
+    hash join (no corpus shuffle) into a partial-aggregated count keyed
+    by doc — the 100 TB shape. Docs shorter than ``n`` tokens have no
+    grams and are never flagged."""
+    if n < 1:
+        raise ValueError(f"n-gram size must be >= 1: {n}")
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1: {min_shared}")
+    tg = _gram_hashes(spread_input(train), n, content_col, id_col, "doc_id")
+    eg = (
+        _gram_hashes(
+            test, n, test_content_col or content_col,
+            test_id_col or id_col, "_tid",
+        )
+        .select("g").distinct()
+    )
+    return (
+        tg.join(F.broadcast(eg), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def contamination_pairs(
+    train: DataFrame,
+    test: DataFrame,
+    n: int = 13,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    test_content_col: str | None = None,
+    test_id_col: str | None = None,
+) -> DataFrame:
+    """Contamination ATTRIBUTION: (train_id, test_id, n_shared) for every
+    train/eval doc pair sharing >= 1 distinct word n-gram — which
+    benchmark document leaked, not just that something did. Same
+    broadcast shape as contaminated_docs (the eval side keeps its doc
+    ids; still tiny); output size is the contaminated pair set."""
+    if n < 1:
+        raise ValueError(f"n-gram size must be >= 1: {n}")
+    tg = _gram_hashes(spread_input(train), n, content_col, id_col,
+                      "train_id")
+    eg = _gram_hashes(test, n, test_content_col or content_col,
+                      test_id_col or id_col, "test_id")
+    return (
+        tg.join(F.broadcast(eg), "g")
+        .groupBy("train_id", "test_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+def pack_multiplier(seed: int) -> int:
+    """The seed's multiplier: PACK_MULT^(seed+1) mod PACK_MOD, computed
+    driver-side. The seed MUST enter through the multiplier — any affine
+    seeding (``id·A + seed``, ``(id+seed)·A``) only shifts every key by
+    the same constant, which preserves the order except at the modular
+    wraparound (caught by test_pack_seed_changes_order_not_content).
+    PACK_MOD is prime, so the result is never 0 and ``id·M mod p`` is a
+    permutation of [0, p) over any id range below p."""
+    return pow(PACK_MULT, (int(seed) % (PACK_MOD - 1)) + 1, PACK_MOD)
+
+
+def pack_key_expr(id_col: str, seed: int) -> Column:
+    """The deterministic shuffle key: ``(id · pack_multiplier(seed)) mod
+    PACK_MOD`` — plain int64 arithmetic any SQL engine replays exactly
+    (no overflow while ``id · M < 2^63``, i.e. ids below ~9·10^9; beyond
+    that pass an ``xxhash64`` ``key_expr`` instead)."""
+    return F.pmod(
+        F.col(id_col).cast("long") * F.lit(pack_multiplier(seed)),
+        F.lit(PACK_MOD),
+    )
+
+
+def pack_documents(
+    docs: DataFrame,
+    seq_len: int,
+    seed: int = 42,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    key_expr: Column | None = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: deterministically shuffle the
+    corpus, concatenate the token streams, split every ``seq_len``
+    tokens. Returns one row per non-empty doc:
+
+    ``(doc_id, n_tokens, offset, seq_first, seq_last)`` — ``offset`` is
+    the doc's first-token position in the concatenation,
+    ``seq_first/seq_last`` the training sequences it lands in
+    (``floor(offset/seq_len)`` / ``floor((offset+n_tokens-1)/seq_len)``;
+    a doc crossing a boundary spans both, exactly like GPT-style
+    packing). Zero-token docs are dropped (they occupy no positions).
+
+    The prefix sum is the two-phase distributed form (module header):
+    global-window-free, so no single-task funnel at any corpus size.
+    """
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1: {seq_len}")
+    key = key_expr if key_expr is not None else pack_key_expr(id_col, seed)
+    base = (
+        spread_input(docs)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            key.alias("_k"),
+            F.size(
+                F.filter(
+                    F.split(F.lower(F.col(content_col)), "[^a-z0-9]+"),
+                    lambda t: t != "",
+                )
+            ).cast("long").alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        # order-preserving coarse buckets from the key's high bits: key
+        # in [0, PACK_MOD) -> bucket = key * B / PACK_MOD
+        .withColumn(
+            "_b",
+            (F.col("_k") * F.lit(PACK_BUCKETS) / F.lit(PACK_MOD))
+            .cast("long"),
+        )
+    )
+    # phase 1: per-bucket token totals -> driver prefix sum (<= 256 rows)
+    totals = {
+        r["_b"]: r["t"]
+        for r in base.groupBy("_b").agg(F.sum("n_tokens").alias("t"))
+        .collect()
+    }
+    bases, acc = [], 0
+    for b in range(PACK_BUCKETS):
+        bases.append((b, acc))
+        acc += int(totals.get(b, 0))
+    # phase 2: partitioned cumsum within each bucket + broadcast base
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("_b")
+        .orderBy(F.col("_k").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base_df = F.broadcast(
+        docs.sparkSession.createDataFrame(bases, "_b long, _base long")
+    )
+    off = F.col("_base") + F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        base.join(base_df, "_b")
+        .withColumn("offset", off)
+        .select(
+            "doc_id", "n_tokens", "offset",
+            F.floor(F.col("offset") / F.lit(seq_len)).alias("seq_first"),
+            F.floor(
+                (F.col("offset") + F.col("n_tokens") - 1) / F.lit(seq_len)
+            ).alias("seq_last"),
+        )
+    )
+
+
+def packing_stats(packed: DataFrame, seq_len: int) -> DataFrame:
+    """One-row packing summary over pack_documents' output: docs packed,
+    total tokens, full training sequences produced
+    (``ceil(total/seq_len)`` including the padded tail), tail padding
+    tokens, and boundary-crossing docs (``seq_last > seq_first`` — the
+    fraction cross-document attention masking has to handle). One
+    partial aggregation; nothing but the summary row moves."""
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1: {seq_len}")
+    return packed.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.ceil(F.sum("n_tokens") / F.lit(seq_len)).alias("n_sequences"),
+        (
+            F.ceil(F.sum("n_tokens") / F.lit(seq_len)) * F.lit(seq_len)
+            - F.sum("n_tokens")
+        ).alias("tail_padding"),
+        F.sum(
+            (F.col("seq_last") > F.col("seq_first")).cast("long")
+        ).alias("boundary_docs"),
+    )

@@ -1,0 +1,169 @@
+"""Training-set curation (X85/X86, operators/curation.py):
+decontamination vs a pure-python n-gram oracle, two-phase packing
+prefix sum vs a single global cumsum, plan gates, and rejects."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from mahout_spark.operators.curation import (
+    PACK_MOD,
+    contaminated_docs,
+    contamination_pairs,
+    pack_documents,
+    pack_multiplier,
+    packing_stats,
+)
+from mahout_spark.plans.audit import capture_plan
+
+# crafted corpus: doc 1 and 2 share a 3-gram run with eval doc 100;
+# doc 3 shares nothing; doc 4 is shorter than n; doc 5 duplicates the
+# leaked run twice (distinct grams still counted once)
+TRAIN = [
+    (1, "alpha beta gamma delta zz"),
+    (2, "xx alpha beta gamma yy"),
+    (3, "one two three four five"),
+    (4, "alpha beta"),
+    (5, "alpha beta gamma qq alpha beta gamma"),
+]
+EVAL = [
+    (100, "pp alpha beta gamma delta"),
+    (101, "six seven eight nine"),
+]
+
+
+def _grams(text, n):
+    toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _py_contam(n, min_shared=1):
+    eg = set().union(*(_grams(t, n) for _, t in EVAL))
+    out = {}
+    for did, t in TRAIN:
+        shared = len(_grams(t, n) & eg)
+        if shared >= min_shared:
+            out[did] = shared
+    return out
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    train = spark.createDataFrame(TRAIN, "doc_id long, text string")
+    test = spark.createDataFrame(EVAL, "doc_id long, text string")
+    return train, test
+
+
+def test_contaminated_docs_matches_python_oracle(corpus):
+    train, test = corpus
+    for n in (2, 3):
+        got = {r["doc_id"]: r["n_shared"]
+               for r in contaminated_docs(train, test, n=n).collect()}
+        assert got == _py_contam(n), f"n={n}"
+    # min_shared trims to the heavily-contaminated subset
+    got2 = {r["doc_id"]: r["n_shared"]
+            for r in contaminated_docs(train, test, n=2,
+                                       min_shared=3).collect()}
+    assert got2 == _py_contam(2, min_shared=3)
+
+
+def test_contamination_pairs_attribution(corpus):
+    train, test = corpus
+    got = {(r["train_id"], r["test_id"]): r["n_shared"]
+           for r in contamination_pairs(train, test, n=3).collect()}
+    want = {}
+    for tid, tt in TRAIN:
+        for eid, et in EVAL:
+            s = len(_grams(tt, 3) & _grams(et, 3))
+            if s:
+                want[(tid, eid)] = s
+    assert got == want
+    # attribution refines the flag set: same train ids, per-eval split
+    flagged = {r["doc_id"] for r in
+               contaminated_docs(train, test, n=3).collect()}
+    assert {t for t, _ in got} == flagged
+
+
+def test_decontam_eval_side_broadcast(corpus):
+    train, test = corpus
+    plan = capture_plan(contaminated_docs(train, test, n=3))
+    assert "BroadcastHashJoin" in plan  # the corpus is never shuffled
+    assert "SortMergeJoin" not in plan
+
+
+def test_pack_matches_global_cumsum(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    L, seed = 64, 42
+    got = {r["doc_id"]: (r["n_tokens"], r["offset"], r["seq_first"],
+                         r["seq_last"])
+           for r in pack_documents(docs, seq_len=L, seed=seed).collect()}
+    # independent oracle: ONE global python cumsum over the same key
+    rows = docs.select(
+        "doc_id",
+        F.size(F.filter(F.split(F.lower("text"), "[^a-z0-9]+"),
+                        lambda t: t != "")).alias("n"),
+    ).collect()
+    order = sorted(
+        ((r["doc_id"] * pack_multiplier(seed)) % PACK_MOD,
+         r["doc_id"], r["n"])
+        for r in rows if r["n"] > 0
+    )
+    want, off = {}, 0
+    for _, did, n in order:
+        want[did] = (n, off, off // L, (off + n - 1) // L)
+        off += n
+    assert got == want
+    # the packing is gap-free: offsets tile [0, total)
+    assert off == sum(n for n, *_ in want.values())
+
+
+def test_pack_seed_changes_order_not_content(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = pack_documents(docs, seq_len=64, seed=1)
+    b = pack_documents(docs, seq_len=64, seed=2)
+    pa = {r["doc_id"]: r["offset"] for r in a.collect()}
+    pb = {r["doc_id"]: r["offset"] for r in b.collect()}
+    assert set(pa) == set(pb)          # same docs packed
+    assert pa != pb                    # different permutation
+    # deterministic: same seed replays byte-identically
+    again = {r["doc_id"]: r["offset"]
+             for r in pack_documents(docs, seq_len=64, seed=1).collect()}
+    assert again == pa
+
+
+def test_pack_window_is_partitioned(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = capture_plan(pack_documents(docs, seq_len=64), mode="simple")
+    m = re.search(r"windowspecdefinition\(([^,]+),", plan)
+    assert m and "_b" in m.group(1), plan  # partitioned, no global funnel
+    assert "BroadcastExchange" in plan     # bucket bases broadcast in
+
+
+def test_packing_stats(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    L = 64
+    packed = pack_documents(docs, seq_len=L)
+    rows = packed.collect()
+    s = packing_stats(packed, L).first()
+    total = sum(r["n_tokens"] for r in rows)
+    assert s["n_docs"] == len(rows)
+    assert s["total_tokens"] == total
+    assert s["n_sequences"] == -(-total // L)
+    assert s["tail_padding"] == -(-total // L) * L - total
+    assert s["boundary_docs"] == sum(
+        1 for r in rows if r["seq_last"] > r["seq_first"])
+
+
+def test_rejects(corpus):
+    train, test = corpus
+    with pytest.raises(ValueError, match="n-gram"):
+        contaminated_docs(train, test, n=0)
+    with pytest.raises(ValueError, match="min_shared"):
+        contaminated_docs(train, test, min_shared=0)
+    with pytest.raises(ValueError, match="n-gram"):
+        contamination_pairs(train, test, n=0)
+    with pytest.raises(ValueError, match="seq_len"):
+        pack_documents(train, seq_len=0)
+    with pytest.raises(ValueError, match="seq_len"):
+        packing_stats(train, seq_len=0)
