@@ -966,6 +966,90 @@ def q_packing_stats(spark, sf_dir):
     return packing_stats(pack_documents(docs, seq_len=64, seed=42), 64)
 
 
+def q_engine_percentiles(spark, sf_dir):
+    """Percentiles aggregation (X87, ES ``percentiles`` agg, exact
+    regime): n_chars quantiles over the match set — linear
+    interpolation, the SQL quantile_cont contract, so the DuckDB oracle
+    is exact. The approx (Greenwald-Khanna) regime is test-gated."""
+    import shutil
+    import tempfile
+
+    from mahout_spark.index.aggs import facet_percentiles
+    from mahout_spark.index.build import build_index
+
+    docs = _load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="msdrv_pct_")
+    try:
+        cat = build_index(
+            spark, docs, out_dir=out, content_col="text",
+            id_cols=["doc_id"], mode="simple", resume=False,
+        )
+        result = facet_percentiles(
+            spark, cat, docs, " OR ".join(BM25_QUERY_TERMS), "n_chars",
+            (0.25, 0.5, 0.75, 0.95),
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def q_engine_composite(spark, sf_dir):
+    """Composite aggregation (X88, the ES ``composite`` agg): one
+    mid-stream page of the (lang × 100-wide n_chars histogram) bucket
+    space over a match set — strictly after the ("en", 100.0) cursor,
+    key-ordered, 10 buckets. The cursor predicate and LIMIT cut after
+    ONE partial-agg shuffle — page N costs page 1."""
+    import shutil
+    import tempfile
+
+    from mahout_spark.index.aggs import composite_agg
+    from mahout_spark.index.build import build_index
+
+    docs = _load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="msdrv_cmp_")
+    try:
+        cat = build_index(
+            spark, docs, out_dir=out, content_col="text",
+            id_cols=["doc_id"], mode="simple", resume=False,
+        )
+        result = composite_agg(
+            spark, cat, docs, "table OR scan OR data",
+            ["lang", ("n_chars", 100.0)], size=10, after=("en", 100.0),
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def q_engine_top_hits(spark, sf_dir):
+    """Terms + top_hits aggregation (X89): the 3 most-populated lang
+    buckets of the "table OR scan" match set, each with its top-3 BM25
+    hits. Oracle: the full SQL relation — bucket counts, ROW_NUMBER per
+    lang over the un-cut BM25 agg, both cuts."""
+    import shutil
+    import tempfile
+
+    from mahout_spark.index.aggs import top_hits_agg
+    from mahout_spark.index.build import build_index
+
+    docs = _load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="msdrv_th_")
+    try:
+        cat = build_index(
+            spark, docs, out_dir=out, content_col="text",
+            id_cols=["doc_id"], mode="simple", resume=False,
+        )
+        result = top_hits_agg(
+            spark, cat, docs, "table OR scan", "lang", n_buckets=3, size=3,
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def q_engine_federated_search(spark, sf_dir):
     """Federated multi-index search (X59): the corpus split by doc_id
     parity into TWO independently-built indexes, queried through
@@ -2235,6 +2319,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_pairs": q_contamination_pairs,
         "pack_sequences": q_pack_sequences,
         "packing_stats": q_packing_stats,
+        "engine_percentiles": q_engine_percentiles,
+        "engine_composite": q_engine_composite,
+        "engine_top_hits": q_engine_top_hits,
         "engine_delete_search": q_engine_delete_search,
         "engine_dedup_delete_search": q_engine_dedup_delete_search,
         "engine_delete_purge_search": q_engine_delete_purge_search,
@@ -3481,6 +3568,77 @@ def _base_oracle_sql() -> dict[str, str]:
         # collapse oracle: the full (un-cut) ranked match set of
         # table OR scan, top-3 per lang via ROW_NUMBER — the whole
         # grouped relation is hash-checked
+        # percentiles (X87): quantile_cont IS Spark's exact percentile
+        # (both linear interpolation) over the OR match set
+        "engine_percentiles": _TOK_CTE + f"""
+        , matched AS (
+            SELECT DISTINCT doc_id FROM tf WHERE term IN {_TERMS_IN}
+        )
+        SELECT round(quantile_cont(n_chars, 0.25), 6) AS p25,
+               round(quantile_cont(n_chars, 0.5), 6) AS p50,
+               round(quantile_cont(n_chars, 0.75), 6) AS p75,
+               round(quantile_cont(n_chars, 0.95), 6) AS p95
+        FROM documents JOIN matched USING (doc_id)
+        WHERE n_chars IS NOT NULL
+        """,
+        # composite agg (X88): one key-ordered page strictly after the
+        # ("en", 100.0) cursor over the lang x histogram(n_chars, 100)
+        # bucket space of the match set
+        "engine_composite": _TOK_CTE + """
+        , matched AS (
+            SELECT DISTINCT doc_id FROM tf
+            WHERE term IN ('table', 'scan', 'data')
+        ), b AS (
+            SELECT d.lang, floor(d.n_chars / 100.0) * 100.0 AS n_chars,
+                   CAST(count(*) AS BIGINT) AS doc_count
+            FROM documents d JOIN matched USING (doc_id)
+            WHERE d.lang IS NOT NULL AND d.n_chars IS NOT NULL
+            GROUP BY 1, 2
+        )
+        SELECT lang, n_chars, doc_count FROM b
+        WHERE lang > 'en' OR (lang = 'en' AND n_chars > 100.0)
+        ORDER BY lang, n_chars LIMIT 10
+        """,
+        # terms + top_hits (X89): bucket counts and per-bucket BM25
+        # ranking over the un-cut agg, both cuts applied in SQL
+        "engine_top_hits": _TOK_CTE + f"""
+        , matched AS (
+            SELECT DISTINCT doc_id FROM tf
+            WHERE term IN ('table', 'scan')
+        ), contrib AS (
+            SELECT tf.doc_id, {_BM25_CONTRIB} AS c
+            FROM tf
+            JOIN dfreq USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN scal
+            WHERE tf.term IN ('table', 'scan')
+        ), agg AS (
+            SELECT doc_id, sum(c) AS score_raw
+            FROM contrib JOIN matched USING (doc_id)
+            GROUP BY doc_id
+        ), bc AS (
+            SELECT d.lang, CAST(count(*) AS BIGINT) AS doc_count
+            FROM agg a JOIN documents d USING (doc_id)
+            WHERE d.lang IS NOT NULL
+            GROUP BY d.lang
+        ), tb AS (
+            SELECT lang, doc_count FROM bc
+            ORDER BY doc_count DESC, lang ASC LIMIT 3
+        ), ranked AS (
+            SELECT d.lang, a.doc_id, a.score_raw,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY d.lang
+                       ORDER BY a.score_raw DESC, a.doc_id ASC
+                   ) AS rank
+            FROM agg a JOIN documents d USING (doc_id)
+            WHERE d.lang IS NOT NULL
+        )
+        SELECT r.lang, tb.doc_count, CAST(r.rank AS BIGINT) AS rank,
+               r.doc_id, round(r.score_raw, 6) AS score
+        FROM ranked r JOIN tb USING (lang)
+        WHERE r.rank <= 3
+        ORDER BY tb.doc_count DESC, r.lang ASC, r.rank ASC
+        """,
         "engine_collapse_search": _TOK_CTE + f"""
         , matched AS (
             SELECT DISTINCT doc_id FROM tf

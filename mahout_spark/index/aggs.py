@@ -15,6 +15,16 @@ The ES aggregation surface this engine needs for data-curation work:
   boolquery.facet_counts): fixed-width buckets, empty buckets absent
   (sparse, like ES ``min_doc_count=1``).
 
+* ``match_count`` / ``facet_cardinality`` / ``facet_percentiles`` — the
+  ES ``_count``, ``cardinality``, and ``percentiles`` metric APIs, each
+  with an exact (oracle-checkable) and a sketch (100 TB) regime.
+
+* ``composite_agg`` — the ES composite agg: the multi-source bucket
+  space paginated in key order behind an ``after_key`` cursor.
+
+* ``top_hits_agg`` — ES terms + top_hits: the most-populated buckets,
+  each carrying its top BM25 hits.
+
 Both compose the SAME way at 100 TB: matching_docs stays distributed,
 the semi-join broadcasts whichever side AQE finds small, and the
 aggregation is one partial-agg shuffle keyed by term/bucket — never by
@@ -148,6 +158,180 @@ def match_count(
     aggregation — nothing but the final scalar crosses the driver."""
     m = matching_docs(spark, cat, query, max_expansions=max_expansions, **kw)
     return m.agg(F.count(F.lit(1)).alias("n_matches"))
+
+
+def facet_percentiles(
+    spark: SparkSession,
+    cat: ParquetCatalog,
+    docs: DataFrame,
+    query,
+    value_col: str,
+    percentiles=(0.25, 0.5, 0.75),
+    id_col: str = "doc_id",
+    approx: bool = False,
+    accuracy: int = 10_000,
+    max_expansions: int = MAX_EXPANSIONS,
+) -> DataFrame:
+    """ES ``percentiles`` agg: quantiles of a numeric corpus column over
+    the match set — one row with a round-6 ``p<pct>`` column per
+    requested fraction (NULLs excluded, linear interpolation — the SQL
+    ``quantile_cont`` contract, so the oracle is exact).
+
+    ``approx=False`` (default) is Spark's EXACT ``percentile`` — a sort
+    within the aggregation, the oracle-checkable regime. ``approx=True``
+    switches to ``percentile_approx`` (Greenwald-Khanna; ES itself ships
+    an approximate t-digest) — fixed-size sketches merge in partial
+    aggregation, the 100 TB regime where an exact per-group sort is the
+    bottleneck."""
+    ps = list(percentiles)
+    if not ps or any(not 0 <= p <= 1 for p in ps):
+        raise ValueError(f"percentiles must be fractions in [0, 1]: {ps}")
+    m = matching_docs(spark, cat, query, max_expansions=max_expansions)
+    base = (
+        docs.select(F.col(id_col).alias("doc_id"), value_col)
+        .join(m, "doc_id", "left_semi")
+        .filter(F.col(value_col).isNotNull())
+    )
+
+    def name(p: float) -> str:
+        return "p" + f"{p * 100:g}".replace(".", "_")
+
+    if approx:
+        aggs = [F.round(F.percentile_approx(value_col, p, accuracy), 6)
+                .alias(name(p)) for p in ps]
+    else:
+        aggs = [F.round(F.percentile(value_col, p), 6).alias(name(p))
+                for p in ps]
+    return base.agg(*aggs)
+
+
+def composite_agg(
+    spark: SparkSession,
+    cat: ParquetCatalog,
+    docs: DataFrame,
+    query,
+    sources,
+    size: int = 10,
+    after=None,
+    id_col: str = "doc_id",
+    max_expansions: int = MAX_EXPANSIONS,
+) -> DataFrame:
+    """ES ``composite`` aggregation: the bucket space of multiple
+    sources, paginated in KEY order — the only ES agg built to stream
+    EVERY bucket of a high-cardinality group-by through bounded pages.
+    ``sources`` entries are ``"col"`` (terms source) or ``(col, width)``
+    (fixed-width histogram source, ``floor(v/width)·width``). Returns
+    ``size`` buckets ``(key..., doc_count)`` ordered by the full key
+    tuple asc, strictly after the ``after`` cursor (the previous page's
+    last key, as a dict or values tuple — ES's ``after_key``). Rows NULL
+    in any source are skipped (ES ``missing_bucket: false`` default).
+
+    At scale: one semi-join + one partial-agg shuffle keyed by the
+    bucket tuple; the cursor predicate and LIMIT cut AFTER the
+    aggregation, so page N costs page 1 and no state accumulates
+    across pages (exactly why ES invented composite over terms)."""
+    from mahout_spark.index.ranking import _after_predicate
+
+    if size < 1:
+        raise ValueError(f"composite size must be >= 1: {size}")
+    if not sources:
+        raise ValueError("composite_agg needs at least one source")
+    keys, exprs = [], []
+    for s in sources:
+        if isinstance(s, str):
+            keys.append(s)
+            exprs.append(F.col(s).alias(s))
+        else:
+            col, width = s
+            if width <= 0:
+                raise ValueError(f"histogram width must be > 0: {width!r}")
+            keys.append(col)
+            exprs.append(
+                (F.floor(F.col(col) / F.lit(float(width)))
+                 * F.lit(float(width))).alias(col)
+            )
+    m = matching_docs(spark, cat, query, max_expansions=max_expansions)
+    base = docs.join(
+        m.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
+    ).select(*exprs)
+    for k in keys:
+        base = base.filter(F.col(k).isNotNull())
+    out = base.groupBy(*keys).agg(F.count(F.lit(1)).alias("doc_count"))
+    if after is not None:
+        # all-asc lexicographic cursor; reuse the sorted-retrieval
+        # predicate with the last key standing in for the id tiebreak
+        # (bucket tuples are unique, so strictness on the full tuple is
+        # exactly "after this bucket")
+        out = out.filter(_after_predicate(
+            [(k, True) for k in keys[:-1]], keys[-1], after
+        ))
+    return out.orderBy(*[F.col(k).asc() for k in keys]).limit(size)
+
+
+def top_hits_agg(
+    spark: SparkSession,
+    cat: ParquetCatalog,
+    docs: DataFrame,
+    query,
+    group_col: str,
+    n_buckets: int = 5,
+    size: int = 3,
+    id_col: str = "doc_id",
+    cleanup: list | None = None,
+    **query_kwargs,
+) -> DataFrame:
+    """ES ``terms`` agg with a ``top_hits`` sub-agg: the ``n_buckets``
+    most-populated ``group_col`` buckets of the match set (doc_count
+    desc, value asc — the ES terms order), each carrying its top
+    ``size`` hits by BM25 — ``(group, doc_count, rank, doc_id, score)``.
+
+    Differs from collapse_topk (X56) in both halves of the contract:
+    buckets are SELECTED and ORDERED by size (collapse keeps every
+    group), and each bucket reports its population. Plan: the ranked
+    match set ⋈ the (id, group) projection is checkpointed ONCE and
+    feeds both the bucket count and the hit ranking; the winning-bucket
+    relation is n_buckets rows — broadcast back as a semi-join so the
+    per-group window only ranks docs inside winning buckets. NULL group
+    values are skipped (ES terms default)."""
+    from mahout_spark.checkpoint import eager_checkpoint
+    from mahout_spark.index.boolquery import score_matches
+    from pyspark.sql import Window
+
+    if n_buckets < 1 or size < 1:
+        raise ValueError(
+            f"n_buckets and size must be >= 1: {n_buckets}, {size}")
+    scores = score_matches(spark, cat, query, **query_kwargs)
+    joined = eager_checkpoint(
+        docs.select(id_col, group_col)
+        .filter(F.col(group_col).isNotNull())
+        .join(scores.withColumnRenamed("doc_id", id_col), id_col),
+        cleanup,
+    )
+    buckets = (
+        joined.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy(F.col("doc_count").desc(), F.col(group_col).asc())
+        .limit(n_buckets)
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+    )
+    hits = (
+        joined.join(F.broadcast(buckets.select(group_col)),
+                    group_col, "left_semi")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= size)
+    )
+    return (
+        hits.join(F.broadcast(buckets), group_col)
+        .select(
+            group_col, "doc_count", F.col("rank").cast("long").alias("rank"),
+            id_col, F.round("score", 6).alias("score"),
+        )
+        .orderBy(F.col("doc_count").desc(), F.col(group_col).asc(),
+                 F.col("rank").asc())
+    )
 
 
 def facet_cardinality(

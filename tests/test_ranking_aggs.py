@@ -1,7 +1,8 @@
 """Sort-by-field retrieval, function_score blending, the count /
-cardinality aggregations, per-doc term vectors, and the calendar
-date_histogram (X76-X81): parity vs brute-force/pandas oracles, cursor
-reassembly, NULL semantics, and the forward-index plan gate."""
+cardinality / percentiles / composite / top_hits aggregations, per-doc
+term vectors, and the calendar date_histogram (X76-X81, X87-X89):
+parity vs brute-force/pandas oracles, cursor reassembly, NULL
+semantics, and the forward-index plan gate."""
 
 import math
 
@@ -273,3 +274,123 @@ def test_date_histogram_null_ts_excluded(spark):
 def test_date_histogram_rejects_interval(spark, events):
     with pytest.raises(ValueError, match="interval"):
         date_histogram(events, "ts", "fortnight")
+
+
+# --------------------- percentiles / composite / top_hits (X87-X89)
+
+def test_facet_percentiles_exact_matches_python(spark, built, docs,
+                                                oracle, meta):
+    q = "spark OR data OR query"
+    vals = sorted(meta[d][0] for d in _match(oracle, q))
+
+    def q_cont(p):  # linear interpolation (SQL quantile_cont)
+        h = (len(vals) - 1) * p
+        lo, hi = int(math.floor(h)), int(math.ceil(h))
+        return vals[lo] + (h - lo) * (vals[hi] - vals[lo])
+
+    from mahout_spark.index.aggs import facet_percentiles
+
+    row = facet_percentiles(
+        spark, built, docs, q, "n_chars", (0.25, 0.5, 0.75, 0.99),
+    ).first()
+    assert row["p25"] == pytest.approx(round(q_cont(0.25), 6), abs=1e-6)
+    assert row["p50"] == pytest.approx(round(q_cont(0.5), 6), abs=1e-6)
+    assert row["p75"] == pytest.approx(round(q_cont(0.75), 6), abs=1e-6)
+    assert row["p99"] == pytest.approx(round(q_cont(0.99), 6), abs=1e-6)
+
+
+def test_facet_percentiles_approx_regime(spark, built, docs):
+    from mahout_spark.index.aggs import facet_percentiles
+
+    q = "spark OR data OR query"
+    exact = facet_percentiles(spark, built, docs, q, "n_chars",
+                              (0.5,)).first()["p50"]
+    approx = facet_percentiles(spark, built, docs, q, "n_chars", (0.5,),
+                               approx=True).first()["p50"]
+    # GK sketch at accuracy=10^4 on a few hundred rows is near-exact
+    assert approx == pytest.approx(exact, rel=0.05)
+    with pytest.raises(ValueError, match="percentiles"):
+        facet_percentiles(spark, built, docs, q, "n_chars", (1.5,))
+
+
+def _py_composite(oracle, meta, q, width):
+    from collections import Counter
+
+    c = Counter()
+    for d in _match(oracle, q):
+        n_chars, lang, _ = meta[d]
+        c[(lang, math.floor(n_chars / width) * width)] += 1
+    return c
+
+
+def test_composite_pages_tile_the_bucket_space(spark, built, docs,
+                                               oracle, meta):
+    from mahout_spark.index.aggs import composite_agg
+
+    q = "table OR scan OR data"
+    want = _py_composite(oracle, meta, q, 100.0)
+    pages, after = [], None
+    while True:
+        page = composite_agg(
+            spark, built, docs, q, ["lang", ("n_chars", 100.0)],
+            size=4, after=after,
+        ).collect()
+        if not page:
+            break
+        pages.extend(page)
+        after = (page[-1]["lang"], page[-1]["n_chars"])
+        if len(page) < 4:
+            break
+    got = {(r["lang"], r["n_chars"]): r["doc_count"] for r in pages}
+    assert got == {k: v for k, v in want.items()}
+    # pages arrive in strict key order with no overlap
+    keys = [(r["lang"], r["n_chars"]) for r in pages]
+    assert keys == sorted(keys) and len(keys) == len(set(keys))
+
+
+def test_composite_rejects(spark, built, docs):
+    from mahout_spark.index.aggs import composite_agg
+
+    with pytest.raises(ValueError, match="source"):
+        composite_agg(spark, built, docs, "spark", [], size=4)
+    with pytest.raises(ValueError, match="size"):
+        composite_agg(spark, built, docs, "spark", ["lang"], size=0)
+    with pytest.raises(ValueError, match="width"):
+        composite_agg(spark, built, docs, "spark", [("n_chars", 0)])
+
+
+def test_top_hits_matches_python_recompute(spark, built, docs, meta):
+    from mahout_spark.index.aggs import top_hits_agg
+
+    q = "table OR scan"
+    bm25 = {r["doc_id"]: r["score"]
+            for r in score_matches(spark, built, q).collect()}
+    by_group = {}
+    for d, s in bm25.items():
+        by_group.setdefault(meta[d][1], []).append((d, s))
+    top = sorted(by_group, key=lambda g: (-len(by_group[g]), g))[:2]
+    want = []
+    for g in top:
+        hits = sorted(by_group[g], key=lambda x: (-x[1], x[0]))[:3]
+        want += [(g, len(by_group[g]), i + 1, d, round(s, 6))
+                 for i, (d, s) in enumerate(hits)]
+    got = [(r["lang"], r["doc_count"], r["rank"], r["doc_id"], r["score"])
+           for r in top_hits_agg(spark, built, docs, q, "lang",
+                                 n_buckets=2, size=3).collect()]
+    assert got == want
+
+
+def test_top_hits_null_group_skipped_and_rejects(spark, built, tmp_path):
+    from mahout_spark.index.aggs import top_hits_agg
+
+    d2 = spark.createDataFrame(
+        [(1, "alpha beta", None), (2, "alpha gamma", "en")],
+        "doc_id long, text string, lang string",
+    )
+    cat = build_index(spark, d2, str(tmp_path / "nulgrp"),
+                      content_col="text", id_cols=["doc_id"],
+                      mode="simple", resume=False)
+    rows = top_hits_agg(spark, cat, d2, "alpha", "lang").collect()
+    assert [r["doc_id"] for r in rows] == [2]  # NULL bucket skipped
+    with pytest.raises(ValueError, match="n_buckets"):
+        top_hits_agg(spark, cat, d2, "alpha", "lang", n_buckets=0)
