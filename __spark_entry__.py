@@ -911,6 +911,24 @@ def q_engine_pq_ann(spark, sf_dir):
     return pq_ann_topk(coded, qvec, books, k=10, rerank=10**9)
 
 
+def q_engine_sq_ann(spark, sf_dir):
+    """Scalar int8 quantized ANN (X90, the ES int8 kNN model) in the
+    FULL-RERANK regime: quantized candidate selection with ``rerank >=
+    corpus`` makes every row a candidate and the exact cosine rerank
+    decides — provably brute force, so the oracle is the plain exact
+    cosine relation (query vector = row 11). Quantized-only recall is
+    test-gated in tests/test_quant.py."""
+    from mahout_spark.operators.quant import add_sq_codes, sq_ann_topk, \
+        sq_train
+
+    emb = _load(spark, sf_dir, "embeddings")
+    qvec = [float(x)
+            for x in emb.filter(F.col("vec_id") == 11).first()["embedding"]]
+    lo, hi = sq_train(emb)
+    coded = add_sq_codes(emb, lo, hi)
+    return sq_ann_topk(coded, qvec, lo, hi, k=10, rerank=10**9)
+
+
 def _contam_split(spark, sf_dir):
     """The decontamination fixture: eval set = every 97th doc by id, train
     = the rest (deterministic, SQL-replayable split of the one corpus)."""
@@ -994,6 +1012,33 @@ def q_engine_percentiles(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def q_engine_extended_stats(spark, sf_dir):
+    """Extended stats aggregation (X91, ES ``extended_stats``): the
+    seven moments of n_chars over the match set, derived from ES's own
+    sum/sumOfSquares formulation so the SQL oracle's IEEE arithmetic is
+    bit-identical."""
+    import shutil
+    import tempfile
+
+    from mahout_spark.index.aggs import extended_stats
+    from mahout_spark.index.build import build_index
+
+    docs = _load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="msdrv_xst_")
+    try:
+        cat = build_index(
+            spark, docs, out_dir=out, content_col="text",
+            id_cols=["doc_id"], mode="simple", resume=False,
+        )
+        result = extended_stats(
+            spark, cat, docs, " OR ".join(BM25_QUERY_TERMS), "n_chars",
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def q_engine_composite(spark, sf_dir):
     """Composite aggregation (X88, the ES ``composite`` agg): one
     mid-stream page of the (lang × 100-wide n_chars histogram) bucket
@@ -1044,6 +1089,33 @@ def q_engine_top_hits(spark, sf_dir):
         result = top_hits_agg(
             spark, cat, docs, "table OR scan", "lang", n_buckets=3, size=3,
         )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def q_engine_sorted_scan(spark, sf_dir):
+    """Index-time sorting (X92, the Lucene/ES index-sorting model): the
+    corpus written hive-partitioned by ordered n_chars buckets, then a
+    top-20 sorted scan that reads ONLY the shortest bucket prefix
+    covering 20 rows (partition-pruned; plan-gated in tests). Provably
+    identical to the full ORDER BY — which is exactly the oracle."""
+    import shutil
+    import tempfile
+
+    from mahout_spark.operators.sortedtable import (
+        sorted_scan_topk,
+        write_sorted_table,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="msdrv_srt_")
+    try:
+        path = out + "/bychars"
+        write_sorted_table(docs, "n_chars", path, n_buckets=16)
+        result = sorted_scan_topk(
+            spark, path, k=20, cols=["doc_id", "n_chars"])
         rows = result.collect()
         return spark.createDataFrame(rows, result.schema)
     finally:
@@ -2315,12 +2387,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_did_you_mean": q_engine_did_you_mean,
         "engine_filtered_ann": q_engine_filtered_ann,
         "engine_pq_ann": q_engine_pq_ann,
+        "engine_sq_ann": q_engine_sq_ann,
         "decontaminate": q_decontaminate,
         "contamination_pairs": q_contamination_pairs,
         "pack_sequences": q_pack_sequences,
         "packing_stats": q_packing_stats,
         "engine_percentiles": q_engine_percentiles,
+        "engine_extended_stats": q_engine_extended_stats,
         "engine_composite": q_engine_composite,
+        "engine_sorted_scan": q_engine_sorted_scan,
         "engine_top_hits": q_engine_top_hits,
         "engine_delete_search": q_engine_delete_search,
         "engine_dedup_delete_search": q_engine_dedup_delete_search,
@@ -2789,6 +2864,20 @@ def _pipeline_sql() -> dict[str, str]:
         # cosine (query vector = row 7)
         "engine_pq_ann": f"""
         WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 7),
+        n AS (
+            SELECT e.vec_id,
+                   round({qdot} / ({nrm.replace('embedding', 'e.embedding')}
+                       * (SELECT {nrm} FROM q)), 6) AS cosine
+            FROM embeddings e CROSS JOIN q
+        )
+        SELECT vec_id, cosine FROM n
+        ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        # SQ-ANN oracle (X90): rerank >= corpus makes quantized selection
+        # total and the exact rerank decides — plain brute-force cosine
+        # (query vector = row 11)
+        "engine_sq_ann": f"""
+        WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 11),
         n AS (
             SELECT e.vec_id,
                    round({qdot} / ({nrm.replace('embedding', 'e.embedding')}
@@ -3580,6 +3669,35 @@ def _base_oracle_sql() -> dict[str, str]:
                round(quantile_cont(n_chars, 0.95), 6) AS p95
         FROM documents JOIN matched USING (doc_id)
         WHERE n_chars IS NOT NULL
+        """,
+        # index-sorted scan (X92): the early-terminated bucket-prefix
+        # scan is provably the full sort — the oracle IS the full sort
+        "engine_sorted_scan": """
+        SELECT doc_id, n_chars FROM documents
+        WHERE n_chars IS NOT NULL
+        ORDER BY n_chars ASC, doc_id ASC LIMIT 20
+        """,
+        # extended_stats (X91): the same sum/sumOfSquares derivation
+        # (q/n - (s/n)^2) over the same doubles — bit-identical IEEE
+        "engine_extended_stats": _TOK_CTE + f"""
+        , matched AS (
+            SELECT DISTINCT doc_id FROM tf WHERE term IN {_TERMS_IN}
+        ), mo AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_values,
+                   min(n_chars) AS min_value, max(n_chars) AS max_value,
+                   sum(n_chars::DOUBLE) AS s,
+                   sum(n_chars::DOUBLE * n_chars::DOUBLE) AS q
+            FROM documents JOIN matched USING (doc_id)
+            WHERE n_chars IS NOT NULL
+        )
+        SELECT n_values, min_value, max_value,
+               round(s, 6) AS sum_value,
+               round(s / n_values, 6) AS avg_value,
+               round(q / n_values - (s / n_values) * (s / n_values), 6)
+                   AS variance,
+               round(sqrt(q / n_values - (s / n_values) * (s / n_values)),
+                     6) AS std_deviation
+        FROM mo
         """,
         # composite agg (X88): one key-ordered page strictly after the
         # ("en", 100.0) cursor over the lang x histogram(n_chars, 100)

@@ -156,6 +156,9 @@ def main() -> None:
         "cosine_topk",
         "engine_embedding_neardup_lsh",
         "engine_percolate",
+        "engine_pq_ann",
+        "decontaminate",
+        "pack_sequences",
         "report_full",
     ]:
         if name in qs:

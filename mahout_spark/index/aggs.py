@@ -205,6 +205,52 @@ def facet_percentiles(
     return base.agg(*aggs)
 
 
+def extended_stats(
+    spark: SparkSession,
+    cat: ParquetCatalog,
+    docs: DataFrame,
+    query,
+    value_col: str,
+    id_col: str = "doc_id",
+    max_expansions: int = MAX_EXPANSIONS,
+) -> DataFrame:
+    """ES ``extended_stats`` agg: one row of count / min / max / sum /
+    avg / variance / std_deviation of a numeric corpus column over the
+    match set (population variance — the ES contract; NULLs excluded).
+    All seven moments derive from ONE partial aggregation of (count,
+    min, max, sum, sum-of-squares) — ES's own formulation (it tracks
+    sum and sumOfSquares, not Welford), and the derivation
+    ``q/n − (s/n)²`` is plain IEEE arithmetic over those moments, so an
+    oracle computing the same expression over the same values is
+    bit-identical. Nothing but the single result row moves at any
+    corpus size. Derived floats round to 6; count stays long, min/max
+    stay exact."""
+    m = matching_docs(spark, cat, query, max_expansions=max_expansions)
+    base = (
+        docs.select(F.col(id_col).alias("doc_id"), value_col)
+        .join(m, "doc_id", "left_semi")
+        .filter(F.col(value_col).isNotNull())
+    )
+    v = F.col(value_col).cast("double")
+    raw = base.agg(
+        F.count(F.lit(1)).alias("n_values"),
+        F.min(value_col).alias("min_value"),
+        F.max(value_col).alias("max_value"),
+        F.sum(v).alias("_s"),
+        F.sum(v * v).alias("_q"),
+    )
+    n = F.col("n_values").cast("double")
+    mean = F.col("_s") / n
+    var = F.col("_q") / n - mean * mean
+    return raw.select(
+        "n_values", "min_value", "max_value",
+        F.round("_s", 6).alias("sum_value"),
+        F.round(mean, 6).alias("avg_value"),
+        F.round(var, 6).alias("variance"),
+        F.round(F.sqrt(var), 6).alias("std_deviation"),
+    )
+
+
 def composite_agg(
     spark: SparkSession,
     cat: ParquetCatalog,

@@ -1,6 +1,6 @@
 """Sort-by-field retrieval, function_score blending, the count /
 cardinality / percentiles / composite / top_hits aggregations, per-doc
-term vectors, and the calendar date_histogram (X76-X81, X87-X89):
+term vectors, and the calendar date_histogram (X76-X81, X87-X89, X91):
 parity vs brute-force/pandas oracles, cursor reassembly, NULL
 semantics, and the forward-index plan gate."""
 
@@ -394,3 +394,22 @@ def test_top_hits_null_group_skipped_and_rejects(spark, built, tmp_path):
     assert [r["doc_id"] for r in rows] == [2]  # NULL bucket skipped
     with pytest.raises(ValueError, match="n_buckets"):
         top_hits_agg(spark, cat, d2, "alpha", "lang", n_buckets=0)
+
+
+def test_extended_stats_matches_python(spark, built, docs, oracle, meta):
+    from mahout_spark.index.aggs import extended_stats
+
+    q = "spark OR data OR query"
+    vals = [meta[d][0] for d in _match(oracle, q)]
+    n, s = len(vals), float(sum(vals))
+    qq = float(sum(v * v for v in vals))
+    row = extended_stats(spark, built, docs, q, "n_chars").first()
+    assert row["n_values"] == n
+    assert row["min_value"] == min(vals)
+    assert row["max_value"] == max(vals)
+    assert row["sum_value"] == pytest.approx(round(s, 6), abs=1e-6)
+    assert row["avg_value"] == pytest.approx(round(s / n, 6), abs=1e-6)
+    var = qq / n - (s / n) * (s / n)
+    assert row["variance"] == pytest.approx(round(var, 6), abs=1e-6)
+    assert row["std_deviation"] == pytest.approx(
+        round(math.sqrt(var), 6), abs=1e-6)
