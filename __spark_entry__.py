@@ -829,6 +829,24 @@ def q_date_histogram(spark, sf_dir):
     return date_histogram(events, "ts", "day", "value")
 
 
+def q_histogram_pipeline(spark, sf_dir):
+    """Pipeline aggregations (X93, ES derivative / cumulative_sum /
+    moving_avg): the daily date_histogram's sum_value run through all
+    three pipeline metrics (trailing window 3). The window runs over
+    the already-aggregated bucket relation — bounded by the time axis,
+    not the corpus."""
+    from mahout_spark.operators.timeseries import (
+        bucket_pipeline,
+        date_histogram,
+    )
+
+    events = _load(spark, sf_dir, "events")
+    return bucket_pipeline(
+        date_histogram(events, "ts", "day", "value"), "sum_value",
+        window=3,
+    )
+
+
 def q_passage_search(spark, sf_dir):
     """Passage retrieval with parent-doc rollup (X81, MaxP / ES
     inner_hits): chunk-level BM25 over the chunk corpus, each doc
@@ -2383,6 +2401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_function_score": q_engine_function_score,
         "engine_term_vectors": q_engine_term_vectors,
         "date_histogram": q_date_histogram,
+        "histogram_pipeline": q_histogram_pipeline,
         "passage_search": q_passage_search,
         "engine_did_you_mean": q_engine_did_you_mean,
         "engine_filtered_ann": q_engine_filtered_ann,
@@ -3260,6 +3279,28 @@ def _base_oracle_sql() -> dict[str, str]:
                round(avg(value), 6) AS avg_value
         FROM events WHERE ts IS NOT NULL
         GROUP BY 1 ORDER BY 1
+        """,
+        # pipeline aggs (X93): the same three windowed derivations over
+        # the date_histogram relation, same trailing-3 frame, same
+        # sequential (bucket-ordered) IEEE accumulation
+        "histogram_pipeline": """
+        WITH h AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+                   count(*) AS n_events,
+                   round(sum(value), 6) AS sum_value,
+                   round(avg(value), 6) AS avg_value
+            FROM events WHERE ts IS NOT NULL GROUP BY 1
+        )
+        SELECT bucket, n_events, sum_value, avg_value,
+               round(sum_value - lag(sum_value) OVER (ORDER BY bucket), 6)
+                   AS derivative,
+               round(sum(sum_value) OVER (ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                   AS cumulative_sum,
+               round(avg(sum_value) OVER (ORDER BY bucket
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+                   AS moving_avg
+        FROM h ORDER BY bucket
         """,
         "engine_did_you_mean": _DYM_SQL,
         # passage oracle: the whole MaxP relation in SQL — chunk windows

@@ -64,3 +64,59 @@ def date_histogram(
     )
     order = ["bucket"] + ([group_col] if group_col else [])
     return out.orderBy(*order)
+
+
+#: Pipeline metrics over an already-aggregated bucket relation.
+PIPELINE_METRICS = ("derivative", "cumulative_sum", "moving_avg")
+
+
+def bucket_pipeline(
+    buckets: DataFrame,
+    value_col: str,
+    metrics=PIPELINE_METRICS,
+    window: int = 5,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """ES pipeline aggregations (``derivative`` / ``cumulative_sum`` /
+    ``moving_avg``, the moving_fn shape) over a date_histogram result:
+    per bucket, in bucket order,
+
+    * ``derivative``     — value minus the previous bucket's value
+      (NULL for the first bucket, the ES contract);
+    * ``cumulative_sum`` — running sum from the first bucket;
+    * ``moving_avg``     — mean of the trailing ``window`` buckets
+      INCLUDING the current one (fewer at the head — ES's partial
+      windows).
+
+    Round-6 outputs; input rows pass through unchanged. The window here
+    is a SINGLE ordered partition by design: it runs over the already-
+    aggregated bucket relation (thousands of rows at most — bounded by
+    the time axis, not the corpus), after the heavy corpus-side shuffle
+    has already reduced to one row per bucket. Sub-bucketed histograms
+    (a group_col) should instead partition the window by group — pass
+    the pre-grouped frame per group, or extend here when needed."""
+    from pyspark.sql import Window
+
+    bad = [m for m in metrics if m not in PIPELINE_METRICS]
+    if bad or not metrics:
+        raise ValueError(
+            f"metrics must be non-empty, from {PIPELINE_METRICS}: {bad}")
+    if window < 1:
+        raise ValueError(f"window must be >= 1: {window}")
+    w = Window.orderBy(F.col(bucket_col).asc())
+    out = buckets
+    v = F.col(value_col).cast("double")
+    if "derivative" in metrics:
+        out = out.withColumn(
+            "derivative", F.round(v - F.lag(v, 1).over(w), 6))
+    if "cumulative_sum" in metrics:
+        out = out.withColumn(
+            "cumulative_sum",
+            F.round(F.sum(v).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)), 6))
+    if "moving_avg" in metrics:
+        out = out.withColumn(
+            "moving_avg",
+            F.round(F.avg(v).over(
+                w.rowsBetween(-(window - 1), 0)), 6))
+    return out.orderBy(F.col(bucket_col).asc())

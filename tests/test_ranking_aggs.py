@@ -413,3 +413,41 @@ def test_extended_stats_matches_python(spark, built, docs, oracle, meta):
     assert row["variance"] == pytest.approx(round(var, 6), abs=1e-6)
     assert row["std_deviation"] == pytest.approx(
         round(math.sqrt(var), 6), abs=1e-6)
+
+
+def test_bucket_pipeline_matches_python(spark, events):
+    from mahout_spark.operators.timeseries import (
+        bucket_pipeline,
+        date_histogram,
+    )
+
+    h = date_histogram(events, "ts", "day", "value")
+    base = [(r["bucket"], r["sum_value"]) for r in h.collect()]
+    base.sort()
+    vals = [v for _, v in base]
+    got = bucket_pipeline(h, "sum_value", window=3).collect()
+    assert [r["bucket"] for r in got] == [b for b, _ in base]
+    for i, r in enumerate(got):
+        if i == 0:
+            assert r["derivative"] is None  # ES: no derivative for bucket 0
+        else:
+            assert r["derivative"] == pytest.approx(
+                round(vals[i] - vals[i - 1], 6), abs=1e-6)
+        assert r["cumulative_sum"] == pytest.approx(
+            round(sum(vals[:i + 1]), 6), abs=1e-6)
+        w = vals[max(0, i - 2):i + 1]
+        assert r["moving_avg"] == pytest.approx(
+            round(sum(w) / len(w), 6), abs=1e-6)
+
+
+def test_bucket_pipeline_rejects(spark, events):
+    from mahout_spark.operators.timeseries import (
+        bucket_pipeline,
+        date_histogram,
+    )
+
+    h = date_histogram(events, "ts", "day", "value")
+    with pytest.raises(ValueError, match="metrics"):
+        bucket_pipeline(h, "sum_value", metrics=("median",))
+    with pytest.raises(ValueError, match="window"):
+        bucket_pipeline(h, "sum_value", window=0)
