@@ -847,6 +847,25 @@ def q_histogram_pipeline(spark, sf_dir):
     )
 
 
+def q_histogram_top_buckets(spark, sf_dir):
+    """bucket_selector + bucket_sort pipeline aggs (X94, ES HAVING +
+    sorted/paged bucket truncation): daily date_histogram, buckets with
+    n_events >= 10 kept, re-ordered by sum_value desc (bucket asc on
+    ties), page from=2 size=7. Both run over the already-aggregated
+    bucket relation."""
+    from mahout_spark.operators.timeseries import (
+        bucket_selector,
+        bucket_sort,
+        date_histogram,
+    )
+
+    events = _load(spark, sf_dir, "events")
+    kept = bucket_selector(
+        date_histogram(events, "ts", "day", "value"), "n_events >= 10")
+    return bucket_sort(
+        kept, sort=[("sum_value", "desc")], size=7, offset=2)
+
+
 def q_passage_search(spark, sf_dir):
     """Passage retrieval with parent-doc rollup (X81, MaxP / ES
     inner_hits): chunk-level BM25 over the chunk corpus, each doc
@@ -2402,6 +2421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_term_vectors": q_engine_term_vectors,
         "date_histogram": q_date_histogram,
         "histogram_pipeline": q_histogram_pipeline,
+        "histogram_top_buckets": q_histogram_top_buckets,
         "passage_search": q_passage_search,
         "engine_did_you_mean": q_engine_did_you_mean,
         "engine_filtered_ann": q_engine_filtered_ann,
@@ -3301,6 +3321,22 @@ def _base_oracle_sql() -> dict[str, str]:
                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
                    AS moving_avg
         FROM h ORDER BY bucket
+        """,
+        # bucket_selector + bucket_sort (X94): HAVING over the bucket
+        # metrics, then sort/offset/limit with the same bucket-asc tie
+        # break
+        "histogram_top_buckets": """
+        WITH h AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+                   count(*) AS n_events,
+                   round(sum(value), 6) AS sum_value,
+                   round(avg(value), 6) AS avg_value
+            FROM events WHERE ts IS NOT NULL GROUP BY 1
+        )
+        SELECT bucket, n_events, sum_value, avg_value FROM h
+        WHERE n_events >= 10
+        ORDER BY sum_value DESC, bucket ASC
+        LIMIT 7 OFFSET 2
         """,
         "engine_did_you_mean": _DYM_SQL,
         # passage oracle: the whole MaxP relation in SQL — chunk windows

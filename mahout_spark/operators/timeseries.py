@@ -120,3 +120,54 @@ def bucket_pipeline(
             F.round(F.avg(v).over(
                 w.rowsBetween(-(window - 1), 0)), 6))
     return out.orderBy(F.col(bucket_col).asc())
+
+
+def bucket_selector(buckets: DataFrame, condition) -> DataFrame:
+    """ES ``bucket_selector`` pipeline agg: drop buckets whose metrics
+    fail ``condition`` (a SQL boolean expression string over the bucket
+    relation's columns, or a Column) — the aggregation-side HAVING.
+    NULL evaluations drop the bucket (ES: a script returning no value
+    removes it). Bucket order is preserved.
+
+    Catalyst sees a plain Filter over the bucket relation, so when the
+    selector is composed BEFORE the histogram is materialized it can
+    only prune post-aggregation rows — it never reaches the corpus scan
+    (correct: the condition reads aggregated metrics)."""
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    return buckets.filter(cond)
+
+
+def bucket_sort(
+    buckets: DataFrame,
+    sort: list | None = None,
+    size: int | None = None,
+    offset: int = 0,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """ES ``bucket_sort`` pipeline agg: re-order the bucket list by
+    metric values and truncate with ``from``/``size``. ``sort`` is a
+    list of ``(column, "asc"|"desc")`` pairs; ties always break on the
+    bucket key ascending (deterministic — ES leaves ties to shard
+    order, which a distributed engine must not). With ``sort=None``
+    the buckets stay in bucket-key order and only truncation applies,
+    ES's truncate-only mode.
+
+    The sort runs over the already-aggregated bucket relation (bounded
+    by the axis cardinality, not the corpus) and ``limit`` collapses to
+    a TakeOrdered when a size is given — no full-sort shuffle."""
+    if size is not None and size < 1:
+        raise ValueError(f"size must be >= 1: {size}")
+    if offset < 0:
+        raise ValueError(f"offset must be >= 0: {offset}")
+    cols = []
+    for col, direction in (sort or []):
+        if direction not in ("asc", "desc"):
+            raise ValueError(
+                f"sort direction must be asc|desc: {direction!r}")
+        c = F.col(col)
+        cols.append(c.asc() if direction == "asc" else c.desc())
+    cols.append(F.col(bucket_col).asc())
+    out = buckets.orderBy(*cols)
+    if offset:
+        out = out.offset(offset)
+    return out.limit(size) if size is not None else out

@@ -440,6 +440,46 @@ def test_bucket_pipeline_matches_python(spark, events):
             round(sum(w) / len(w), 6), abs=1e-6)
 
 
+def test_bucket_selector_and_sort_match_python(spark, events):
+    from mahout_spark.operators.timeseries import (
+        bucket_selector,
+        bucket_sort,
+        date_histogram,
+    )
+
+    h = date_histogram(events, "ts", "day", "value")
+    rows = [(r["bucket"], r["n_events"], r["sum_value"])
+            for r in h.collect()]
+    thr = sorted(n for _, n, _ in rows)[len(rows) // 2]  # keeps some
+    kept = [r for r in rows if r[1] >= thr]
+    exp = sorted(kept, key=lambda r: (-r[2], r[0]))[1:1 + 4]
+    got = bucket_sort(
+        bucket_selector(h, f"n_events >= {thr}"),
+        sort=[("sum_value", "desc")], size=4, offset=1,
+    ).collect()
+    assert [(r["bucket"], r["n_events"], r["sum_value"]) for r in got] == exp
+    # truncate-only mode: no sort => bucket-key order
+    got2 = bucket_sort(bucket_selector(h, f"n_events >= {thr}"),
+                       size=3).collect()
+    assert [r["bucket"] for r in got2] == sorted(
+        b for b, _, _ in kept)[:3]
+
+
+def test_bucket_sort_rejects(spark, events):
+    from mahout_spark.operators.timeseries import (
+        bucket_sort,
+        date_histogram,
+    )
+
+    h = date_histogram(events, "ts", "day", "value")
+    with pytest.raises(ValueError, match="size"):
+        bucket_sort(h, size=0)
+    with pytest.raises(ValueError, match="offset"):
+        bucket_sort(h, offset=-1)
+    with pytest.raises(ValueError, match="direction"):
+        bucket_sort(h, sort=[("n_events", "down")])
+
+
 def test_bucket_pipeline_rejects(spark, events):
     from mahout_spark.operators.timeseries import (
         bucket_pipeline,
