@@ -966,6 +966,24 @@ def q_engine_sq_ann(spark, sf_dir):
     return sq_ann_topk(coded, qvec, lo, hi, k=10, rerank=10**9)
 
 
+def q_engine_bbq_ann(spark, sf_dir):
+    """Binary-quantized ANN (X95, the ES BBQ kNN model) in the
+    FULL-RERANK regime: 1-bit-per-dimension sign codes select
+    candidates, and ``rerank >= corpus`` makes every row a candidate so
+    the exact cosine rerank decides — provably brute force, so the
+    oracle is the plain exact cosine relation (query vector = row 7).
+    Binary-only candidate recall is test-gated in tests/test_binquant.py."""
+    from mahout_spark.operators.binquant import add_bq_codes, bq_ann_topk, \
+        bq_train
+
+    emb = _load(spark, sf_dir, "embeddings")
+    qvec = [float(x)
+            for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    mean = bq_train(emb)
+    coded = add_bq_codes(emb, mean)
+    return bq_ann_topk(coded, qvec, mean, k=10, rerank=10**9)
+
+
 def _contam_split(spark, sf_dir):
     """The decontamination fixture: eval set = every 97th doc by id, train
     = the rest (deterministic, SQL-replayable split of the one corpus)."""
@@ -2427,6 +2445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_filtered_ann": q_engine_filtered_ann,
         "engine_pq_ann": q_engine_pq_ann,
         "engine_sq_ann": q_engine_sq_ann,
+        "engine_bbq_ann": q_engine_bbq_ann,
         "decontaminate": q_decontaminate,
         "contamination_pairs": q_contamination_pairs,
         "pack_sequences": q_pack_sequences,
@@ -2917,6 +2936,19 @@ def _pipeline_sql() -> dict[str, str]:
         # (query vector = row 11)
         "engine_sq_ann": f"""
         WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 11),
+        n AS (
+            SELECT e.vec_id,
+                   round({qdot} / ({nrm.replace('embedding', 'e.embedding')}
+                       * (SELECT {nrm} FROM q)), 6) AS cosine
+            FROM embeddings e CROSS JOIN q
+        )
+        SELECT vec_id, cosine FROM n
+        ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        # binary quantization (X95): full-rerank regime is provably the
+        # exact cosine relation, query vector = row 7
+        "engine_bbq_ann": f"""
+        WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 7),
         n AS (
             SELECT e.vec_id,
                    round({qdot} / ({nrm.replace('embedding', 'e.embedding')}
