@@ -984,6 +984,52 @@ def q_engine_bbq_ann(spark, sf_dir):
     return bq_ann_topk(coded, qvec, mean, k=10, rerank=10**9)
 
 
+def _geo_points(spark, sf_dir):
+    """The geo fixture: deterministic lat/lon derived from event_id with
+    exact integer modulo arithmetic (SQL-replayable bit-for-bit — the
+    divisions are of exact integers by 100.0, one IEEE rounding each).
+    Latitudes stay within ±85 so no fixture point sits on a pole."""
+    ev = _load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        (((F.col("event_id") * 7919) % 17000) / 100.0 - 85.0).alias("lat"),
+        (((F.col("event_id") * 104729) % 36000) / 100.0 - 180.0)
+        .alias("lon"),
+        "value",
+    )
+
+
+_GEO_POINTS_SQL = """
+        SELECT event_id,
+               ((event_id * 7919) % 17000) / 100.0 - 85.0 AS lat,
+               ((event_id * 104729) % 36000) / 100.0 - 180.0 AS lon,
+               value
+        FROM events
+"""
+
+
+def q_geo_distance(spark, sf_dir):
+    """geo_distance query + sort (X96, ES radius search): fixture points
+    within 2000 km of Paris, nearest first (ties on event_id), haversine
+    on the WGS84 mean radius rounded to 1 mm. The operator's bounding-box
+    prefilter keeps the trig off cold rows; the oracle runs the raw
+    haversine over everything — MATCH proves the box never clips a hit."""
+    from mahout_spark.operators.geo import geo_distance_search
+
+    return geo_distance_search(
+        _geo_points(spark, sf_dir), 48.8566, 2.3522, 2000.0, k=50)
+
+
+def q_geo_grid(spark, sf_dir):
+    """geohash_grid-style bucket agg (X96): fixture points on the 32x32
+    linear lat/lon integer grid, count + sum(value) + geo_centroid per
+    cell, densest 20 cells first (ties on cell key)."""
+    from mahout_spark.operators.geo import geo_grid_agg
+
+    return geo_grid_agg(
+        _geo_points(spark, sf_dir), 32, value_col="value", top=20)
+
+
 def _contam_split(spark, sf_dir):
     """The decontamination fixture: eval set = every 97th doc by id, train
     = the rest (deterministic, SQL-replayable split of the one corpus)."""
@@ -2446,6 +2492,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_pq_ann": q_engine_pq_ann,
         "engine_sq_ann": q_engine_sq_ann,
         "engine_bbq_ann": q_engine_bbq_ann,
+        "geo_distance": q_geo_distance,
+        "geo_grid": q_geo_grid,
         "decontaminate": q_decontaminate,
         "contamination_pairs": q_contamination_pairs,
         "pack_sequences": q_pack_sequences,
@@ -2957,6 +3005,43 @@ def _pipeline_sql() -> dict[str, str]:
         )
         SELECT vec_id, cosine FROM n
         ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        # geo_distance (X96): the raw haversine over ALL fixture points
+        # (no box prefilter — MATCH proves the engine's box never clips
+        # a hit); identical expression tree so the only libm exposure is
+        # last-ulp trig, absorbed by the 1e-6 rounding
+        "geo_distance": f"""
+        WITH p AS ({_GEO_POINTS_SQL}),
+        d AS (
+            SELECT event_id, lat, lon, value,
+                   round((2.0 * 6371.0088) * asin(sqrt(least(
+                       sin(radians(lat - 48.8566) / 2)
+                           * sin(radians(lat - 48.8566) / 2)
+                       + cos(radians(48.8566)) * cos(radians(lat))
+                           * sin(radians(lon - 2.3522) / 2)
+                           * sin(radians(lon - 2.3522) / 2),
+                       1.0))), 6) AS distance_km
+            FROM p
+        )
+        SELECT * FROM d WHERE distance_km <= 2000.0
+        ORDER BY distance_km ASC, event_id ASC LIMIT 50
+        """,
+        # geo grid agg (X96): exact integer floor arithmetic on the
+        # linear lat/lon grid — no transcendentals near cell boundaries
+        "geo_grid": f"""
+        WITH p AS ({_GEO_POINTS_SQL})
+        SELECT CAST(least(floor((lon + 180.0) / 360.0 * 32), 31)
+                   AS BIGINT) AS cell_x,
+               CAST(least(floor((lat + 90.0) / 180.0 * 32), 31)
+                   AS BIGINT) AS cell_y,
+               CAST(count(*) AS BIGINT) AS n_points,
+               round(sum(value), 6) AS sum_value,
+               round(avg(lat), 6) AS centroid_lat,
+               round(avg(lon), 6) AS centroid_lon
+        FROM p WHERE lat IS NOT NULL AND lon IS NOT NULL
+        GROUP BY 1, 2
+        ORDER BY n_points DESC, cell_x ASC, cell_y ASC
+        LIMIT 20
         """,
         # decontamination (X85): distinct 4-gram intersection on gram
         # STRINGS — the engine joins on xxhash64, so MATCH doubles as
