@@ -984,6 +984,33 @@ def q_engine_bbq_ann(spark, sf_dir):
     return bq_ann_topk(coded, qvec, mean, k=10, rerank=10**9)
 
 
+def q_multi_match_search(spark, sf_dir):
+    """multi_match best_fields / dis_max (X97, ES `multi_match` with
+    `title^2` and tie_breaker 0.3): title field = the doc's first 5
+    tokens (the fixture's derived short field — SQL-replayable), body =
+    full text; per-field BM25 with FIELD-LOCAL stats (df/avgdl/docCount
+    from that field's postings), dis_max combine, top 10."""
+    from mahout_spark.operators.multimatch import (
+        field_bm25_scores,
+        multi_match_combine,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda x: x != "",
+    )
+    title_docs = docs.select(
+        "doc_id", F.array_join(F.slice(toks, 1, 5), " ").alias("text"))
+    return multi_match_combine(
+        {
+            "title": field_bm25_scores(title_docs, BM25_QUERY_TERMS),
+            "body": field_bm25_scores(docs, BM25_QUERY_TERMS),
+        },
+        boosts={"title": 2.0}, tie_breaker=0.3, k=10,
+    )
+
+
 def _geo_points(spark, sf_dir):
     """The geo fixture: deterministic lat/lon derived from event_id with
     exact integer modulo arithmetic (SQL-replayable bit-for-bit — the
@@ -2494,6 +2521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_bbq_ann": q_engine_bbq_ann,
         "geo_distance": q_geo_distance,
         "geo_grid": q_geo_grid,
+        "multi_match_search": q_multi_match_search,
         "decontaminate": q_decontaminate,
         "contamination_pairs": q_contamination_pairs,
         "pack_sequences": q_pack_sequences,
@@ -2615,6 +2643,37 @@ _BM25_BASE = _TOK_CTE + f"""
     FROM contrib GROUP BY doc_id
 )
 """
+
+def _field_bm25_cte(p: str, tok_src: str) -> str:
+    """Per-FIELD BM25 CTE chain (X97): tf/doclen/df/scalars computed
+    from ``tok_src``'s postings only — field-local stats, n_docs = docs
+    with >= 1 token in the field (the ES per-field docCount). Emits
+    ``{p}score(doc_id, score)`` with the unrounded per-field sum."""
+    contrib = (
+        "ln(1.0 + (s.nd - d.df + 0.5) / (d.df + 0.5)) * "
+        "(tf.tf * {k1_1}) / "
+        "(tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / s.ad))"
+    ).format(k1_1=BM25_K1 + 1.0, k1=BM25_K1, b=BM25_B)
+    return f"""
+        {p}tf AS (
+            SELECT doc_id, term, count(*) AS tf FROM {tok_src}
+            WHERE term <> '' GROUP BY 1, 2
+        ), {p}dl AS (
+            SELECT doc_id, sum(tf) AS dl FROM {p}tf GROUP BY 1
+        ), {p}df AS (
+            SELECT term, count(*) AS df FROM {p}tf GROUP BY 1
+        ), {p}scal AS (
+            SELECT count(*) AS nd, avg(dl) AS ad FROM {p}dl
+        ), {p}score AS (
+            SELECT tf.doc_id, sum({contrib}) AS score
+            FROM {p}tf tf
+            JOIN {p}df d USING (term)
+            JOIN {p}dl dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN {p}scal s
+            WHERE tf.term IN {_TERMS_IN}
+            GROUP BY tf.doc_id
+        )"""
+
 
 _DYM_TOKENS = ["sparkk", "dtaa", "query"]
 
@@ -3042,6 +3101,37 @@ def _pipeline_sql() -> dict[str, str]:
         GROUP BY 1, 2
         ORDER BY n_points DESC, cell_x ASC, cell_y ASC
         LIMIT 20
+        """,
+        # multi_match best_fields (X97): per-field BM25 with field-local
+        # stats (title = first 5 tokens, body = full text), dis_max
+        # combine with title^2 and tie_breaker 0.3; the winning-field
+        # tie pins to field name asc via the same windowed min
+        "multi_match_search": f"""
+        WITH ttok AS (
+            SELECT doc_id,
+                   unnest(list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '')[1:5]) AS term
+            FROM documents WHERE text IS NOT NULL
+        ), btok AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
+                       AS term
+            FROM documents WHERE text IS NOT NULL
+        ), {_field_bm25_cte('t', 'ttok')}, {_field_bm25_cte('b', 'btok')},
+        u AS (
+            SELECT doc_id, score * 2.0 AS s, 'title' AS field FROM tscore
+            UNION ALL
+            SELECT doc_id, score AS s, 'body' AS field FROM bscore
+        ), u2 AS (
+            SELECT *, max(s) OVER (PARTITION BY doc_id) AS w_mx FROM u
+        ), agg AS (
+            SELECT doc_id, max(s) AS mx, sum(s) AS sm,
+                   min(CASE WHEN s = w_mx THEN field END) AS best_field
+            FROM u2 GROUP BY doc_id
+        )
+        SELECT doc_id, round(mx + 0.3 * (sm - mx), 6) AS score, best_field
+        FROM agg ORDER BY score DESC, doc_id ASC LIMIT 10
         """,
         # decontamination (X85): distinct 4-gram intersection on gram
         # STRINGS — the engine joins on xxhash64, so MATCH doubles as
