@@ -984,6 +984,18 @@ def q_engine_bbq_ann(spark, sf_dir):
     return bq_ann_topk(coded, qvec, mean, k=10, rerank=10**9)
 
 
+def q_repetition_signals(spark, sf_dir):
+    """Gopher repetition filters (X98, Rae et al. 2021 table A1): per
+    doc, duplicate-line fraction + duplicate-line char fraction, the
+    top word-2-gram char fraction, and the duplicated word-5-gram char
+    fraction — the MassiveText quality gate between heuristic scoring
+    and dedup. Zero-exchange Arrow-batch pass; the oracle replays the
+    identical multiset arithmetic via unnest + window SQL."""
+    from mahout_spark.operators.curation import repetition_signals
+
+    return repetition_signals(_load(spark, sf_dir, "documents"))
+
+
 def q_multi_match_search(spark, sf_dir):
     """multi_match best_fields / dis_max (X97, ES `multi_match` with
     `title^2` and tie_breaker 0.3): title field = the doc's first 5
@@ -2522,6 +2534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_distance": q_geo_distance,
         "geo_grid": q_geo_grid,
         "multi_match_search": q_multi_match_search,
+        "repetition_signals": q_repetition_signals,
         "decontaminate": q_decontaminate,
         "contamination_pairs": q_contamination_pairs,
         "pack_sequences": q_pack_sequences,
@@ -3132,6 +3145,83 @@ def _pipeline_sql() -> dict[str, str]:
         )
         SELECT doc_id, round(mx + 0.3 * (sm - mx), 6) AS score, best_field
         FROM agg ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        # Gopher repetition signals (X98): the identical per-doc multiset
+        # arithmetic via unnest + window — duplicate occurrences = count
+        # beyond the first per distinct line/gram; top-gram tie pins to
+        # the lexicographically smallest; dup-gram coverage capped at 1
+        "repetition_signals": """
+        WITH base AS (
+            SELECT doc_id, text FROM documents
+            WHERE text IS NOT NULL AND length(text) > 0
+        ), lines AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split(text, chr(10)),
+                                      x -> x <> '')) AS ln
+            FROM base
+        ), lc AS (
+            SELECT doc_id, ln, count(*) AS c, length(ln) AS l
+            FROM lines GROUP BY 1, 2
+        ), lstat AS (
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+                   round(CAST(sum(c - 1) AS DOUBLE) / sum(c), 6)
+                       AS dup_line_frac,
+                   CASE WHEN sum(c * l) > 0
+                        THEN round(CAST(sum((c - 1) * l) AS DOUBLE)
+                                   / sum(c * l), 6)
+                        ELSE 0.0 END AS dup_line_char_frac
+            FROM lc GROUP BY doc_id
+        ), tnorm AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text),
+                                                  '[^a-z0-9]+'),
+                               x -> x <> '') AS tk,
+                   length(array_to_string(list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x <> ''), ' ')) AS nl
+            FROM base
+        ), g2 AS (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(tk) - 1),
+                          i -> tk[i] || ' ' || tk[i + 1])) AS g
+            FROM tnorm WHERE len(tk) >= 2
+        ), g2c AS (
+            SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2
+        ), top2 AS (
+            SELECT t.doc_id,
+                   round(t.c * length(t.g) / n.nl, 6) AS f
+            FROM (SELECT doc_id, g, c,
+                         row_number() OVER (PARTITION BY doc_id
+                             ORDER BY c DESC, g ASC) AS rn
+                  FROM g2c) t
+            JOIN tnorm n USING (doc_id)
+            WHERE t.rn = 1 AND n.nl > 0
+        ), g5 AS (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(tk) - 4),
+                          i -> tk[i] || ' ' || tk[i + 1] || ' '
+                               || tk[i + 2] || ' ' || tk[i + 3] || ' '
+                               || tk[i + 4])) AS g
+            FROM tnorm WHERE len(tk) >= 5
+        ), g5c AS (
+            SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY 1, 2
+        ), dup5 AS (
+            SELECT c.doc_id,
+                   round(least(1.0, sum(c.c * length(c.g))
+                                    / any_value(n.nl)), 6) AS f
+            FROM g5c c JOIN tnorm n USING (doc_id)
+            WHERE c.c >= 2 AND n.nl > 0 GROUP BY c.doc_id
+        )
+        SELECT b.doc_id,
+               coalesce(l.n_lines, CAST(0 AS BIGINT)) AS n_lines,
+               coalesce(l.dup_line_frac, 0.0) AS dup_line_frac,
+               coalesce(l.dup_line_char_frac, 0.0) AS dup_line_char_frac,
+               coalesce(t.f, 0.0) AS top2gram_char_frac,
+               coalesce(d.f, 0.0) AS dup5gram_char_frac
+        FROM base b
+        LEFT JOIN lstat l USING (doc_id)
+        LEFT JOIN top2 t USING (doc_id)
+        LEFT JOIN dup5 d USING (doc_id)
         """,
         # decontamination (X85): distinct 4-gram intersection on gram
         # STRINGS — the engine joins on xxhash64, so MATCH doubles as

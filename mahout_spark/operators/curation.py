@@ -43,6 +43,7 @@ packing are the adjacent curation stages its users run downstream.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -265,4 +266,133 @@ def packing_stats(packed: DataFrame, seq_len: int) -> DataFrame:
         F.sum(
             (F.col("seq_last") > F.col("seq_first")).cast("long")
         ).alias("boundary_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition signals (X98)
+# ---------------------------------------------------------------------------
+
+def repetition_signals(
+    docs: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 2,
+    dup_n: int = 5,
+) -> DataFrame:
+    """The Gopher repetition filters (Rae et al. 2021, table A1 — the
+    quality gate MassiveText applies between heuristic quality scoring
+    and dedup): per document,
+
+    * ``n_lines`` / ``dup_line_frac`` / ``dup_line_char_frac`` — lines
+      = non-empty ``\\n`` splits; a line occurrence beyond the first of
+      its exact text is a duplicate (the standard find_duplicates
+      convention); char fraction is over the total line characters;
+    * ``top{top_n}gram_char_frac`` — fraction of the normalized text
+      (tokens joined by single spaces) covered by the single most
+      frequent word ``top_n``-gram, count × gram length / text length;
+      ties pin to the lexicographically smallest gram;
+    * ``dup{dup_n}gram_char_frac`` — fraction covered by ALL word
+      ``dup_n``-grams occurring ≥ 2 times, Σ count × gram length /
+      text length, capped at 1 (the count-based approximation — spans
+      may overlap, hence the cap).
+
+    Docs with no tokens report zero fractions; NULL/empty text is
+    excluded (the quality_scores contract). Ratios round once to 1e-6.
+
+    Scale shape: these are PER-DOCUMENT multiset statistics — no
+    cross-document state — so the right plan is zero exchanges: one
+    Arrow-batched pandas UDF computes all five signals in a single pass
+    per input split (each doc's gram counter lives and dies inside the
+    batch). The relational alternative (explode every gram, groupBy
+    (doc, gram)) would shuffle the entire corpus' n-gram stream just to
+    re-collapse it to one row per doc; per-row Python over Arrow
+    batches is the cheaper path here and is embarrassingly parallel.
+    The identical arithmetic is SQL-expressible (the DuckDB oracle
+    replays it via unnest + window), which keeps the UDF hash-checked.
+    """
+    from pyspark.sql import types as T
+
+    if top_n < 1 or dup_n < 1:
+        raise ValueError(
+            f"gram sizes must be >= 1: top_n={top_n} dup_n={dup_n}")
+    import re as _re
+
+    tok_re = _re.compile(r"[^a-z0-9]+")
+
+    @F.pandas_udf(T.StructType([
+        T.StructField("n_lines", T.LongType()),
+        T.StructField("dup_line_frac", T.DoubleType()),
+        T.StructField("dup_line_char_frac", T.DoubleType()),
+        T.StructField("top_gram_char_frac", T.DoubleType()),
+        T.StructField("dup_gram_char_frac", T.DoubleType()),
+    ]))
+    def signals(texts: pd.Series) -> pd.DataFrame:
+        import math
+
+        def r6(x: float) -> float:
+            # HALF_UP at 1e-6 — the Spark/DuckDB round() convention;
+            # python's builtin rounds half-even and could diverge on
+            # exactly-representable halves (e.g. k/640000)
+            return math.floor(x * 1e6 + 0.5) / 1e6
+
+        out = {k: [] for k in ("n_lines", "dup_line_frac",
+                               "dup_line_char_frac", "top_gram_char_frac",
+                               "dup_gram_char_frac")}
+        for text in texts:
+            lines = [ln for ln in text.split("\n") if ln != ""]
+            seen: set = set()
+            dup_lines = dup_chars = 0
+            for ln in lines:
+                if ln in seen:
+                    dup_lines += 1
+                    dup_chars += len(ln)
+                else:
+                    seen.add(ln)
+            total_line_chars = sum(len(ln) for ln in lines)
+            toks = [t for t in tok_re.split(text.lower()) if t]
+            norm_len = len(" ".join(toks))
+
+            def gram_fracs(n: int):
+                if len(toks) < n or norm_len == 0:
+                    return 0.0, 0.0
+                counts: dict = {}
+                for i in range(len(toks) - n + 1):
+                    g = " ".join(toks[i:i + n])
+                    counts[g] = counts.get(g, 0) + 1
+                top_g = min(
+                    counts, key=lambda g: (-counts[g], g))
+                top = counts[top_g] * len(top_g) / norm_len
+                dup = min(1.0, sum(
+                    c * len(g) for g, c in counts.items() if c >= 2
+                ) / norm_len)
+                return top, dup
+
+            top_frac, _ = gram_fracs(top_n)
+            _, dup_frac = gram_fracs(dup_n)
+            out["n_lines"].append(len(lines))
+            out["dup_line_frac"].append(
+                r6(dup_lines / len(lines)) if lines else 0.0)
+            out["dup_line_char_frac"].append(
+                r6(dup_chars / total_line_chars)
+                if total_line_chars else 0.0)
+            out["top_gram_char_frac"].append(r6(top_frac))
+            out["dup_gram_char_frac"].append(r6(dup_frac))
+        return pd.DataFrame(out)
+
+    staged = (
+        spread_input(docs)
+        .filter(F.length(F.col(content_col)) > 0)
+        .select(id_col, F.col(content_col).alias("_t"))
+        .withColumn("_sig", signals(F.col("_t")))
+    )
+    return staged.select(
+        id_col,
+        F.col("_sig.n_lines").alias("n_lines"),
+        F.col("_sig.dup_line_frac").alias("dup_line_frac"),
+        F.col("_sig.dup_line_char_frac").alias("dup_line_char_frac"),
+        F.col("_sig.top_gram_char_frac").alias(
+            f"top{top_n}gram_char_frac"),
+        F.col("_sig.dup_gram_char_frac").alias(
+            f"dup{dup_n}gram_char_frac"),
     )

@@ -167,3 +167,81 @@ def test_rejects(corpus):
         pack_documents(train, seq_len=0)
     with pytest.raises(ValueError, match="seq_len"):
         packing_stats(train, seq_len=0)
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition signals (X98)
+# ---------------------------------------------------------------------------
+
+def test_repetition_signals_hand_computed(spark):
+    from mahout_spark.operators.curation import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            # 4 lines, "dup dup" repeated: lines = [a, b, a, a]
+            (0, "alpha beta\ngamma\nalpha beta\nalpha beta"),
+            # no duplicate anything
+            (1, "one two three four five six"),
+            # heavy 2-gram repetition: "x y" x4 in 8 tokens
+            (2, "x y x y x y x y"),
+            (3, "solo"),
+            (4, ""),      # excluded
+            (5, None),    # excluded
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in
+           repetition_signals(docs, top_n=2, dup_n=2).collect()}
+    assert set(got) == {0, 1, 2, 3}
+
+    r0 = got[0]
+    assert r0["n_lines"] == 4
+    # 2 of 4 line occurrences are repeats of "alpha beta" (10 chars each)
+    assert r0["dup_line_frac"] == pytest.approx(0.5)
+    assert r0["dup_line_char_frac"] == pytest.approx(
+        round(20 / (10 + 5 + 10 + 10), 6))
+    # norm text "alpha beta gamma alpha beta alpha beta" (38 chars),
+    # top 2-gram "alpha beta" (10 chars) x3; it is also the only dup gram
+    assert r0["top2gram_char_frac"] == pytest.approx(round(30 / 38, 6))
+    assert r0["dup2gram_char_frac"] == pytest.approx(round(30 / 38, 6))
+
+    r1 = got[1]
+    assert r1["n_lines"] == 1 and r1["dup_line_frac"] == 0.0
+    # all 2-grams distinct: top covers one occurrence (the count tie
+    # pins to the lexicographically smallest gram, "five six"), dup none
+    assert r1["dup2gram_char_frac"] == 0.0
+    assert r1["top2gram_char_frac"] == pytest.approx(
+        round(len("five six") / len("one two three four five six"), 6))
+
+    r2 = got[2]
+    # "x y" count 4, "y x" count 3, norm_len 15; dup = (4+3)*3/15 > 1 -> cap
+    assert r2["top2gram_char_frac"] == pytest.approx(round(12 / 15, 6))
+    assert r2["dup2gram_char_frac"] == 1.0
+
+    r3 = got[3]  # fewer tokens than the gram size -> zero fractions
+    assert r3["top2gram_char_frac"] == 0.0
+    assert r3["dup2gram_char_frac"] == 0.0
+
+
+def test_repetition_signals_tie_pins_smallest_gram(spark):
+    from mahout_spark.operators.curation import repetition_signals
+
+    # "b c" and "a b" both occur twice; tie must pin to "a b"... both
+    # are 3 chars so the FRACTION is identical — use unequal lengths:
+    # "zz q" x2 (4 chars) vs "a b" x2 (3 chars): same count, the
+    # lexicographically smaller "a b" must win even though "zz q" covers
+    # more characters
+    docs = spark.createDataFrame(
+        [(0, "a b zz q a b zz q")], "doc_id bigint, text string")
+    r = repetition_signals(docs, top_n=2, dup_n=2).first()
+    norm = len("a b zz q a b zz q")
+    assert r["top2gram_char_frac"] == pytest.approx(
+        round(2 * len("a b") / norm, 6))
+
+
+def test_repetition_signals_rejects(spark):
+    from mahout_spark.operators.curation import repetition_signals
+
+    docs = spark.createDataFrame([(0, "x")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="gram sizes"):
+        repetition_signals(docs, top_n=0)
