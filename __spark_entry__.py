@@ -2018,6 +2018,87 @@ def q_engine_significant_terms(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def q_engine_rare_terms(spark, sf_dir):
+    """rare_terms aggregation (X99, ES rare_terms): the 10 RAREST terms
+    of the 'table OR data' match set by foreground doc count (fg_df asc,
+    term asc) — the long-tail complement of the terms agg, exact where
+    ES approximates with a CuckooFilter."""
+    import shutil
+    import tempfile
+
+    from mahout_spark.index.aggs import rare_terms
+    from mahout_spark.index.build import build_index
+
+    docs = _load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="msdrv_rare_")
+    try:
+        cat = build_index(
+            spark, docs, out_dir=out, content_col="text",
+            id_cols=["doc_id"], mode="simple", resume=False,
+        )
+        cleanup: list = []
+        result = rare_terms(
+            spark, cat, "table OR data", n=10, cleanup=cleanup)
+        return _localize(spark, result, cleanup)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def q_engine_filters_agg(spark, sf_dir):
+    """filters aggregation (X99, ES filters): named buckets with match
+    counts, INCLUDING the zero bucket for a never-matching term."""
+    import shutil
+    import tempfile
+
+    from mahout_spark.index.aggs import filters_agg
+    from mahout_spark.index.build import build_index
+
+    docs = _load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="msdrv_filt_")
+    try:
+        cat = build_index(
+            spark, docs, out_dir=out, content_col="text",
+            id_cols=["doc_id"], mode="simple", resume=False,
+        )
+        cleanup: list = []
+        result = filters_agg(
+            spark, cat,
+            {"has_data": "data", "has_table": "table",
+             "both": "data AND table", "never": "zzzznotaword"},
+            cleanup=cleanup,
+        )
+        return _localize(spark, result, cleanup)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def q_engine_adjacency(spark, sf_dir):
+    """adjacency_matrix aggregation (X99, ES adjacency_matrix): doc
+    counts for each filter and each filter pair intersection (a&b keys),
+    zero intersections omitted."""
+    import shutil
+    import tempfile
+
+    from mahout_spark.index.aggs import adjacency_matrix
+    from mahout_spark.index.build import build_index
+
+    docs = _load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="msdrv_adj_")
+    try:
+        cat = build_index(
+            spark, docs, out_dir=out, content_col="text",
+            id_cols=["doc_id"], mode="simple", resume=False,
+        )
+        cleanup: list = []
+        result = adjacency_matrix(
+            spark, cat, {"d": "data", "q": "query", "t": "table"},
+            cleanup=cleanup,
+        )
+        return _localize(spark, result, cleanup)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def q_engine_facet_histogram(spark, sf_dir):
     """Numeric histogram facet (X66, ES histogram agg): n_chars in
     width-200 buckets over the 'table OR data' match set. Oracle:
@@ -2559,6 +2640,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_regexp_search": q_engine_regexp_search,
         "engine_rescore_search": q_engine_rescore_search,
         "engine_significant_terms": q_engine_significant_terms,
+        "engine_rare_terms": q_engine_rare_terms,
+        "engine_filters_agg": q_engine_filters_agg,
+        "engine_adjacency": q_engine_adjacency,
         "engine_facet_histogram": q_engine_facet_histogram,
         "engine_hybrid_search": q_engine_hybrid_search,
         "engine_explain": q_engine_explain,
@@ -2912,6 +2996,59 @@ def _pipeline_sql() -> dict[str, str]:
                    * ((f.fg_df / n_m) / (d.df / n)), 6) AS score
         FROM fg f JOIN dfreq d USING (term) CROSS JOIN s2
         ORDER BY score DESC, f.term ASC LIMIT 10
+        """,
+        # rare_terms oracle (X99): foreground term doc counts over the
+        # SQL match set, rarest first
+        "engine_rare_terms": _TOK_CTE + """
+        , matched AS (
+            SELECT DISTINCT doc_id FROM tf
+            WHERE term IN ('table', 'data')
+        )
+        SELECT term, CAST(count(*) AS BIGINT) AS fg_df
+        FROM tf JOIN matched USING (doc_id)
+        GROUP BY term ORDER BY fg_df ASC, term ASC LIMIT 10
+        """,
+        # filters oracle (X99): one scalar count per named filter,
+        # including the zero bucket
+        "engine_filters_agg": _TOK_CTE + """
+        SELECT * FROM (
+            SELECT 'both' AS bucket, CAST((
+                SELECT count(*) FROM (
+                    SELECT doc_id FROM tf WHERE term = 'data'
+                    INTERSECT
+                    SELECT doc_id FROM tf WHERE term = 'table')
+            ) AS BIGINT) AS doc_count
+            UNION ALL
+            SELECT 'has_data', CAST((SELECT count(DISTINCT doc_id)
+                FROM tf WHERE term = 'data') AS BIGINT)
+            UNION ALL
+            SELECT 'has_table', CAST((SELECT count(DISTINCT doc_id)
+                FROM tf WHERE term = 'table') AS BIGINT)
+            UNION ALL
+            SELECT 'never', CAST((SELECT count(DISTINCT doc_id)
+                FROM tf WHERE term = 'zzzznotaword') AS BIGINT)
+        ) ORDER BY bucket
+        """,
+        # adjacency_matrix oracle (X99): diagonal + pair intersection
+        # counts, zero rows omitted
+        "engine_adjacency": _TOK_CTE + """
+        , md AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'data'),
+        mq AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'query'),
+        mt AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'table')
+        SELECT * FROM (
+            SELECT 'd' AS key,
+                   CAST((SELECT count(*) FROM md) AS BIGINT) AS doc_count
+            UNION ALL SELECT 'd&q', CAST((SELECT count(*)
+                FROM md JOIN mq USING (doc_id)) AS BIGINT)
+            UNION ALL SELECT 'd&t', CAST((SELECT count(*)
+                FROM md JOIN mt USING (doc_id)) AS BIGINT)
+            UNION ALL SELECT 'q', CAST((SELECT count(*) FROM mq)
+                AS BIGINT)
+            UNION ALL SELECT 'q&t', CAST((SELECT count(*)
+                FROM mq JOIN mt USING (doc_id)) AS BIGINT)
+            UNION ALL SELECT 't', CAST((SELECT count(*) FROM mt)
+                AS BIGINT)
+        ) WHERE doc_count > 0 ORDER BY key
         """,
         # histogram-facet oracle: same floor(x/width)*width buckets over
         # the SQL match set

@@ -414,3 +414,132 @@ def facet_cardinality(
         aggs = [F.count_distinct(F.col(c)).alias(f"{c}_cardinality")
                 for c in cols]
     return base.agg(*aggs)
+
+
+def rare_terms(
+    spark: SparkSession,
+    cat: ParquetCatalog,
+    query,
+    n: int = 10,
+    max_doc_count: int | None = None,
+    max_expansions: int = MAX_EXPANSIONS,
+    cleanup: list | None = None,
+) -> DataFrame:
+    """The ``n`` RAREST terms of ``query``'s match set (ES ``rare_terms``
+    — the long-tail complement of the terms agg): per term its
+    foreground doc count, ordered (fg_df ASC, term asc);
+    ``max_doc_count`` (the ES knob) additionally drops terms above the
+    threshold — None keeps the pure n-rarest ranking, which is always
+    non-empty on a non-empty match set.
+
+    ES approximates this agg with a CuckooFilter because a single shard
+    can't hold the tail; the relational form is EXACT at any scale —
+    the semi-join prunes tf_raw to the match set and the count is one
+    partial-agg shuffle keyed by term (the tail never concentrates)."""
+    from mahout_spark.checkpoint import eager_checkpoint
+
+    meta = cat.read_meta("postings")
+    m = eager_checkpoint(
+        matching_docs(spark, cat, query, max_expansions=max_expansions),
+        cleanup,
+    )
+    tf_raw = cat.read(spark, "tf_raw", schema_json=meta.get("tf_schema"))
+    fg = (
+        tf_raw.join(m, "doc_id", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("fg_df"))
+    )
+    if max_doc_count is not None:
+        if max_doc_count < 1:
+            raise ValueError(
+                f"max_doc_count must be >= 1: {max_doc_count}")
+        fg = fg.filter(F.col("fg_df") <= max_doc_count)
+    return fg.orderBy(F.col("fg_df").asc(), F.col("term").asc()).limit(n)
+
+
+def _labeled_match_sets(
+    spark: SparkSession,
+    cat: ParquetCatalog,
+    filters: dict,
+    max_expansions: int,
+    cleanup: list | None,
+) -> DataFrame:
+    """Union of every named filter's match set as (bucket, doc_id) —
+    each kernel runs once; the union is narrow (no exchange until the
+    consumer aggregates)."""
+    from functools import reduce
+
+    from mahout_spark.checkpoint import eager_checkpoint
+
+    if not filters:
+        raise ValueError("filters must be non-empty")
+    parts = [
+        eager_checkpoint(
+            matching_docs(spark, cat, q, max_expansions=max_expansions),
+            cleanup,
+        ).select(F.lit(name).alias("bucket"), "doc_id")
+        for name, q in sorted(filters.items())
+    ]
+    return reduce(DataFrame.unionByName, parts)
+
+
+def filters_agg(
+    spark: SparkSession,
+    cat: ParquetCatalog,
+    filters: dict,
+    max_expansions: int = MAX_EXPANSIONS,
+    cleanup: list | None = None,
+) -> DataFrame:
+    """ES ``filters`` bucket agg: one named bucket per filter query,
+    each with its match-set doc count — INCLUDING zero-count buckets
+    (the ES contract; a missing bucket and an empty one are different
+    answers). Ordered by bucket name asc (ES preserves request order;
+    a relation pins a deterministic one). One partial-agg exchange
+    keyed by the tiny bucket-name key."""
+    labeled = _labeled_match_sets(
+        spark, cat, filters, max_expansions, cleanup)
+    counts = labeled.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("doc_count"))
+    names = spark.createDataFrame(
+        [(k,) for k in sorted(filters)], "bucket string")
+    return (
+        names.join(counts, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce(F.col("doc_count"), F.lit(0)).cast("long")
+            .alias("doc_count"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def adjacency_matrix(
+    spark: SparkSession,
+    cat: ParquetCatalog,
+    filters: dict,
+    max_expansions: int = MAX_EXPANSIONS,
+    cleanup: list | None = None,
+) -> DataFrame:
+    """ES ``adjacency_matrix`` agg: for every filter and every filter
+    PAIR, the count of docs matching both — the co-occurrence matrix
+    behind entity-relationship maps. Keys are the filter name for the
+    diagonal and ``a&b`` (names sorted) off-diagonal; empty
+    intersections are omitted (the ES contract, opposite of
+    ``filters_agg``). The pair join hashes the labeled match sets on
+    doc_id — one exchange; intersection counts partial-aggregate."""
+    labeled = _labeled_match_sets(
+        spark, cat, filters, max_expansions, cleanup)
+    a, b = labeled.alias("a"), labeled.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.doc_id") == F.col("b.doc_id"))
+        & (F.col("a.bucket") <= F.col("b.bucket")),
+    )
+    key = F.when(
+        F.col("a.bucket") == F.col("b.bucket"), F.col("a.bucket")
+    ).otherwise(F.concat_ws("&", F.col("a.bucket"), F.col("b.bucket")))
+    return (
+        pairs.groupBy(key.alias("key"))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy("key")
+    )

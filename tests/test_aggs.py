@@ -106,3 +106,74 @@ def test_facet_histogram_matches_manual(spark, built, docs_df, token_sets):
     assert got == dict(want)
     with pytest.raises(ValueError, match="width"):
         facet_histogram(spark, built, docs_df, "table", "n_chars", 0)
+
+
+# ---------------------------------------------------------------------------
+# rare_terms / filters / adjacency_matrix (X99)
+# ---------------------------------------------------------------------------
+
+def test_rare_terms_matches_manual(spark, built, token_sets):
+    from mahout_spark.index.aggs import rare_terms
+
+    matched = {d for d, s in token_sets.items()
+               if "table" in s or "data" in s}
+    fg = Counter()
+    for d in matched:
+        fg.update(token_sets[d])
+    exp = sorted(fg.items(), key=lambda e: (e[1], e[0]))[:10]
+    got = rare_terms(spark, built, "table OR data", n=10).collect()
+    assert [(r["term"], r["fg_df"]) for r in got] == exp
+    # threshold mode: everything above max_doc_count drops
+    thr = exp[-1][1]
+    got2 = rare_terms(
+        spark, built, "table OR data", n=1000, max_doc_count=thr
+    ).collect()
+    assert [(r["term"], r["fg_df"]) for r in got2] == sorted(
+        ((t, c) for t, c in fg.items() if c <= thr),
+        key=lambda e: (e[1], e[0]))
+    with pytest.raises(ValueError, match="max_doc_count"):
+        rare_terms(spark, built, "data", max_doc_count=0)
+
+
+def test_filters_agg_includes_zero_buckets(spark, built, token_sets):
+    from mahout_spark.index.aggs import filters_agg
+
+    got = filters_agg(
+        spark, built,
+        {"has_data": "data", "has_table": "table",
+         "both": "data AND table", "never": "zzzznotaword"},
+    ).collect()
+    n_data = sum(1 for s in token_sets.values() if "data" in s)
+    n_table = sum(1 for s in token_sets.values() if "table" in s)
+    n_both = sum(1 for s in token_sets.values()
+                 if "data" in s and "table" in s)
+    assert [(r["bucket"], r["doc_count"]) for r in got] == [
+        ("both", n_both), ("has_data", n_data),
+        ("has_table", n_table), ("never", 0),
+    ]
+    with pytest.raises(ValueError, match="non-empty"):
+        filters_agg(spark, built, {})
+
+
+def test_adjacency_matrix_matches_manual(spark, built, token_sets):
+    from mahout_spark.index.aggs import adjacency_matrix
+
+    sets = {
+        "d": {i for i, s in token_sets.items() if "data" in s},
+        "q": {i for i, s in token_sets.items() if "query" in s},
+        "t": {i for i, s in token_sets.items() if "table" in s},
+    }
+    exp = {}
+    for a in sets:
+        exp[a] = len(sets[a])
+        for b in sets:
+            if a < b:
+                n = len(sets[a] & sets[b])
+                if n:
+                    exp[f"{a}&{b}"] = n
+    exp = {k: v for k, v in exp.items() if v}
+    got = adjacency_matrix(
+        spark, built, {"d": "data", "q": "query", "t": "table"}
+    ).collect()
+    assert {r["key"]: r["doc_count"] for r in got} == exp
+    assert [r["key"] for r in got] == sorted(exp)
