@@ -984,6 +984,61 @@ def q_engine_bbq_ann(spark, sf_dir):
     return bq_ann_topk(coded, qvec, mean, k=10, rerank=10**9)
 
 
+def _chunk_children(spark, sf_dir):
+    """The parent-child fixture (X100): children = the X78 chunk corpus
+    with a per-chunk match score = tf('data') in the chunk — simple and
+    exactly SQL-replayable; only chunks containing the term match."""
+    from mahout_spark.operators.textstats import chunk_documents
+
+    chunks = chunk_documents(
+        _load(spark, sf_dir, "documents"),
+        chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP,
+    )
+    tf = F.size(F.filter(
+        F.split(F.col("chunk_text"), " "), lambda t: t == "data"))
+    return (
+        chunks.withColumn("score", tf.cast("double"))
+        .filter(F.col("score") > 0)
+        .select(F.col("doc_id").alias("parent_id"), "chunk_id",
+                "n_chunk_tokens", "score")
+    )
+
+
+def q_engine_has_child(spark, sf_dir):
+    """has_child query (X100, the ES join-field): parent docs with >= 2
+    chunks containing 'data', scored by the SUM of the chunks'
+    tf('data') (score_mode=sum), with the child count attached. The
+    child side aggregates BEFORE the join — one partial-agg exchange."""
+    from mahout_spark.operators.parentjoin import has_child
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "source")
+    return has_child(
+        docs, _chunk_children(spark, sf_dir),
+        score_mode="sum", min_children=2,
+    )
+
+
+def q_engine_has_parent(spark, sf_dir):
+    """has_parent query (X100): chunks whose parent doc has
+    source = 'src3', parent score = n_chars copied to every child
+    (ES score mode). Ordered (parent, chunk)."""
+    from mahout_spark.operators.parentjoin import has_parent
+    from mahout_spark.operators.textstats import chunk_documents
+
+    chunks = chunk_documents(
+        _load(spark, sf_dir, "documents"),
+        chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP,
+    ).select(F.col("doc_id").alias("parent_id"), "chunk_id",
+             "n_chunk_tokens")
+    pm = (
+        _load(spark, sf_dir, "documents")
+        .filter(F.col("source") == "src3")
+        .select("doc_id", F.col("n_chars").cast("double").alias("score"))
+    )
+    return has_parent(chunks, pm, score=True).orderBy(
+        "parent_id", "chunk_id")
+
+
 def q_repetition_signals(spark, sf_dir):
     """Gopher repetition filters (X98, Rae et al. 2021 table A1): per
     doc, duplicate-line fraction + duplicate-line char fraction, the
@@ -2616,6 +2671,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_grid": q_geo_grid,
         "multi_match_search": q_multi_match_search,
         "repetition_signals": q_repetition_signals,
+        "engine_has_child": q_engine_has_child,
+        "engine_has_parent": q_engine_has_parent,
         "decontaminate": q_decontaminate,
         "contamination_pairs": q_contamination_pairs,
         "pack_sequences": q_pack_sequences,
@@ -2770,6 +2827,44 @@ def _field_bm25_cte(p: str, tok_src: str) -> str:
             WHERE tf.term IN {_TERMS_IN}
             GROUP BY tf.doc_id
         )"""
+
+
+def _chunk_cte() -> str:
+    """The X78 chunk-window CTE chain (same arithmetic as the
+    chunk_documents oracle): emits ``exploded(doc_id, ts, chunk_id)``
+    plus the slice bounds via CHUNK_TOKENS/CHUNK_OVERLAP."""
+    stride = CHUNK_TOKENS - CHUNK_OVERLAP
+    return f"""
+        toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text),
+                                                  '[^a-z0-9]+'),
+                               t -> t <> '') AS ts
+            FROM documents
+        ), counted AS (
+            SELECT doc_id, ts, len(ts) AS n,
+                   CASE WHEN len(ts) <= 0 THEN 0
+                        ELSE CAST(floor(greatest(len(ts) - {CHUNK_TOKENS},
+                                                 0) / {stride}) AS BIGINT)
+                             + 1
+                             + CASE WHEN len(ts) > {CHUNK_TOKENS}
+                                     AND (len(ts) - {CHUNK_TOKENS})
+                                         % {stride} > 0
+                                    THEN 1 ELSE 0 END
+                   END AS n_chunks
+            FROM toks
+        ), exploded AS (
+            SELECT doc_id, ts,
+                   unnest(generate_series(0, CAST(n_chunks AS INTEGER) - 1))
+                       AS chunk_id
+            FROM counted WHERE n_chunks > 0
+        )"""
+
+
+_CHUNK_SLICE = (
+    f"ts[chunk_id * {CHUNK_TOKENS - CHUNK_OVERLAP} + 1"
+    f" : chunk_id * {CHUNK_TOKENS - CHUNK_OVERLAP} + {CHUNK_TOKENS}]"
+)
 
 
 _DYM_TOKENS = ["sparkk", "dtaa", "query"]
@@ -3359,6 +3454,33 @@ def _pipeline_sql() -> dict[str, str]:
         LEFT JOIN lstat l USING (doc_id)
         LEFT JOIN top2 t USING (doc_id)
         LEFT JOIN dup5 d USING (doc_id)
+        """,
+        # has_child (X100): chunk windows -> tf('data') per chunk ->
+        # per-parent count/sum with the >= 2 window
+        "engine_has_child": "WITH " + _chunk_cte() + f"""
+        , chunks AS (
+            SELECT doc_id, chunk_id,
+                   len(list_filter({_CHUNK_SLICE}, t -> t = 'data')) AS tf
+            FROM exploded
+        ), matched AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_children,
+                   round(sum(CAST(tf AS DOUBLE)), 6) AS score
+            FROM chunks WHERE tf > 0
+            GROUP BY doc_id HAVING count(*) >= 2
+        )
+        SELECT d.doc_id, d.source, m.n_children, m.score
+        FROM documents d JOIN matched m USING (doc_id)
+        """,
+        # has_parent (X100): every chunk of a src3 parent, the parent's
+        # n_chars copied down as the score
+        "engine_has_parent": "WITH " + _chunk_cte() + f"""
+        SELECT e.doc_id AS parent_id,
+               CAST(e.chunk_id AS INTEGER) AS chunk_id,
+               CAST(len({_CHUNK_SLICE}) AS BIGINT) AS n_chunk_tokens,
+               round(CAST(d.n_chars AS DOUBLE), 6) AS parent_score
+        FROM exploded e
+        JOIN documents d ON e.doc_id = d.doc_id AND d.source = 'src3'
+        ORDER BY parent_id, chunk_id
         """,
         # decontamination (X85): distinct 4-gram intersection on gram
         # STRINGS — the engine joins on xxhash64, so MATCH doubles as
