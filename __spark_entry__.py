@@ -2154,6 +2154,57 @@ def q_engine_adjacency(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def q_engine_range_agg(spark, sf_dir):
+    """range aggregation (X101, ES range): named n_chars buckets over
+    the 'table OR data' match set — from-inclusive/to-exclusive,
+    OVERLAPPING ranges allowed (each is an independent conditional
+    aggregate in one pass), empty buckets included with NULL metrics."""
+    import shutil
+    import tempfile
+
+    from mahout_spark.index.aggs import range_agg
+    from mahout_spark.index.build import build_index
+
+    docs = _load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="msdrv_rng_")
+    try:
+        cat = build_index(
+            spark, docs, out_dir=out, content_col="text",
+            id_cols=["doc_id"], mode="simple", resume=False,
+        )
+        result = range_agg(
+            spark, cat, docs, "table OR data", "n_chars",
+            [("a_small", None, 500.0), ("b_mid", 400.0, 900.0),
+             ("c_large", 900.0, None)],
+        )
+        return spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def q_engine_weighted_avg(spark, sf_dir):
+    """weighted_avg aggregation (X101, ES weighted_avg): n_chars
+    weighted by (doc_id % 7 + 1) over the 'data' match set."""
+    import shutil
+    import tempfile
+
+    from mahout_spark.index.aggs import weighted_avg
+    from mahout_spark.index.build import build_index
+
+    docs = _load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="msdrv_wavg_")
+    try:
+        cat = build_index(
+            spark, docs, out_dir=out, content_col="text",
+            id_cols=["doc_id"], mode="simple", resume=False,
+        )
+        wdocs = docs.withColumn("w", (F.col("doc_id") % 7 + 1))
+        result = weighted_avg(spark, cat, wdocs, "data", "n_chars", "w")
+        return spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def q_engine_facet_histogram(spark, sf_dir):
     """Numeric histogram facet (X66, ES histogram agg): n_chars in
     width-200 buckets over the 'table OR data' match set. Oracle:
@@ -2700,6 +2751,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_rare_terms": q_engine_rare_terms,
         "engine_filters_agg": q_engine_filters_agg,
         "engine_adjacency": q_engine_adjacency,
+        "engine_range_agg": q_engine_range_agg,
+        "engine_weighted_avg": q_engine_weighted_avg,
         "engine_facet_histogram": q_engine_facet_histogram,
         "engine_hybrid_search": q_engine_hybrid_search,
         "engine_explain": q_engine_explain,
@@ -3144,6 +3197,55 @@ def _pipeline_sql() -> dict[str, str]:
             UNION ALL SELECT 't', CAST((SELECT count(*) FROM mt)
                 AS BIGINT)
         ) WHERE doc_count > 0 ORDER BY key
+        """,
+        # range-agg oracle (X101): one conditional aggregate per named
+        # range over the SQL match set, empty buckets NULL-metric'd
+        "engine_range_agg": _TOK_CTE + """
+        , matched AS (
+            SELECT DISTINCT doc_id FROM tf
+            WHERE term IN ('table', 'data')
+        ), base AS (
+            SELECT CAST(n_chars AS DOUBLE) AS v
+            FROM documents JOIN matched USING (doc_id)
+            WHERE n_chars IS NOT NULL
+        )
+        SELECT * FROM (
+            SELECT 'a_small' AS bucket,
+                   CAST(count(CASE WHEN v < 500 THEN 1 END) AS BIGINT)
+                       AS doc_count,
+                   round(sum(CASE WHEN v < 500 THEN v END), 6)
+                       AS sum_value,
+                   round(avg(CASE WHEN v < 500 THEN v END), 6)
+                       AS avg_value
+            FROM base
+            UNION ALL
+            SELECT 'b_mid',
+                   CAST(count(CASE WHEN v >= 400 AND v < 900 THEN 1 END)
+                        AS BIGINT),
+                   round(sum(CASE WHEN v >= 400 AND v < 900 THEN v END), 6),
+                   round(avg(CASE WHEN v >= 400 AND v < 900 THEN v END), 6)
+            FROM base
+            UNION ALL
+            SELECT 'c_large',
+                   CAST(count(CASE WHEN v >= 900 THEN 1 END) AS BIGINT),
+                   round(sum(CASE WHEN v >= 900 THEN v END), 6),
+                   round(avg(CASE WHEN v >= 900 THEN v END), 6)
+            FROM base
+        ) ORDER BY bucket
+        """,
+        # weighted_avg oracle (X101)
+        "engine_weighted_avg": _TOK_CTE + """
+        , matched AS (
+            SELECT DISTINCT doc_id FROM tf WHERE term = 'data'
+        )
+        SELECT round(sum(v * w) / sum(w), 6) AS weighted_avg,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM (
+            SELECT CAST(n_chars AS DOUBLE) AS v,
+                   CAST(doc_id % 7 + 1 AS DOUBLE) AS w
+            FROM documents JOIN matched USING (doc_id)
+            WHERE n_chars IS NOT NULL
+        )
         """,
         # histogram-facet oracle: same floor(x/width)*width buckets over
         # the SQL match set

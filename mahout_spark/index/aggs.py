@@ -543,3 +543,91 @@ def adjacency_matrix(
         .agg(F.count(F.lit(1)).alias("doc_count"))
         .orderBy("key")
     )
+
+
+def range_agg(
+    spark: SparkSession,
+    cat: ParquetCatalog,
+    docs: DataFrame,
+    query,
+    value_col: str,
+    ranges: list,
+    id_col: str = "doc_id",
+    max_expansions: int = MAX_EXPANSIONS,
+) -> DataFrame:
+    """ES ``range`` bucket agg over the match set: named buckets
+    ``(label, lo, hi)`` with ``lo <= value < hi`` (ES's from-inclusive /
+    to-exclusive contract; ``None`` = unbounded on that side), each
+    returned with its doc count — INCLUDING empty buckets (ES returns
+    every requested range) — plus sum/avg of the value (rounded 1e-6;
+    NULL on empty buckets). Ranges may overlap (a doc counts in every
+    bucket it falls in — ES allows it, so the plan can't be a single
+    groupBy: each range is an independent conditional aggregate in ONE
+    pass over the semi-joined relation; no per-range scans, no
+    explode). Output ordered by label asc."""
+    if not ranges:
+        raise ValueError("ranges must be non-empty")
+    labels = [r[0] for r in ranges]
+    if len(set(labels)) != len(labels):
+        raise ValueError(f"range labels must be unique: {labels}")
+    m = matching_docs(spark, cat, query, max_expansions=max_expansions)
+    v = F.col(value_col).cast("double")
+    base = (
+        docs.join(m.withColumnRenamed("doc_id", id_col), id_col, "leftsemi")
+        .filter(v.isNotNull())
+    )
+    aggs = []
+    for label, lo, hi in ranges:
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (v >= float(lo))
+        if hi is not None:
+            cond = cond & (v < float(hi))
+        hit = F.when(cond, v)
+        aggs += [
+            F.count(hit).alias(f"_n_{label}"),
+            F.round(F.sum(hit), 6).alias(f"_s_{label}"),
+            F.round(F.avg(hit), 6).alias(f"_a_{label}"),
+        ]
+    row = base.agg(*aggs)
+    parts = [
+        row.select(
+            F.lit(label).alias("bucket"),
+            F.col(f"_n_{label}").alias("doc_count"),
+            F.col(f"_s_{label}").alias("sum_value"),
+            F.col(f"_a_{label}").alias("avg_value"),
+        )
+        for label, _, _ in ranges
+    ]
+    from functools import reduce
+
+    return reduce(DataFrame.unionByName, parts).orderBy("bucket")
+
+
+def weighted_avg(
+    spark: SparkSession,
+    cat: ParquetCatalog,
+    docs: DataFrame,
+    query,
+    value_col: str,
+    weight_col: str,
+    id_col: str = "doc_id",
+    max_expansions: int = MAX_EXPANSIONS,
+) -> DataFrame:
+    """ES ``weighted_avg`` metric agg over the match set:
+    ``Σ(value·weight) / Σ(weight)`` — one row (weighted_avg, n_docs).
+    Rows where EITHER side is NULL are skipped entirely (the ES
+    value+weight missing contract). One semi-join + one partial
+    aggregation; only the two scalars cross the driver."""
+    m = matching_docs(spark, cat, query, max_expansions=max_expansions)
+    v = F.col(value_col).cast("double")
+    w = F.col(weight_col).cast("double")
+    both = v.isNotNull() & w.isNotNull()
+    return (
+        docs.join(m.withColumnRenamed("doc_id", id_col), id_col, "leftsemi")
+        .filter(both)
+        .agg(
+            F.round(F.sum(v * w) / F.sum(w), 6).alias("weighted_avg"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )

@@ -177,3 +177,62 @@ def test_adjacency_matrix_matches_manual(spark, built, token_sets):
     ).collect()
     assert {r["key"]: r["doc_count"] for r in got} == exp
     assert [r["key"] for r in got] == sorted(exp)
+
+
+# ---------------------------------------------------------------------------
+# range / weighted_avg (X101)
+# ---------------------------------------------------------------------------
+
+def test_range_agg_matches_manual(spark, built, docs_df, token_sets):
+    from mahout_spark.index.aggs import range_agg
+
+    matched = {d for d, s in token_sets.items()
+               if "table" in s or "data" in s}
+    vals = {r["doc_id"]: float(r["n_chars"])
+            for r in docs_df.select("doc_id", "n_chars").collect()
+            if r["n_chars"] is not None and r["doc_id"] in matched}
+    ranges = [("a_small", None, 500.0), ("b_mid", 400.0, 900.0),
+              ("c_large", 900.0, None), ("d_empty", 10**9, None)]
+    got = range_agg(
+        spark, built, docs_df, "table OR data", "n_chars", ranges
+    ).collect()
+    assert [r["bucket"] for r in got] == [
+        "a_small", "b_mid", "c_large", "d_empty"]
+    for r in got:
+        lo, hi = dict((l, (a, b)) for l, a, b in ranges)[r["bucket"]]
+        hit = [v for v in vals.values()
+               if (lo is None or v >= lo) and (hi is None or v < hi)]
+        assert r["doc_count"] == len(hit)
+        if hit:
+            assert r["sum_value"] == pytest.approx(round(sum(hit), 6))
+            assert r["avg_value"] == pytest.approx(
+                round(sum(hit) / len(hit), 6))
+        else:
+            assert r["sum_value"] is None and r["avg_value"] is None
+    # overlap: a doc with 400 <= n_chars < 500 counts in BOTH a and b
+    n_overlap = sum(1 for v in vals.values() if 400.0 <= v < 500.0)
+    if n_overlap:
+        by = {r["bucket"]: r["doc_count"] for r in got}
+        assert by["a_small"] + by["b_mid"] + by["c_large"] == \
+               len(vals) + n_overlap
+    with pytest.raises(ValueError, match="non-empty"):
+        range_agg(spark, built, docs_df, "data", "n_chars", [])
+    with pytest.raises(ValueError, match="unique"):
+        range_agg(spark, built, docs_df, "data", "n_chars",
+                  [("x", 0, 1), ("x", 1, 2)])
+
+
+def test_weighted_avg_matches_manual(spark, built, docs_df, token_sets):
+    from mahout_spark.index.aggs import weighted_avg
+
+    matched = {d for d, s in token_sets.items() if "data" in s}
+    rows = [(float(r["n_chars"]), float(r["doc_id"] % 7 + 1))
+            for r in docs_df.select("doc_id", "n_chars").collect()
+            if r["doc_id"] in matched and r["n_chars"] is not None]
+    wdocs = docs_df.withColumn("w", (F.col("doc_id") % 7 + 1))
+    got = weighted_avg(spark, built, wdocs, "data", "n_chars", "w").first()
+    num = sum(v * w for v, w in rows)
+    den = sum(w for _, w in rows)
+    assert got["n_docs"] == len(rows)
+    assert got["weighted_avg"] == pytest.approx(round(num / den, 6),
+                                                abs=1e-6)
