@@ -2073,6 +2073,34 @@ def q_engine_significant_terms(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def q_engine_span_first(spark, sf_dir):
+    """span_first query (X102, Lucene/ES span_first): docs where the
+    PHRASE_QUERY span occurs ENTIRELY within the first 12 token
+    positions (span end start+L <= 12), BM25-scored like phrase search.
+    The oracle phrase-matches the space-joined prefix of the normalized
+    token stream — fully independent of the composite-key kernel."""
+    import shutil
+    import tempfile
+
+    from mahout_spark.index.build import build_index
+    from mahout_spark.index.phrase import span_first_topk
+
+    docs = _load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="msdrv_spf_")
+    try:
+        cat = build_index(
+            spark, docs, out_dir=out, content_col="text",
+            id_cols=["doc_id"], mode="simple", resume=False,
+            positions=True,
+        )
+        result = span_first_topk(
+            spark, cat, PHRASE_QUERY, end=12, k=10
+        ).select("doc_id", F.round("score", 6).alias("score"))
+        return spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def q_engine_rare_terms(spark, sf_dir):
     """rare_terms aggregation (X99, ES rare_terms): the 10 RAREST terms
     of the 'table OR data' match set by foreground doc count (fg_df asc,
@@ -2748,6 +2776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_regexp_search": q_engine_regexp_search,
         "engine_rescore_search": q_engine_rescore_search,
         "engine_significant_terms": q_engine_significant_terms,
+        "engine_span_first": q_engine_span_first,
         "engine_rare_terms": q_engine_rare_terms,
         "engine_filters_agg": q_engine_filters_agg,
         "engine_adjacency": q_engine_adjacency,
@@ -3144,6 +3173,36 @@ def _pipeline_sql() -> dict[str, str]:
                    * ((f.fg_df / n_m) / (d.df / n)), 6) AS score
         FROM fg f JOIN dfreq d USING (term) CROSS JOIN s2
         ORDER BY score DESC, f.term ASC LIMIT 10
+        """,
+        # span_first oracle (X102): the phrase must sit entirely inside
+        # the first 12 tokens, so LIKE over the space-joined 12-token
+        # PREFIX of the normalized stream is exact (a crossing
+        # occurrence cannot appear in the prefix string); scoring is the
+        # phrase oracle's BM25 sum
+        "engine_span_first": _TOK_CTE + f"""
+        , stream AS (
+            SELECT doc_id,
+                   ' ' || array_to_string(list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9]+'),
+                       t -> t <> '')[1:12], ' ') || ' ' AS s
+            FROM documents WHERE text IS NOT NULL
+        ), span_docs AS (
+            SELECT doc_id FROM stream
+            WHERE s LIKE '% {' '.join(PHRASE_QUERY)} %'
+        ), contrib AS (
+            SELECT tf.doc_id, {_BM25_CONTRIB} AS c
+            FROM tf
+            JOIN dfreq USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN scal
+            WHERE tf.term IN ('{"', '".join(sorted(set(PHRASE_QUERY)))}')
+        ), agg AS (
+            SELECT doc_id, round(sum(c), 6) AS score
+            FROM contrib JOIN span_docs USING (doc_id)
+            GROUP BY doc_id
+        )
+        SELECT doc_id, score FROM agg
+        ORDER BY score DESC, doc_id ASC LIMIT 10
         """,
         # rare_terms oracle (X99): foreground term doc counts over the
         # SQL match set, rarest first

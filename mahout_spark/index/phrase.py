@@ -413,3 +413,74 @@ def proximity_topk(
     )
     return _run_positional_kernel(spark, blocks, kernel, k, merge,
                                   tomb, int(meta["docs_per_shard"]))
+
+
+def _make_span_first_kernel(
+    phrase: list[str], end: int, idf_by_term: dict, k1: float, b: float,
+    avgdl: float, k: int, docs_per_shard: int,
+    deleted: np.ndarray | None = None,
+):
+    """span_first kernel: phrase-start keys (the X30 adjacency probe)
+    additionally filtered by the boundary — a span starting at position
+    p with L slots has Lucene span end p + L, and matches iff
+    ``p + L <= end``. The position component is the key's low POS_BITS,
+    so the filter is one vectorized mask over the start keys."""
+    _check_shard_budget(docs_per_shard)
+    distinct_terms = sorted(dict.fromkeys(phrase))
+    span_len = len(phrase)
+
+    def kernel(pdf, *, deleted=deleted):  # kw-only: applyInPandas sees 1 arg
+        front = _decode_intersect(pdf, distinct_terms, docs_per_shard)
+        if front is None:
+            return _empty_result()
+        decoded, cand, base = front
+        keys = _occurrence_keys(decoded, cand, base, distinct_terms)
+        starts = _adjacency_start_keys(keys, phrase)
+        if len(starts) == 0:
+            return _empty_result()
+        pos = starts & np.uint64((1 << POS_BITS) - 1)
+        starts = starts[pos + np.uint64(span_len) <= np.uint64(end)]
+        if len(starts) == 0:
+            return _empty_result()
+        match_docs = np.unique(starts >> np.uint64(POS_BITS)) + base
+        return _score_match_docs(
+            decoded, match_docs, distinct_terms, idf_by_term, k1, b, avgdl,
+            k, deleted=deleted,
+        )
+
+    return kernel
+
+
+def span_first_topk(
+    spark: SparkSession,
+    cat: ParquetCatalog,
+    phrase: list[str],
+    end: int,
+    k: int = 10,
+    lex_rows: list | None = None,
+    merge: str = "spark",
+) -> DataFrame:
+    """ES/Lucene ``span_first``: top-k docs where the token sequence
+    ``phrase`` occurs ENTIRELY within the first ``end`` token positions
+    (span end ``start + len(phrase) <= end`` — the Lucene boundary
+    contract; a single term is the 1-slot span, matching iff its
+    position ``< end``). Scored by the BM25 sum of the span's distinct
+    terms, like phrase_topk — same plan, same kernels seam, one extra
+    vectorized position mask. Requires a positional index."""
+    if not phrase:
+        raise ValueError("empty phrase")
+    if end < 1:
+        raise ValueError(f"end must be >= 1: {end}")
+    if end < len(phrase):  # no span of this length can fit the prefix
+        return spark.createDataFrame([], "doc_id long, score double")
+    qterms = sorted(dict.fromkeys(phrase))
+    plan = _positional_query_plan(spark, cat, qterms, lex_rows)
+    if plan is None:
+        return spark.createDataFrame([], "doc_id long, score double")
+    meta, idf_by_term, blocks, deleted, tomb = plan
+    kernel = _make_span_first_kernel(
+        list(phrase), int(end), idf_by_term, meta["k1"], meta["b"],
+        meta["avgdl"], k, int(meta["docs_per_shard"]), deleted=deleted,
+    )
+    return _run_positional_kernel(spark, blocks, kernel, k, merge,
+                                  tomb, int(meta["docs_per_shard"]))

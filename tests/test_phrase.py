@@ -317,3 +317,62 @@ def test_phrase_snippets_edge_clipping(spark):
         1: (0, "alpha beta gamma"),
         2: (1, "x alpha beta gamma y"),
     }
+
+
+# ---------------------------------------------------------------------------
+# span_first (X102)
+# ---------------------------------------------------------------------------
+
+def _span_first_oracle(oracle, phrase, end, k=10):
+    """Token-scan recompute: docs where the phrase occurs starting at
+    p with p + len(phrase) <= end, BM25-scored like phrase_search."""
+    L = len(phrase)
+    hits = []
+    for doc_id, toks in oracle.tokens.items():
+        ok = any(
+            toks[p:p + L] == phrase
+            for p in range(0, min(len(toks) - L, end - L) + 1)
+        )
+        if ok:
+            score = sum(oracle.bm25(doc_id, t)
+                        for t in sorted(set(phrase)))
+            hits.append((doc_id, round(score, 10)))
+    hits.sort(key=lambda e: (-e[1], e[0]))
+    return hits[:k]
+
+
+@pytest.mark.parametrize("phrase,end", [
+    (["table", "scan"], 8),
+    (["table", "scan"], 2),      # span must END by 2: start position 0 only
+    (["data"], 1),               # single term at the very first position
+    (["data"], 5),
+])
+def test_span_first_matches_token_scan(spark, pos_built, oracle,
+                                       phrase, end):
+    from mahout_spark.index.phrase import span_first_topk
+
+    got = _rows(span_first_topk(spark, pos_built, phrase, end, k=10))
+    want = _span_first_oracle(oracle, phrase, end, k=10)
+    assert [g[0] for g in got] == [w[0] for w in want], (phrase, end)
+    for g, w in zip(got, want):
+        assert g[1] == pytest.approx(w[1], abs=1e-9)
+
+
+def test_span_first_wide_end_equals_phrase(spark, pos_built):
+    from mahout_spark.index.phrase import span_first_topk
+
+    a = _rows(span_first_topk(spark, pos_built, ["table", "scan"], 10**6))
+    b = _rows(phrase_topk(spark, pos_built, ["table", "scan"], k=10))
+    assert a == b
+
+
+def test_span_first_rejects_and_degenerate(spark, pos_built):
+    from mahout_spark.index.phrase import span_first_topk
+
+    with pytest.raises(ValueError, match="empty"):
+        span_first_topk(spark, pos_built, [], 5)
+    with pytest.raises(ValueError, match="end"):
+        span_first_topk(spark, pos_built, ["data"], 0)
+    # a 2-slot span can never fit inside the first 1 positions
+    assert span_first_topk(
+        spark, pos_built, ["table", "scan"], 1).count() == 0
