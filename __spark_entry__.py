@@ -1039,6 +1039,35 @@ def q_engine_has_parent(spark, sf_dir):
         "parent_id", "chunk_id")
 
 
+#: The mixture fixture (X103): exact binary-fraction proportions so the
+#: python-side normalization (sum = exactly 1.0) and the SQL oracle's
+#: raw p agree bit-for-bit in the threshold arithmetic.
+MIX_TARGET = {"src1": 0.5, "src2": 0.25, "src3": 0.25}
+MIX_SEED = 7
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Domain-mixture resampling (X103, fixed-mixture data balancing):
+    deterministic stratified downsample of documents to the
+    src1:src2:src3 = 2:1:1 target — per-source keep thresholds on the
+    X86 multiplicative-hash permutation, corpus streamed through one
+    broadcast-join filter."""
+    from mahout_spark.operators.curation import mixture_sample
+
+    return mixture_sample(
+        _load(spark, sf_dir, "documents"), MIX_TARGET, seed=MIX_SEED,
+    ).select("doc_id", "source")
+
+
+def q_mixture_stats(spark, sf_dir):
+    """The X103 mixture audit: per target source, corpus count, keep
+    rate, kept count, and achieved proportion of the sampled corpus."""
+    from mahout_spark.operators.curation import mixture_stats
+
+    return mixture_stats(
+        _load(spark, sf_dir, "documents"), MIX_TARGET, seed=MIX_SEED)
+
+
 def q_repetition_signals(spark, sf_dir):
     """Gopher repetition filters (X98, Rae et al. 2021 table A1): per
     doc, duplicate-line fraction + duplicate-line char fraction, the
@@ -2750,6 +2779,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_grid": q_geo_grid,
         "multi_match_search": q_multi_match_search,
         "repetition_signals": q_repetition_signals,
+        "mixture_sample": q_mixture_sample,
+        "mixture_stats": q_mixture_stats,
         "engine_has_child": q_engine_has_child,
         "engine_has_parent": q_engine_has_parent,
         "decontaminate": q_decontaminate,
@@ -3056,6 +3087,41 @@ def _gram_ctes(tok: str, n: int) -> str:
                     generate_series(1, greatest(0, len(ts) - {n - 1})),
                     i -> array_to_string(ts[i:i+{n - 1}], ' '))) AS g
                 FROM toksg)
+        )"""
+
+
+def _mix_ctes() -> str:
+    """Mixture oracle CTEs (X103): the identical rate arithmetic —
+    T = min(n/p) over exact-binary-fraction targets, rate = p·T/n,
+    integer threshold floor(rate·P) on the seed-7 multiplicative
+    permutation. Emits ``thr(source, n, rate, t)`` and
+    ``kept(doc_id, source)``."""
+    from mahout_spark.operators.curation import PACK_MOD, pack_multiplier
+
+    mult = pack_multiplier(MIX_SEED)
+    vals = ", ".join(
+        f"('{s}', {p!r})" for s, p in sorted(MIX_TARGET.items()))
+    names = ", ".join(f"'{s}'" for s in sorted(MIX_TARGET))
+    return f"""
+        tgt AS (SELECT * FROM (VALUES {vals}) AS t(source, p)),
+        cnt AS (
+            SELECT source, count(*) AS n FROM documents
+            WHERE source IN ({names}) GROUP BY source
+        ),
+        j AS (
+            SELECT t.source, c.n, t.p, c.n / t.p AS cap
+            FROM cnt c JOIN tgt t USING (source)
+        ),
+        thr AS (
+            SELECT source, n, p * (SELECT min(cap) FROM j) / n AS rate,
+                   CAST(floor(p * (SELECT min(cap) FROM j) / n
+                              * {PACK_MOD}) AS BIGINT) AS t
+            FROM j
+        ),
+        kept AS (
+            SELECT d.doc_id, d.source FROM documents d
+            JOIN thr ON d.source = thr.source
+            WHERE (d.doc_id * {mult}) % {PACK_MOD} < thr.t
         )"""
 
 
@@ -3538,6 +3604,22 @@ def _pipeline_sql() -> dict[str, str]:
         )
         SELECT doc_id, round(mx + 0.3 * (sm - mx), 6) AS score, best_field
         FROM agg ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        # mixture resampling (X103): identical rate + threshold
+        # arithmetic on the same permutation key
+        "mixture_sample": "WITH " + _mix_ctes() + """
+        SELECT doc_id, source FROM kept
+        """,
+        "mixture_stats": "WITH " + _mix_ctes() + """
+        SELECT thr.source, CAST(thr.n AS BIGINT) AS n_docs,
+               round(thr.rate, 6) AS rate,
+               CAST(coalesce(k.c, 0) AS BIGINT) AS n_kept,
+               round(coalesce(k.c, 0) / (SELECT count(*) FROM kept), 6)
+                   AS achieved_p
+        FROM thr LEFT JOIN (
+            SELECT source, count(*) AS c FROM kept GROUP BY source
+        ) k USING (source)
+        ORDER BY thr.source
         """,
         # Gopher repetition signals (X98): the identical per-doc multiset
         # arithmetic via unnest + window — duplicate occurrences = count

@@ -396,3 +396,93 @@ def repetition_signals(
         F.col("_sig.dup_gram_char_frac").alias(
             f"dup{dup_n}gram_char_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Domain-mixture resampling (X103)
+# ---------------------------------------------------------------------------
+
+def mixture_rates(
+    docs: DataFrame, target: dict, source_col: str = "source",
+) -> dict:
+    """Per-source keep rates that hit the ``target`` mixture WITHOUT
+    upsampling: with per-source counts ``n_s`` and target proportions
+    ``p_s`` (normalized), the largest achievable sampled corpus is
+    ``T = min_s(n_s / p_s)`` (the binding source keeps 100%), and every
+    source keeps ``rate_s = p_s · T / n_s``. One tiny groupBy-count
+    (#sources rows cross the driver — never the corpus). Sources not in
+    ``target`` are dropped (rate absent); a target source missing from
+    the corpus raises (T would silently be 0)."""
+    if not target:
+        raise ValueError("target mixture must be non-empty")
+    if any(p <= 0 for p in target.values()):
+        raise ValueError(f"target proportions must be > 0: {target}")
+    tot = float(sum(target.values()))
+    norm = {s: p / tot for s, p in target.items()}
+    counts = {
+        r[source_col]: r["n"]
+        for r in docs.filter(F.col(source_col).isin(list(target)))
+        .groupBy(source_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    missing = sorted(set(target) - set(counts))
+    if missing:
+        raise ValueError(f"target sources absent from corpus: {missing}")
+    t_max = min(counts[s] / norm[s] for s in norm)
+    return {s: (counts[s], norm[s] * t_max / counts[s]) for s in norm}
+
+
+def mixture_sample(
+    docs: DataFrame, target: dict, seed: int = 42,
+    source_col: str = "source", id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified downsampling to a target domain mixture
+    (the fixed-mixture half of DoReMi-style data balancing): doc kept
+    iff its seeded multiplicative-hash key (X86's SQL-replayable
+    permutation — exact int64 arithmetic, no RNG state) falls below
+    ``floor(rate_source · P)``. Per-source thresholds ride a broadcast
+    join (#sources rows); the corpus streams through one filter — no
+    shuffle, no sampling state, re-runs bit-identical."""
+    rates = mixture_rates(docs, target, source_col)
+    spark = docs.sparkSession
+    thr = spark.createDataFrame(
+        [(s, int(rate * PACK_MOD)) for s, (_, rate) in rates.items()],
+        f"{source_col} string, _thr long",
+    )
+    key = pack_key_expr(id_col, seed)
+    return (
+        docs.join(F.broadcast(thr), source_col)
+        .filter(key < F.col("_thr"))
+        .drop("_thr")
+    )
+
+
+def mixture_stats(
+    docs: DataFrame, target: dict, seed: int = 42,
+    source_col: str = "source", id_col: str = "doc_id",
+) -> DataFrame:
+    """The mixture audit relation: per target source, corpus count,
+    keep rate, kept count, and the ACHIEVED proportion of the sampled
+    corpus (rounded 1e-6) — the number the pipeline owner checks
+    against the target. One aggregation over the sampled relation."""
+    from pyspark.sql import Window
+
+    rates = mixture_rates(docs, target, source_col)
+    kept = mixture_sample(docs, target, seed, source_col, id_col)
+    spark = docs.sparkSession
+    base = spark.createDataFrame(
+        [(s, n, rate) for s, (n, rate) in sorted(rates.items())],
+        f"{source_col} string, n_docs long, _rate double",
+    )
+    counts = kept.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_kept"))
+    # the audit relation is #sources rows — the global window is fine
+    tot = F.sum("n_kept").over(Window.partitionBy())
+    return (
+        base.join(counts, source_col, "left")
+        .withColumn("n_kept", F.coalesce(F.col("n_kept"), F.lit(0)))
+        .withColumn("rate", F.round("_rate", 6))
+        .withColumn("achieved_p",
+                    F.round(F.col("n_kept") / tot, 6))
+        .select(source_col, "n_docs", "rate", "n_kept", "achieved_p")
+        .orderBy(source_col)
+    )

@@ -245,3 +245,70 @@ def test_repetition_signals_rejects(spark):
     docs = spark.createDataFrame([(0, "x")], "doc_id bigint, text string")
     with pytest.raises(ValueError, match="gram sizes"):
         repetition_signals(docs, top_n=0)
+
+
+# ---------------------------------------------------------------------------
+# mixture resampling (X103)
+# ---------------------------------------------------------------------------
+
+def _mix_docs(spark):
+    rows = [(i, f"src{i % 4}") for i in range(400)]
+    return spark.createDataFrame(rows, "doc_id bigint, source string")
+
+
+def test_mixture_rates_binding_source(spark):
+    from mahout_spark.operators.curation import mixture_rates
+
+    docs = _mix_docs(spark)  # 100 docs per source
+    rates = mixture_rates(docs, {"src0": 0.5, "src1": 0.25, "src2": 0.25})
+    # src0 binds: T = 100/0.5 = 200 -> src0 keeps all, others half
+    assert rates["src0"] == (100, pytest.approx(1.0))
+    assert rates["src1"] == (100, pytest.approx(0.5))
+    assert rates["src2"] == (100, pytest.approx(0.5))
+    with pytest.raises(ValueError, match="absent"):
+        mixture_rates(docs, {"src0": 0.5, "nope": 0.5})
+    with pytest.raises(ValueError, match="non-empty"):
+        mixture_rates(docs, {})
+    with pytest.raises(ValueError, match="> 0"):
+        mixture_rates(docs, {"src0": 0.0})
+
+
+def test_mixture_sample_deterministic_and_exact(spark):
+    from mahout_spark.operators.curation import (
+        PACK_MOD,
+        mixture_sample,
+        pack_multiplier,
+    )
+
+    docs = _mix_docs(spark)
+    target = {"src0": 0.5, "src1": 0.25, "src2": 0.25}
+    got = mixture_sample(docs, target, seed=7).collect()
+    # python replay of the exact keep rule
+    mult = pack_multiplier(7)
+    thr = {"src0": int(1.0 * PACK_MOD), "src1": int(0.5 * PACK_MOD),
+           "src2": int(0.5 * PACK_MOD)}
+    exp = {i for i in range(400)
+           if f"src{i % 4}" in thr
+           and (i * mult) % PACK_MOD < thr[f"src{i % 4}"]}
+    assert {r["doc_id"] for r in got} == exp
+    # untargeted src3 fully dropped; re-run bit-identical
+    assert all(r["source"] != "src3" for r in got)
+    again = {r["doc_id"] for r in mixture_sample(docs, target, 7).collect()}
+    assert again == exp
+
+
+def test_mixture_stats_achieves_target(spark):
+    from mahout_spark.operators.curation import mixture_stats
+
+    docs = _mix_docs(spark)
+    target = {"src0": 0.5, "src1": 0.25, "src2": 0.25}
+    got = {r["source"]: r for r in
+           mixture_stats(docs, target, seed=7).collect()}
+    assert set(got) == {"src0", "src1", "src2"}
+    assert got["src0"]["n_kept"] == 100  # rate 1.0 keeps everything
+    total = sum(r["n_kept"] for r in got.values())
+    for s, p in target.items():
+        assert got[s]["achieved_p"] == pytest.approx(
+            round(got[s]["n_kept"] / total, 6))
+        # the hash split tracks the target within sampling noise
+        assert abs(got[s]["n_kept"] / total - p) < 0.08
