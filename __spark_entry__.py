@@ -866,6 +866,21 @@ def q_histogram_top_buckets(spark, sf_dir):
         kept, sort=[("sum_value", "desc")], size=7, offset=2)
 
 
+def q_histogram_stats(spark, sf_dir):
+    """Sibling pipeline aggs (X104, ES stats_bucket / min_bucket /
+    max_bucket): one row of cross-bucket statistics over the daily
+    histogram's sum_value, extremes carrying their bucket keys (ties
+    pinned to the first bucket asc)."""
+    from mahout_spark.operators.timeseries import (
+        bucket_stats,
+        date_histogram,
+    )
+
+    events = _load(spark, sf_dir, "events")
+    return bucket_stats(
+        date_histogram(events, "ts", "day", "value"), "sum_value")
+
+
 def q_passage_search(spark, sf_dir):
     """Passage retrieval with parent-doc rollup (X81, MaxP / ES
     inner_hits): chunk-level BM25 over the chunk corpus, each doc
@@ -2769,6 +2784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_histogram": q_date_histogram,
         "histogram_pipeline": q_histogram_pipeline,
         "histogram_top_buckets": q_histogram_top_buckets,
+        "histogram_stats": q_histogram_stats,
         "passage_search": q_passage_search,
         "engine_did_you_mean": q_engine_did_you_mean,
         "engine_filtered_ann": q_engine_filtered_ann,
@@ -4136,6 +4152,28 @@ def _base_oracle_sql() -> dict[str, str]:
         WHERE n_events >= 10
         ORDER BY sum_value DESC, bucket ASC
         LIMIT 7 OFFSET 2
+        """,
+        # sibling pipeline aggs (X104): cross-bucket stats over the same
+        # histogram relation; extreme keys via ordered scalar subqueries
+        # (ties pinned bucket-asc, the engine's contract)
+        "histogram_stats": """
+        WITH h AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+                   round(sum(value), 6) AS sum_value
+            FROM events WHERE ts IS NOT NULL GROUP BY 1
+        )
+        SELECT CAST(count(sum_value) AS BIGINT) AS n_buckets,
+               round(min(sum_value), 6) AS min_value,
+               round(max(sum_value), 6) AS max_value,
+               round(avg(sum_value), 6) AS avg_value,
+               round(sum(sum_value), 6) AS sum_value,
+               (SELECT bucket FROM h
+                WHERE sum_value = (SELECT min(sum_value) FROM h)
+                ORDER BY bucket LIMIT 1) AS min_bucket,
+               (SELECT bucket FROM h
+                WHERE sum_value = (SELECT max(sum_value) FROM h)
+                ORDER BY bucket LIMIT 1) AS max_bucket
+        FROM h
         """,
         "engine_did_you_mean": _DYM_SQL,
         # passage oracle: the whole MaxP relation in SQL — chunk windows

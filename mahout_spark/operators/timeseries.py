@@ -171,3 +171,36 @@ def bucket_sort(
     if offset:
         out = out.offset(offset)
     return out.limit(size) if size is not None else out
+
+
+def bucket_stats(
+    buckets: DataFrame,
+    value_col: str,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """ES sibling pipeline aggs (`stats_bucket`, subsuming `min_bucket`
+    / `max_bucket` / `avg_bucket` / `sum_bucket`): ONE row of statistics
+    over a metric ACROSS the sibling buckets — n_buckets, min/max/avg/
+    sum (1e-6 rounded), plus the bucket KEYS achieving the extremes
+    (`min_bucket` / `max_bucket`; ES returns a keys array — a relation
+    pins the FIRST such key in bucket order). NULL metric values are
+    skipped (the ES gap policy default); all-NULL input yields the
+    single row with NULL stats. One partial aggregation over the
+    already-bounded bucket relation — nothing corpus-sized anywhere."""
+    v = F.col(value_col).cast("double")
+    key = F.col(bucket_col)
+    return buckets.agg(
+        F.count(v).alias("n_buckets"),
+        F.round(F.min(v), 6).alias("min_value"),
+        F.round(F.max(v), 6).alias("max_value"),
+        F.round(F.avg(v), 6).alias("avg_value"),
+        F.round(F.sum(v), 6).alias("sum_value"),
+        # first bucket key (asc) achieving each extreme: min/max over
+        # (value, key) structs compares value first, then key
+        F.min_by(key, F.when(v.isNotNull(), F.struct(v, key)))
+        .alias("min_bucket"),
+        F.min_by(
+            key,
+            F.when(v.isNotNull(), F.struct(-v, key)),
+        ).alias("max_bucket"),
+    )

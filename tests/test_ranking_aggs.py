@@ -491,3 +491,37 @@ def test_bucket_pipeline_rejects(spark, events):
         bucket_pipeline(h, "sum_value", metrics=("median",))
     with pytest.raises(ValueError, match="window"):
         bucket_pipeline(h, "sum_value", window=0)
+
+
+def test_bucket_stats_matches_python(spark, events):
+    from mahout_spark.operators.timeseries import bucket_stats, date_histogram
+
+    h = date_histogram(events, "ts", "day", "value")
+    rows = [(r["bucket"], r["sum_value"]) for r in h.collect()]
+    vals = [v for _, v in rows]
+    got = bucket_stats(h, "sum_value").first()
+    assert got["n_buckets"] == len(vals)
+    assert got["min_value"] == pytest.approx(round(min(vals), 6))
+    assert got["max_value"] == pytest.approx(round(max(vals), 6))
+    assert got["avg_value"] == pytest.approx(round(sum(vals) / len(vals), 6))
+    assert got["sum_value"] == pytest.approx(round(sum(vals), 6), abs=1e-6)
+    assert got["min_bucket"] == min(
+        (v, b) for b, v in rows)[1]
+    assert got["max_bucket"] == min(
+        (-v, b) for b, v in rows)[1]
+
+
+def test_bucket_stats_null_handling(spark):
+    from mahout_spark.operators.timeseries import bucket_stats
+
+    df = spark.createDataFrame(
+        [("a", None), ("b", 3.0), ("c", None), ("d", 3.0)],
+        "bucket string, m double")
+    got = bucket_stats(df, "m").first()
+    assert got["n_buckets"] == 2          # NULL metrics skipped
+    assert got["min_bucket"] == "b"       # tie -> first key asc
+    assert got["max_bucket"] == "b"
+    empty = spark.createDataFrame([("a", None)], "bucket string, m double")
+    got2 = bucket_stats(empty, "m").first()
+    assert got2["n_buckets"] == 0 and got2["min_value"] is None
+    assert got2["min_bucket"] is None
