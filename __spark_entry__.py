@@ -2117,6 +2117,40 @@ def q_engine_significant_terms(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def q_engine_snapshot_restore(spark, sf_dir):
+    """Snapshot/restore (X105, the ES _snapshot filesystem repository):
+    build → snapshot → DESTRUCTIVELY delete docs from the live index →
+    restore → run the standard WAND query on the RESTORED catalog. The
+    oracle is the plain undeleted BM25 relation — MATCH proves the
+    restore is lossless and isolated from post-snapshot mutation."""
+    import shutil
+    import tempfile
+
+    from mahout_spark.index.build import build_index
+    from mahout_spark.index.delete import delete_docs
+    from mahout_spark.index.snapshot import restore_index, snapshot_index
+    from mahout_spark.index.wand import topk
+
+    docs = _load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="msdrv_snap_")
+    try:
+        cat = build_index(
+            spark, docs, out_dir=os.path.join(out, "idx"),
+            content_col="text", id_cols=["doc_id"], mode="simple",
+            resume=False,
+        )
+        snapshot_index(cat, os.path.join(out, "repo"), "s1")
+        live = topk(spark, cat, BM25_QUERY_TERMS, k=3).collect()
+        delete_docs(spark, cat, [r["doc_id"] for r in live])
+        restored = restore_index(
+            os.path.join(out, "repo"), "s1", os.path.join(out, "rst"))
+        result = topk(spark, restored, BM25_QUERY_TERMS, k=10).select(
+            "doc_id", F.round("score", 6).alias("score"))
+        return spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def q_engine_span_first(spark, sf_dir):
     """span_first query (X102, Lucene/ES span_first): docs where the
     PHRASE_QUERY span occurs ENTIRELY within the first 12 token
@@ -2823,6 +2857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_regexp_search": q_engine_regexp_search,
         "engine_rescore_search": q_engine_rescore_search,
         "engine_significant_terms": q_engine_significant_terms,
+        "engine_snapshot_restore": q_engine_snapshot_restore,
         "engine_span_first": q_engine_span_first,
         "engine_rare_terms": q_engine_rare_terms,
         "engine_filters_agg": q_engine_filters_agg,
@@ -4243,6 +4278,12 @@ def _base_oracle_sql() -> dict[str, str]:
         ORDER BY score DESC, doc_id ASC LIMIT 10
         """,
         "engine_indexed_bm25_simple": _BM25_BASE + """
+        SELECT doc_id, score FROM agg
+        ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        # snapshot/restore (X105): lossless restore => the restored
+        # index answers exactly like the never-deleted corpus
+        "engine_snapshot_restore": _BM25_BASE + """
         SELECT doc_id, score FROM agg
         ORDER BY score DESC, doc_id ASC LIMIT 10
         """,
