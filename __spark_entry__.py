@@ -1122,6 +1122,28 @@ def q_multi_match_search(spark, sf_dir):
     )
 
 
+def q_combined_fields(spark, sf_dir):
+    """combined_fields / BM25F (X106, ES combined_fields): title (first
+    5 tokens, weight 2) and body merge into ONE virtual field BEFORE
+    saturation — tf' = Σ w_f·tf_f, dl' = Σ w_f·dl_f, df over the union
+    — the principled fix for dis_max's weak-everywhere-beats-
+    strong-somewhere failure. Same fixture fields as multi_match_search
+    so the two ranking models are directly comparable."""
+    from mahout_spark.operators.multimatch import combined_fields_topk
+
+    docs = _load(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda x: x != "",
+    )
+    title_docs = docs.select(
+        "doc_id", F.array_join(F.slice(toks, 1, 5), " ").alias("text"))
+    return combined_fields_topk(
+        {"title": title_docs, "body": docs}, BM25_QUERY_TERMS,
+        weights={"title": 2.0}, k=10,
+    )
+
+
 def _geo_points(spark, sf_dir):
     """The geo fixture: deterministic lat/lon derived from event_id with
     exact integer modulo arithmetic (SQL-replayable bit-for-bit — the
@@ -2828,6 +2850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_distance": q_geo_distance,
         "geo_grid": q_geo_grid,
         "multi_match_search": q_multi_match_search,
+        "combined_fields": q_combined_fields,
         "repetition_signals": q_repetition_signals,
         "mixture_sample": q_mixture_sample,
         "mixture_stats": q_mixture_stats,
@@ -3655,6 +3678,56 @@ def _pipeline_sql() -> dict[str, str]:
         )
         SELECT doc_id, round(mx + 0.3 * (sm - mx), 6) AS score, best_field
         FROM agg ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        # combined_fields / BM25F (X106): the identical virtual-field
+        # arithmetic — weighted tf/dl merge BEFORE saturation, df over
+        # the union
+        "combined_fields": f"""
+        WITH ttok AS (
+            SELECT doc_id,
+                   unnest(list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '')[1:5]) AS term
+            FROM documents WHERE text IS NOT NULL
+        ), btok AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
+                       AS term
+            FROM documents WHERE text IS NOT NULL
+        ), ttf AS (
+            SELECT doc_id, term, count(*) * 2.0 AS wtf FROM ttok
+            WHERE term <> '' GROUP BY 1, 2
+        ), btf AS (
+            SELECT doc_id, term, count(*) * 1.0 AS wtf FROM btok
+            WHERE term <> '' GROUP BY 1, 2
+        ), u AS (
+            SELECT * FROM ttf UNION ALL SELECT * FROM btf
+        ), tfc AS (
+            SELECT doc_id, term, sum(wtf) AS tfp FROM u GROUP BY 1, 2
+        ), dlc AS (
+            SELECT doc_id, sum(wdl) AS dlp FROM (
+                SELECT doc_id, sum(wtf) AS wdl FROM ttf GROUP BY 1
+                UNION ALL
+                SELECT doc_id, sum(wtf) AS wdl FROM btf GROUP BY 1
+            ) GROUP BY doc_id
+        ), cscal AS (
+            SELECT count(*) AS nd, avg(dlp) AS ad FROM dlc
+        ), cdf AS (
+            SELECT term, count(*) AS df FROM tfc GROUP BY term
+        ), contrib AS (
+            SELECT tfc.doc_id,
+                   ln(1.0 + (s.nd - d.df + 0.5) / (d.df + 0.5))
+                   * (tfc.tfp * {BM25_K1 + 1.0})
+                   / (tfc.tfp + {BM25_K1} * (1.0 - {BM25_B}
+                      + {BM25_B} * dlc.dlp / s.ad)) AS c
+            FROM tfc
+            JOIN cdf d USING (term)
+            JOIN dlc ON tfc.doc_id = dlc.doc_id
+            CROSS JOIN cscal s
+            WHERE tfc.term IN {_TERMS_IN}
+        )
+        SELECT doc_id, round(sum(c), 6) AS score FROM contrib
+        GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 10
         """,
         # mixture resampling (X103): identical rate + threshold
         # arithmetic on the same permutation key

@@ -157,6 +157,8 @@ def main() -> None:
         "engine_embedding_neardup_lsh",
         "engine_percolate",
         "engine_pq_ann",
+        "engine_bbq_ann",
+        "repetition_signals",
         "decontaminate",
         "pack_sequences",
         "report_full",

@@ -136,3 +136,89 @@ def multi_match_combine(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
     )
     return out.limit(k) if k is not None else out
+
+
+def combined_fields_topk(
+    field_docs: dict[str, DataFrame],
+    terms: list,
+    weights: dict[str, float] | None = None,
+    k: int | None = None,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """ES ``combined_fields`` — the BM25F model (Robertson/Zaragoza's
+    simple variant, what Lucene's CombinedFieldQuery implements): the
+    fields merge into ONE virtual field before saturation, instead of
+    saturating per field and combining after (multi_match's dis_max).
+    Per doc and term,
+
+    * ``tf' = Σ_f w_f · tf_f``  (weighted term freq across fields),
+    * ``dl' = Σ_f w_f · dl_f``  (weighted doc length),
+    * ``df`` = docs containing the term in ANY field,
+    * ``score = Σ_t idf(df) · tf'·(k1+1) / (tf' + k1·(1−b+b·dl'/avgdl'))``
+
+    with ``avgdl'`` the corpus mean of ``dl'`` and ``n_docs`` = docs
+    with at least one field token. This is the principled fix for the
+    dis_max failure mode where a term matching weakly in EVERY field
+    outranks one matching strongly in one.
+
+    Plan: one tokenize + tf aggregation per field (map-side combined),
+    ONE union, then a single (doc, term)-keyed partial aggregation
+    builds tf'/dl'; df and the scalars are two tiny aggregates off the
+    same relation. Ordering (score desc, id asc); ``k`` truncates."""
+    from mahout_spark.operators.stats import simple_term_frequencies
+
+    if not field_docs:
+        raise ValueError("field_docs must be non-empty")
+    weights = weights or {}
+    unknown = sorted(set(weights) - set(field_docs))
+    if unknown:
+        raise ValueError(f"weights for unknown fields: {unknown}")
+    parts = [
+        simple_term_frequencies(df, content_col, id_col).select(
+            id_col, "term",
+            F.lit(name).alias("field"),
+            (F.col("tf") * F.lit(float(weights.get(name, 1.0))))
+            .alias("wtf"),
+            (F.col("doclen") * F.lit(float(weights.get(name, 1.0))))
+            .alias("wdl"),
+        )
+        for name, df in sorted(field_docs.items())
+    ]
+
+    unioned = reduce(DataFrame.unionByName, parts)
+    # virtual-field postings: tf' per (doc, term); dl' = each field's
+    # (term-constant) weighted doclen taken ONCE per (doc, field) then
+    # summed — two fields with equal wdl must both count
+    tf_comb = unioned.groupBy(id_col, "term").agg(
+        F.sum("wtf").alias("tfp"))
+    dl_comb = (
+        unioned.groupBy(id_col, "field").agg(F.max("wdl").alias("fdl"))
+        .groupBy(id_col).agg(F.sum("fdl").alias("dlp"))
+    )
+    scal = dl_comb.agg(
+        F.count(F.lit(1)).alias("nd"), F.avg("dlp").alias("ad")).first()
+    if scal["nd"] == 0:
+        return tf_comb.select(id_col, F.lit(0.0).alias("score")).limit(0)
+    n_docs, avgdl = int(scal["nd"]), float(scal["ad"])
+    dfreq = tf_comb.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tfp = F.col("tfp").cast("double")
+    contrib = idf * (tfp * F.lit(k1 + 1.0)) / (
+        tfp + F.lit(k1) * (F.lit(1.0 - b)
+                           + F.lit(b) * F.col("dlp") / F.lit(avgdl)))
+    out = (
+        tf_comb.filter(F.col("term").isin(list(terms)))
+        .join(dfreq, "term")
+        .join(dl_comb, id_col)
+        .withColumn("c", contrib)
+        .groupBy(id_col)
+        .agg(F.round(F.sum("c"), 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+    )
+    return out.limit(k) if k is not None else out

@@ -84,3 +84,83 @@ def test_field_bm25_uses_field_local_stats(spark):
     empty = field_bm25_scores(
         docs.filter(F.col("doc_id") < 0), ["alpha"])
     assert empty.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# combined_fields / BM25F (X106)
+# ---------------------------------------------------------------------------
+
+def test_combined_fields_matches_python_bm25f(spark):
+    import math
+
+    from mahout_spark.operators.multimatch import combined_fields_topk
+
+    title = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "gamma"), (2, "alpha alpha")],
+        "doc_id bigint, text string")
+    body = spark.createDataFrame(
+        [(0, "alpha gamma delta"), (1, "alpha alpha beta beta"),
+         (3, "delta delta")],
+        "doc_id bigint, text string")
+    W = {"title": 2.0, "body": 1.0}
+    got = {r["doc_id"]: r["score"] for r in combined_fields_topk(
+        {"title": title, "body": body}, ["alpha", "beta"],
+        weights=W).collect()}
+
+    # python BM25F over the virtual field
+    tf = {}   # (doc, term) -> tf'
+    dl = {}   # doc -> dl'
+    fields = {"title": {0: "alpha beta", 1: "gamma", 2: "alpha alpha"},
+              "body": {0: "alpha gamma delta", 1: "alpha alpha beta beta",
+                       3: "delta delta"}}
+    for fname, docs in fields.items():
+        for d, text in docs.items():
+            toks = text.split()
+            dl[d] = dl.get(d, 0.0) + W[fname] * len(toks)
+            for t in toks:
+                tf[(d, t)] = tf.get((d, t), 0.0) + W[fname]
+    nd = len(dl)
+    avgdl = sum(dl.values()) / nd
+    df = {}
+    for (d, t) in tf:
+        df[t] = df.get(t, 0) + 1
+    k1, b = 1.2, 0.75
+    exp = {}
+    for d in dl:
+        s = 0.0
+        for t in ("alpha", "beta"):
+            tfp = tf.get((d, t), 0.0)
+            if tfp == 0:
+                continue
+            idf = math.log(1.0 + (nd - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * tfp * (k1 + 1) / (
+                tfp + k1 * (1 - b + b * dl[d] / avgdl))
+        if s > 0:
+            exp[d] = round(s, 6)
+    assert got == pytest.approx(exp)
+
+
+def test_combined_fields_equal_weight_dup_doclen(spark):
+    # two fields with IDENTICAL weighted doclen for a doc must BOTH
+    # count toward dl' (the collapse bug this pins)
+    from mahout_spark.operators.multimatch import combined_fields_topk
+
+    a = spark.createDataFrame([(0, "x y")], "doc_id bigint, text string")
+    b = spark.createDataFrame([(0, "x z")], "doc_id bigint, text string")
+    got = combined_fields_topk({"a": a, "b": b}, ["x"]).first()
+    # dl' = 4 (not 2); tf'(x) = 2; one doc, df=1: idf = ln(1 + 0.5/1.5)
+    import math
+    idf = math.log(1.0 + 0.5 / 1.5)
+    k1, bb = 1.2, 0.75
+    expected = idf * 2 * (k1 + 1) / (2 + k1 * (1 - bb + bb * 4.0 / 4.0))
+    assert got["score"] == pytest.approx(round(expected, 6))
+
+
+def test_combined_fields_rejects(spark):
+    from mahout_spark.operators.multimatch import combined_fields_topk
+
+    a = spark.createDataFrame([(0, "x")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="non-empty"):
+        combined_fields_topk({}, ["x"])
+    with pytest.raises(ValueError, match="unknown"):
+        combined_fields_topk({"a": a}, ["x"], weights={"zz": 1.0})
