@@ -829,6 +829,30 @@ def q_date_histogram(spark, sf_dir):
     return date_histogram(events, "ts", "day", "value")
 
 
+def q_events_date_math(spark, sf_dir):
+    """Date-math range query (X107, ES `now-20d/d`): events in
+    [now-20d/d, now-5d/d) against the pinned now 2024-01-28T12:30:00
+    (replayable — ES pipelines pass `now` for the same reason), rolled
+    up per event_type. The bounds resolve driver-side to literals, so
+    the scan prunes on row-group ts stats; the oracle re-derives them
+    with interval arithmetic — independent of the python resolver."""
+    from datetime import datetime
+
+    from mahout_spark.functions.datemath import date_math_filter
+
+    events = _load(spark, sf_dir, "events")
+    sel = date_math_filter(
+        events, "ts", gte="now-20d/d", lt="now-5d/d",
+        now=datetime(2024, 1, 28, 12, 30, 0),
+    )
+    return (
+        sel.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 6).alias("sum_value"))
+        .orderBy("event_type")
+    )
+
+
 def q_histogram_pipeline(spark, sf_dir):
     """Pipeline aggregations (X93, ES derivative / cumulative_sum /
     moving_avg): the daily date_histogram's sum_value run through all
@@ -2841,6 +2865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_pipeline": q_histogram_pipeline,
         "histogram_top_buckets": q_histogram_top_buckets,
         "histogram_stats": q_histogram_stats,
+        "events_date_math": q_events_date_math,
         "passage_search": q_passage_search,
         "engine_did_you_mean": q_engine_did_you_mean,
         "engine_filtered_ann": q_engine_filtered_ann,
@@ -4282,6 +4307,19 @@ def _base_oracle_sql() -> dict[str, str]:
                 WHERE sum_value = (SELECT max(sum_value) FROM h)
                 ORDER BY bucket LIMIT 1) AS max_bucket
         FROM h
+        """,
+        # date math (X107): bounds re-derived with interval arithmetic
+        # against the same pinned now — independent of the resolver
+        "events_date_math": """
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 6) AS sum_value
+        FROM events
+        WHERE ts >= date_trunc('day',
+                  TIMESTAMP '2024-01-28 12:30:00' - INTERVAL 20 DAY)
+          AND ts <  date_trunc('day',
+                  TIMESTAMP '2024-01-28 12:30:00' - INTERVAL 5 DAY)
+        GROUP BY event_type ORDER BY event_type
         """,
         "engine_did_you_mean": _DYM_SQL,
         # passage oracle: the whole MaxP relation in SQL — chunk windows
