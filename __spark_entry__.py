@@ -1214,6 +1214,20 @@ def q_geo_grid(spark, sf_dir):
         _geo_points(spark, sf_dir), 32, value_col="value", top=20)
 
 
+def q_engine_mmr_ann(spark, sf_dir):
+    """MMR-diversified retrieval (X108): exact cosine top-50 candidate
+    fetch (distributed), then the Carbonell-Goldstein greedy rerank at
+    λ=0.6 — rows-only (the greedy selection is iterative, not
+    SQL-expressible; parity vs a python recompute of the same trace is
+    pytest-gated in tests/test_mmr.py)."""
+    from mahout_spark.operators.similarity import mmr_rerank
+
+    emb = _load(spark, sf_dir, "embeddings")
+    qvec = [float(x)
+            for x in emb.filter(F.col("vec_id") == 3).first()["embedding"]]
+    return mmr_rerank(emb, qvec, k=10, fetch=50, lambda_=0.6)
+
+
 def _contam_split(spark, sf_dir):
     """The decontamination fixture: eval set = every 97th doc by id, train
     = the rest (deterministic, SQL-replayable split of the one corpus)."""
@@ -2962,6 +2976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_media_decode": q_engine_media_decode,
         "engine_cluster_docs": q_engine_cluster_docs,
         "engine_embedding_neardup_lsh": q_engine_embedding_neardup_lsh,
+        "engine_mmr_ann": q_engine_mmr_ann,
     }
 
 

@@ -393,3 +393,70 @@ def ivf_ann_topk_filtered(
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def mmr_rerank(
+    emb: DataFrame, qvec, k: int = 10, fetch: int = 50,
+    lambda_: float = 0.5,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversification (X108 — the standard
+    RAG-retrieval rerank, Carbonell & Goldstein '98): fetch the exact
+    cosine top-``fetch`` candidates DISTRIBUTED (one narrow scan +
+    TakeOrdered — never more than ``fetch`` rows leave the cluster),
+    then greedily select k maximizing
+    ``λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s)``.
+
+    The greedy loop is inherently sequential over ≤ ``fetch`` rows
+    (a knob, ~50-200), so the DRIVER is the right executor for it —
+    this is post-retrieval reranking, not retrieval; the corpus-sized
+    work already happened in the candidate fetch. λ=1 is pure
+    relevance (≡ the underlying top-k order); λ=0 pure diversity.
+    Deterministic: ties (at 1e-12) break on candidate fetch order
+    (cosine desc, id asc); vectors are L2-normalized once so sim is
+    exact cosine. Returns (id, cosine, mmr, rank) in selection
+    order."""
+    import numpy as np
+
+    if not 0.0 <= lambda_ <= 1.0:
+        raise ValueError(f"lambda_ must be in [0, 1]: {lambda_}")
+    if fetch < k:
+        raise ValueError(f"fetch {fetch} < k {k}")
+    cand = (
+        emb.select(
+            id_col, vec_col,
+            F.round(cosine_to_query_expr(F.col(vec_col), qvec), 6)
+            .alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(fetch)
+        .collect()
+    )
+    spark = emb.sparkSession
+    schema = f"{id_col} long, cosine double, mmr double, rank int"
+    if not cand:
+        return spark.createDataFrame([], schema)
+    ids = [r[id_col] for r in cand]
+    rel = np.array([r["cosine"] for r in cand])
+    X = np.asarray([r[vec_col] for r in cand], dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1)
+    X = X / np.where(norms > 0, norms, 1.0)[:, None]
+    n = len(cand)
+    picked: list[int] = []
+    max_sim = np.full(n, -np.inf)
+    out = []
+    for rank in range(min(k, n)):
+        if picked:
+            mmr = lambda_ * rel - (1.0 - lambda_) * max_sim
+        else:
+            mmr = lambda_ * rel
+        mmr = np.where(np.isin(np.arange(n), picked), -np.inf, mmr)
+        # argmax with id-asc ties: ids are already in (cosine desc,
+        # id asc) fetch order, and np.argmax takes the first maximum
+        best = int(np.argmax(np.round(mmr, 12)))
+        picked.append(best)
+        out.append((int(ids[best]), float(rel[best]),
+                    round(float(mmr[best]), 6), rank + 1))
+        sims = X @ X[best]
+        max_sim = np.maximum(max_sim, sims)
+    return spark.createDataFrame(out, schema)
