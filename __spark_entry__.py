@@ -2177,6 +2177,43 @@ def q_engine_significant_terms(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def q_engine_alias_search(spark, sf_dir):
+    """Alias cutover (X109, the ES alias / zero-downtime reindex
+    model): alias → half-corpus index, rebuild the full corpus
+    offline, ONE atomic repoint, then search THROUGH the alias. The
+    oracle is the full-corpus BM25 relation — MATCH proves resolution
+    follows the swap, not the original target."""
+    import shutil
+    import tempfile
+
+    from mahout_spark.index.alias import AliasRegistry
+    from mahout_spark.index.build import build_index
+    from mahout_spark.index.wand import topk
+
+    docs = _load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="msdrv_alias_")
+    try:
+        half = build_index(
+            spark, docs.filter(F.col("doc_id") % 2 == 0),
+            out_dir=os.path.join(out, "half"), content_col="text",
+            id_cols=["doc_id"], mode="simple", resume=False,
+        )
+        reg = AliasRegistry(os.path.join(out, "reg"))
+        reg.set_alias("docs", half.root)
+        full = build_index(
+            spark, docs, out_dir=os.path.join(out, "full"),
+            content_col="text", id_cols=["doc_id"], mode="simple",
+            resume=False,
+        )
+        reg.set_alias("docs", full.root)  # the atomic cutover
+        result = topk(
+            spark, reg.resolve("docs"), BM25_QUERY_TERMS, k=10
+        ).select("doc_id", F.round("score", 6).alias("score"))
+        return spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def q_engine_snapshot_restore(spark, sf_dir):
     """Snapshot/restore (X105, the ES _snapshot filesystem repository):
     build → snapshot → DESTRUCTIVELY delete docs from the live index →
@@ -2920,6 +2957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_rescore_search": q_engine_rescore_search,
         "engine_significant_terms": q_engine_significant_terms,
         "engine_snapshot_restore": q_engine_snapshot_restore,
+        "engine_alias_search": q_engine_alias_search,
         "engine_span_first": q_engine_span_first,
         "engine_rare_terms": q_engine_rare_terms,
         "engine_filters_agg": q_engine_filters_agg,
@@ -4410,6 +4448,12 @@ def _base_oracle_sql() -> dict[str, str]:
         # snapshot/restore (X105): lossless restore => the restored
         # index answers exactly like the never-deleted corpus
         "engine_snapshot_restore": _BM25_BASE + """
+        SELECT doc_id, score FROM agg
+        ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        # alias cutover (X109): post-swap resolution => the FULL-corpus
+        # relation (a stale alias would answer from the half index)
+        "engine_alias_search": _BM25_BASE + """
         SELECT doc_id, score FROM agg
         ORDER BY score DESC, doc_id ASC LIMIT 10
         """,
