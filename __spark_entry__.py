@@ -853,6 +853,18 @@ def q_events_date_math(spark, sf_dir):
     )
 
 
+def q_events_sessions(spark, sf_dir):
+    """Session windows (X110, Spark session_window / the gaps-and-
+    islands rollup): per-user sessions at a 30-minute gap over the
+    events table (batch body of the streaming operator — the stream ≡
+    batch identity is pytest-gated). Oracle: classic lag + cumulative
+    break-flag SQL with the same closed-boundary merge rule."""
+    from mahout_spark.streaming.windows import sessionized_event_stats
+
+    return sessionized_event_stats(
+        _load(spark, sf_dir, "events"), gap="30 minutes")
+
+
 def q_histogram_pipeline(spark, sf_dir):
     """Pipeline aggregations (X93, ES derivative / cumulative_sum /
     moving_avg): the daily date_histogram's sum_value run through all
@@ -2917,6 +2929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_top_buckets": q_histogram_top_buckets,
         "histogram_stats": q_histogram_stats,
         "events_date_math": q_events_date_math,
+        "events_sessions": q_events_sessions,
         "passage_search": q_passage_search,
         "engine_did_you_mean": q_engine_did_you_mean,
         "engine_filtered_ann": q_engine_filtered_ann,
@@ -4373,6 +4386,32 @@ def _base_oracle_sql() -> dict[str, str]:
           AND ts <  date_trunc('day',
                   TIMESTAMP '2024-01-28 12:30:00' - INTERVAL 5 DAY)
         GROUP BY event_type ORDER BY event_type
+        """,
+        # session windows (X110): lag + cumulative break flag, new
+        # session only on a STRICTLY larger gap (Spark's closed
+        # boundary), end = last event + gap
+        "events_sessions": """
+        WITH e AS (
+            SELECT user_id, ts,
+                   CAST(round(value * 1000000) AS BIGINT) AS micros
+            FROM events WHERE ts IS NOT NULL
+        ), m AS (
+            SELECT user_id, ts, micros,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS brk
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), s AS (
+            SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                ROWS UNBOUNDED PRECEDING) AS sid
+            FROM m
+        )
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(micros) AS BIGINT) AS value_micros
+        FROM s GROUP BY user_id, sid
         """,
         "engine_did_you_mean": _DYM_SQL,
         # passage oracle: the whole MaxP relation in SQL — chunk windows

@@ -95,3 +95,72 @@ def run_stream_to_memory(
     )
     q.awaitTermination(timeout_sec)
     return spark.table(query_name)
+
+
+def sessionized_event_stats(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Session windows (X110): per ``key_col``, events closer than
+    ``gap`` merge into one session — (key, session_start = first event,
+    session_end = last event + gap, n_events, value_micros). Spark's
+    merge rule is CLOSED on the boundary: each event spans
+    ``[t, t+gap]`` for merging purposes, so an event at exactly
+    ``prev + gap`` still MERGES; only a strictly larger gap starts a
+    new session (the boundary contract the oracle and tests pin).
+
+    Same dual body as windowed_event_stats: batch input → plain
+    ``session_window`` aggregation (relationally ≡ the gaps-and-islands
+    SQL the oracle runs); streaming input → watermarked stateful
+    session merge, state bounded by (keys × open sessions), evicted
+    once the watermark passes a session's end — the canonical
+    user-activity rollup at ingest time. NULL timestamps are excluded
+    (window semantics drop them in both engines)."""
+    streaming = events.isStreaming
+    df = events.filter(F.col(ts_col).isNotNull())
+    if streaming:
+        df = df.withWatermark(ts_col, watermark)
+    win = F.session_window(F.col(ts_col), gap)
+    micros = F.round(F.col("value") * 1_000_000).cast("long")
+    return (
+        df.groupBy(win.alias("win"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(micros).alias("value_micros"),
+        )
+        .select(
+            F.col(key_col),
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+            "value_micros",
+        )
+    )
+
+
+def run_sessions_to_memory(
+    spark,
+    input_dir: str,
+    schema: str,
+    query_name: str,
+    gap: str = "30 minutes",
+    watermark: str = "24 hours",
+    timeout_sec: int = 120,
+) -> DataFrame:
+    """Drive sessionized_event_stats over a parquet landing dir as an
+    availableNow stream (complete-mode memory sink) — the session twin
+    of run_stream_to_memory."""
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    agg = sessionized_event_stats(stream, gap=gap, watermark=watermark)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return spark.table(query_name)
