@@ -865,6 +865,21 @@ def q_events_sessions(spark, sf_dir):
         _load(spark, sf_dir, "events"), gap="30 minutes")
 
 
+def q_histogram_normalize(spark, sf_dir):
+    """normalize pipeline agg (X113, ES normalize z-score): the daily
+    histogram's sum_value z-scored across its sibling buckets
+    (population σ, the ES formula)."""
+    from mahout_spark.operators.timeseries import (
+        bucket_normalize,
+        date_histogram,
+    )
+
+    events = _load(spark, sf_dir, "events")
+    return bucket_normalize(
+        date_histogram(events, "ts", "day", "value"), "sum_value",
+        "z-score")
+
+
 def q_histogram_pipeline(spark, sf_dir):
     """Pipeline aggregations (X93, ES derivative / cumulative_sum /
     moving_avg): the daily date_histogram's sum_value run through all
@@ -2288,6 +2303,54 @@ def q_engine_span_first(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def q_engine_terms_enum(spark, sf_dir):
+    """terms_enum API (X111, ES _terms_enum): index terms with prefix
+    's' in term order with doc frequencies — one filtered lexicon scan
+    (vocabulary-sized, never postings)."""
+    import shutil
+    import tempfile
+
+    from mahout_spark.index.aggs import terms_enum
+    from mahout_spark.index.build import build_index
+
+    docs = _load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="msdrv_tenum_")
+    try:
+        cat = build_index(
+            spark, docs, out_dir=out, content_col="text",
+            id_cols=["doc_id"], mode="simple", resume=False,
+        )
+        result = terms_enum(spark, cat, "s", n=10)
+        return spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def q_engine_top_metrics(spark, sf_dir):
+    """top_metrics agg (X112, ES top_metrics): lang/source at the 5
+    largest n_chars of the 'data' match set (ties on doc_id)."""
+    import shutil
+    import tempfile
+
+    from mahout_spark.index.aggs import top_metrics_agg
+    from mahout_spark.index.build import build_index
+
+    docs = _load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="msdrv_topm_")
+    try:
+        cat = build_index(
+            spark, docs, out_dir=out, content_col="text",
+            id_cols=["doc_id"], mode="simple", resume=False,
+        )
+        result = top_metrics_agg(
+            spark, cat, docs, "data", "n_chars", ["lang", "source"],
+            size=5,
+        )
+        return spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def q_engine_rare_terms(spark, sf_dir):
     """rare_terms aggregation (X99, ES rare_terms): the 10 RAREST terms
     of the 'table OR data' match set by foreground doc count (fg_df asc,
@@ -2928,6 +2991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_pipeline": q_histogram_pipeline,
         "histogram_top_buckets": q_histogram_top_buckets,
         "histogram_stats": q_histogram_stats,
+        "histogram_normalize": q_histogram_normalize,
         "events_date_math": q_events_date_math,
         "events_sessions": q_events_sessions,
         "passage_search": q_passage_search,
@@ -2972,6 +3036,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_snapshot_restore": q_engine_snapshot_restore,
         "engine_alias_search": q_engine_alias_search,
         "engine_span_first": q_engine_span_first,
+        "engine_terms_enum": q_engine_terms_enum,
+        "engine_top_metrics": q_engine_top_metrics,
         "engine_rare_terms": q_engine_rare_terms,
         "engine_filters_agg": q_engine_filters_agg,
         "engine_adjacency": q_engine_adjacency,
@@ -3434,6 +3500,24 @@ def _pipeline_sql() -> dict[str, str]:
         )
         SELECT doc_id, score FROM agg
         ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        # terms_enum oracle (X111): prefix-filtered vocabulary in term
+        # order
+        "engine_terms_enum": _TOK_CTE + """
+        SELECT term, CAST(df AS BIGINT) AS df FROM dfreq
+        WHERE term LIKE 's%'
+        ORDER BY term ASC LIMIT 10
+        """,
+        # top_metrics oracle (X112): metric values at the largest sort
+        # values of the match set
+        "engine_top_metrics": _TOK_CTE + """
+        , matched AS (
+            SELECT DISTINCT doc_id FROM tf WHERE term = 'data'
+        )
+        SELECT doc_id, n_chars, lang, source
+        FROM documents JOIN matched USING (doc_id)
+        WHERE n_chars IS NOT NULL
+        ORDER BY n_chars DESC, doc_id ASC LIMIT 5
         """,
         # rare_terms oracle (X99): foreground term doc counts over the
         # SQL match set, rarest first
@@ -4412,6 +4496,23 @@ def _base_oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_events,
                CAST(sum(micros) AS BIGINT) AS value_micros
         FROM s GROUP BY user_id, sid
+        """,
+        # normalize pipeline (X113): z-score with population stddev
+        # across the sibling buckets
+        "histogram_normalize": """
+        WITH h AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+                   count(*) AS n_events,
+                   round(sum(value), 6) AS sum_value,
+                   round(avg(value), 6) AS avg_value
+            FROM events WHERE ts IS NOT NULL GROUP BY 1
+        )
+        SELECT bucket, n_events, sum_value, avg_value,
+               round(CASE WHEN stddev_pop(sum_value) OVER () <> 0 THEN
+                   (sum_value - avg(sum_value) OVER ())
+                       / stddev_pop(sum_value) OVER ()
+               END, 6) AS normalized
+        FROM h ORDER BY bucket
         """,
         "engine_did_you_mean": _DYM_SQL,
         # passage oracle: the whole MaxP relation in SQL — chunk windows

@@ -631,3 +631,65 @@ def weighted_avg(
             F.count(F.lit(1)).alias("n_docs"),
         )
     )
+
+
+def terms_enum(
+    spark: SparkSession,
+    cat: ParquetCatalog,
+    prefix: str,
+    n: int = 10,
+    min_df: int = 1,
+) -> DataFrame:
+    """The ES ``_terms_enum`` API: index terms starting with ``prefix``
+    in term order with their doc frequencies — the autocomplete /
+    dictionary-browse surface. One filtered lexicon scan (the lexicon
+    is hash-bucketed, so a prefix cannot prune buckets — by design:
+    bucketing serves point lookups; prefix enumeration reads the
+    lexicon, which is vocabulary-sized, orders of magnitude smaller
+    than postings) + TakeOrdered. ``min_df`` drops hapax noise."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1: {n}")
+    if min_df < 1:
+        raise ValueError(f"min_df must be >= 1: {min_df}")
+    meta = cat.read_meta("postings")
+    lex = cat.read(spark, "lexicon", schema_json=meta.get("lexicon_schema"))
+    return (
+        lex.filter(F.col("term").startswith(prefix)
+                   & (F.col("df") >= min_df))
+        .select("term", "df")
+        .orderBy(F.col("term").asc())
+        .limit(n)
+    )
+
+
+def top_metrics_agg(
+    spark: SparkSession,
+    cat: ParquetCatalog,
+    docs: DataFrame,
+    query,
+    sort_col: str,
+    metric_cols: list,
+    size: int = 1,
+    desc: bool = True,
+    id_col: str = "doc_id",
+    max_expansions: int = MAX_EXPANSIONS,
+) -> DataFrame:
+    """The ES ``top_metrics`` agg: the metric column values of the
+    ``size`` docs with the largest (or smallest) ``sort_col`` in the
+    match set — "what was X at the maximum of Y", the cheap cousin of
+    top_hits when only column values (not ranked hits) are wanted.
+    NULL sort values are excluded (ES contract); ties pin on id asc.
+    One semi-join + TakeOrdered — never a full sort."""
+    if size < 1:
+        raise ValueError(f"size must be >= 1: {size}")
+    if not metric_cols:
+        raise ValueError("metric_cols must be non-empty")
+    m = matching_docs(spark, cat, query, max_expansions=max_expansions)
+    s = F.col(sort_col)
+    return (
+        docs.join(m.withColumnRenamed("doc_id", id_col), id_col, "leftsemi")
+        .filter(s.isNotNull())
+        .select(id_col, sort_col, *metric_cols)
+        .orderBy(s.desc() if desc else s.asc(), F.col(id_col).asc())
+        .limit(size)
+    )

@@ -204,3 +204,43 @@ def bucket_stats(
             F.when(v.isNotNull(), F.struct(-v, key)),
         ).alias("max_bucket"),
     )
+
+
+#: ES `normalize` pipeline-agg methods implemented here.
+NORMALIZE_METHODS = ("rescale_0_1", "percent_of_sum", "z-score")
+
+
+def bucket_normalize(
+    buckets: DataFrame,
+    value_col: str,
+    method: str = "percent_of_sum",
+    out_col: str = "normalized",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """ES ``normalize`` pipeline agg: rescale a bucket metric across
+    its siblings — ``rescale_0_1`` ((v−min)/(max−min); a constant
+    metric yields NULL, the ES single-value degenerate), ``percent_of_
+    sum`` (v/Σv), ``z-score`` ((v−mean)/σ with POPULATION σ, the ES
+    formula). Values round 1e-6; NULL inputs stay NULL and are skipped
+    from the statistics (ES gap policy). One unpartitioned window over
+    the already-bounded bucket relation — the same scale argument as
+    bucket_pipeline; input rows pass through unchanged."""
+    from pyspark.sql import Window
+
+    if method not in NORMALIZE_METHODS:
+        raise ValueError(
+            f"method must be one of {NORMALIZE_METHODS}: {method!r}")
+    w = Window.partitionBy()
+    v = F.col(value_col).cast("double")
+    if method == "rescale_0_1":
+        lo, hi = F.min(v).over(w), F.max(v).over(w)
+        expr = F.when(hi != lo, (v - lo) / (hi - lo))
+    elif method == "percent_of_sum":
+        expr = v / F.sum(v).over(w)
+    else:  # z-score
+        sd = F.stddev_pop(v).over(w)
+        expr = F.when(sd != 0, (v - F.avg(v).over(w)) / sd)
+    return (
+        buckets.withColumn(out_col, F.round(expr, 6))
+        .orderBy(F.col(bucket_col).asc())
+    )

@@ -236,3 +236,48 @@ def test_weighted_avg_matches_manual(spark, built, docs_df, token_sets):
     assert got["n_docs"] == len(rows)
     assert got["weighted_avg"] == pytest.approx(round(num / den, 6),
                                                 abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# terms_enum / top_metrics (X111/X112)
+# ---------------------------------------------------------------------------
+
+def test_terms_enum_matches_vocabulary(spark, built, token_sets):
+    from mahout_spark.index.aggs import terms_enum
+
+    df_count = Counter()
+    for s in token_sets.values():
+        df_count.update(s)
+    for prefix in ("s", "ta", "zzz"):
+        got = [(r["term"], r["df"]) for r in
+               terms_enum(spark, built, prefix, n=10).collect()]
+        want = sorted(
+            (t, c) for t, c in df_count.items() if t.startswith(prefix)
+        )[:10]
+        assert got == want, prefix
+    thr = max(df_count.values())
+    got = [(r["term"], r["df"]) for r in
+           terms_enum(spark, built, "", n=5, min_df=thr).collect()]
+    assert got == sorted(
+        (t, c) for t, c in df_count.items() if c >= thr)[:5]
+    with pytest.raises(ValueError, match="min_df"):
+        terms_enum(spark, built, "s", min_df=0)
+
+
+def test_top_metrics_matches_manual(spark, built, docs_df, token_sets):
+    from mahout_spark.index.aggs import top_metrics_agg
+
+    matched = {d for d, s in token_sets.items() if "data" in s}
+    rows = [(r["doc_id"], r["n_chars"], r["lang"])
+            for r in docs_df.select("doc_id", "n_chars", "lang").collect()
+            if r["doc_id"] in matched and r["n_chars"] is not None]
+    got = [(r["doc_id"], r["n_chars"], r["lang"]) for r in top_metrics_agg(
+        spark, built, docs_df, "data", "n_chars", ["lang"], size=3
+    ).collect()]
+    assert got == sorted(rows, key=lambda t: (-t[1], t[0]))[:3]
+    asc = [(r["doc_id"], r["n_chars"], r["lang"]) for r in top_metrics_agg(
+        spark, built, docs_df, "data", "n_chars", ["lang"], size=2,
+        desc=False).collect()]
+    assert asc == sorted(rows, key=lambda t: (t[1], t[0]))[:2]
+    with pytest.raises(ValueError, match="metric_cols"):
+        top_metrics_agg(spark, built, docs_df, "data", "n_chars", [])

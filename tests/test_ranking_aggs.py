@@ -525,3 +525,45 @@ def test_bucket_stats_null_handling(spark):
     got2 = bucket_stats(empty, "m").first()
     assert got2["n_buckets"] == 0 and got2["min_value"] is None
     assert got2["min_bucket"] is None
+
+
+def test_bucket_normalize_matches_python(spark, events):
+    import statistics
+
+    from mahout_spark.operators.timeseries import (
+        bucket_normalize,
+        date_histogram,
+    )
+
+    h = date_histogram(events, "ts", "day", "value")
+    vals = {r["bucket"]: r["sum_value"] for r in h.collect()}
+    vs = list(vals.values())
+    lo, hi, tot = min(vs), max(vs), sum(vs)
+    mu, sd = statistics.mean(vs), statistics.pstdev(vs)
+    for method, fn in [
+        ("rescale_0_1", lambda v: (v - lo) / (hi - lo)),
+        ("percent_of_sum", lambda v: v / tot),
+        ("z-score", lambda v: (v - mu) / sd),
+    ]:
+        got = bucket_normalize(h, "sum_value", method).collect()
+        for r in got:
+            assert r["normalized"] == pytest.approx(
+                round(fn(vals[r["bucket"]]), 6), abs=1e-6), method
+
+
+def test_bucket_normalize_degenerates(spark):
+    from mahout_spark.operators.timeseries import bucket_normalize
+
+    df = spark.createDataFrame(
+        [("a", 5.0), ("b", 5.0), ("c", None)], "bucket string, m double")
+    r01 = {r["bucket"]: r["normalized"] for r in
+           bucket_normalize(df, "m", "rescale_0_1").collect()}
+    assert r01 == {"a": None, "b": None, "c": None}  # constant + NULL
+    z = {r["bucket"]: r["normalized"] for r in
+         bucket_normalize(df, "m", "z-score").collect()}
+    assert z == {"a": None, "b": None, "c": None}
+    ps = {r["bucket"]: r["normalized"] for r in
+          bucket_normalize(df, "m", "percent_of_sum").collect()}
+    assert ps == {"a": 0.5, "b": 0.5, "c": None}
+    with pytest.raises(ValueError, match="method"):
+        bucket_normalize(df, "m", "softmax")
