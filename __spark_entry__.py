@@ -2351,6 +2351,59 @@ def q_engine_top_metrics(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def q_engine_t_test(spark, sf_dir):
+    """Welch t_test agg (X114, ES t_test heteroscedastic): is n_chars
+    different between the 'table' and 'stream' match sets? Moments-
+    derived sample variances (exact for the integer column), the same
+    expression tree in the oracle."""
+    import shutil
+    import tempfile
+
+    from mahout_spark.index.aggs import t_test_agg
+    from mahout_spark.index.build import build_index
+
+    docs = _load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="msdrv_tt_")
+    try:
+        cat = build_index(
+            spark, docs, out_dir=out, content_col="text",
+            id_cols=["doc_id"], mode="simple", resume=False,
+        )
+        result = t_test_agg(
+            spark, cat, docs, "table", "stream", "n_chars")
+        return spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def q_engine_matrix_stats(spark, sf_dir):
+    """matrix_stats agg (X115, ES matrix_stats): population variances /
+    covariance / Pearson correlation between n_chars and the derived
+    token count over the 'data' match set — exact moment arithmetic."""
+    import shutil
+    import tempfile
+
+    from mahout_spark.index.aggs import matrix_stats_agg
+    from mahout_spark.index.build import build_index
+
+    docs = _load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="msdrv_mx_")
+    try:
+        cat = build_index(
+            spark, docs, out_dir=out, content_col="text",
+            id_cols=["doc_id"], mode="simple", resume=False,
+        )
+        wdocs = docs.withColumn(
+            "n_toks",
+            F.size(F.filter(F.split(F.lower("text"), "[^a-z0-9]+"),
+                            lambda t: t != "")))
+        result = matrix_stats_agg(
+            spark, cat, wdocs, "data", "n_chars", "n_toks")
+        return spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def q_engine_rare_terms(spark, sf_dir):
     """rare_terms aggregation (X99, ES rare_terms): the 10 RAREST terms
     of the 'table OR data' match set by foreground doc count (fg_df asc,
@@ -3039,6 +3092,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_terms_enum": q_engine_terms_enum,
         "engine_top_metrics": q_engine_top_metrics,
         "engine_rare_terms": q_engine_rare_terms,
+        "engine_t_test": q_engine_t_test,
+        "engine_matrix_stats": q_engine_matrix_stats,
         "engine_filters_agg": q_engine_filters_agg,
         "engine_adjacency": q_engine_adjacency,
         "engine_range_agg": q_engine_range_agg,
@@ -3518,6 +3573,74 @@ def _pipeline_sql() -> dict[str, str]:
         FROM documents JOIN matched USING (doc_id)
         WHERE n_chars IS NOT NULL
         ORDER BY n_chars DESC, doc_id ASC LIMIT 5
+        """,
+        # t_test oracle (X114): identical moment-derived Welch math
+        "engine_t_test": _TOK_CTE + """
+        , ma AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'table'),
+        mb AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'stream'),
+        mom AS (
+            SELECT
+                (SELECT count(*) FROM documents JOIN ma USING (doc_id)
+                 WHERE n_chars IS NOT NULL) AS n_a,
+                (SELECT sum(CAST(n_chars AS DOUBLE)) FROM documents
+                 JOIN ma USING (doc_id) WHERE n_chars IS NOT NULL) AS s_a,
+                (SELECT sum(CAST(n_chars AS DOUBLE)
+                            * CAST(n_chars AS DOUBLE)) FROM documents
+                 JOIN ma USING (doc_id) WHERE n_chars IS NOT NULL) AS q_a,
+                (SELECT count(*) FROM documents JOIN mb USING (doc_id)
+                 WHERE n_chars IS NOT NULL) AS n_b,
+                (SELECT sum(CAST(n_chars AS DOUBLE)) FROM documents
+                 JOIN mb USING (doc_id) WHERE n_chars IS NOT NULL) AS s_b,
+                (SELECT sum(CAST(n_chars AS DOUBLE)
+                            * CAST(n_chars AS DOUBLE)) FROM documents
+                 JOIN mb USING (doc_id) WHERE n_chars IS NOT NULL) AS q_b
+        ), d AS (
+            SELECT CAST(n_a AS BIGINT) AS n_a, s_a / n_a AS m_a,
+                   CASE WHEN n_a >= 2
+                        THEN (q_a - s_a * s_a / n_a) / (n_a - 1) END AS s2_a,
+                   CAST(n_b AS BIGINT) AS n_b, s_b / n_b AS m_b,
+                   CASE WHEN n_b >= 2
+                        THEN (q_b - s_b * s_b / n_b) / (n_b - 1) END AS s2_b
+            FROM mom
+        )
+        SELECT n_a, round(m_a, 6) AS mean_a, round(s2_a, 6) AS var_a,
+               n_b, round(m_b, 6) AS mean_b, round(s2_b, 6) AS var_b,
+               round(CASE WHEN n_a >= 2 AND n_b >= 2
+                           AND s2_a / n_a + s2_b / n_b > 0
+                          THEN (m_a - m_b)
+                               / sqrt(s2_a / n_a + s2_b / n_b) END, 6)
+                   AS t_stat
+        FROM d
+        """,
+        # matrix_stats oracle (X115): identical moment arithmetic
+        "engine_matrix_stats": _TOK_CTE + """
+        , matched AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'data'),
+        base AS (
+            SELECT CAST(n_chars AS DOUBLE) AS x,
+                   CAST(len(list_filter(string_split_regex(lower(text),
+                        '[^a-z0-9]+'), t -> t <> '')) AS DOUBLE) AS y
+            FROM documents JOIN matched USING (doc_id)
+            WHERE n_chars IS NOT NULL AND text IS NOT NULL
+        ), mom AS (
+            SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                   sum(x * x) AS qx, sum(y * y) AS qy,
+                   sum(x * y) AS pxy
+            FROM base
+        ), d AS (
+            SELECT CAST(n AS BIGINT) AS n,
+                   sx / n AS mean_x, sy / n AS mean_y,
+                   qx / n - (sx / n) * (sx / n) AS var_x,
+                   qy / n - (sy / n) * (sy / n) AS var_y,
+                   pxy / n - (sx / n) * (sy / n) AS cov_xy
+            FROM mom
+        )
+        SELECT n, round(mean_x, 6) AS mean_x, round(mean_y, 6) AS mean_y,
+               round(var_x, 6) AS var_x, round(var_y, 6) AS var_y,
+               round(cov_xy, 6) AS cov_xy,
+               round(CASE WHEN var_x > 0 AND var_y > 0
+                          THEN cov_xy / sqrt(var_x * var_y) END, 6)
+                   AS corr_xy
+        FROM d
         """,
         # rare_terms oracle (X99): foreground term doc counts over the
         # SQL match set, rarest first

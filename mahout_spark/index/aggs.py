@@ -693,3 +693,125 @@ def top_metrics_agg(
         .orderBy(s.desc() if desc else s.asc(), F.col(id_col).asc())
         .limit(size)
     )
+
+
+def t_test_agg(
+    spark: SparkSession,
+    cat: ParquetCatalog,
+    docs: DataFrame,
+    filter_a,
+    filter_b,
+    value_col: str,
+    id_col: str = "doc_id",
+    max_expansions: int = MAX_EXPANSIONS,
+) -> DataFrame:
+    """The ES ``t_test`` agg (heteroscedastic / Welch, the ES default):
+    is ``value_col`` different between two filters' match sets?
+    Returns ONE row — per-side n/mean/SAMPLE variance and the Welch
+    statistic ``t = (m_a − m_b) / sqrt(s²_a/n_a + s²_b/n_b)`` (1e-6
+    rounded; NULL when either side has < 2 values or both variances
+    are 0 — the undefined regimes). Two match kernels + one conditional
+    aggregation pass over the union — the corpus is read once.
+
+    Variances derive from MOMENTS (count, Σx, Σx²) like X91 — for
+    integer-valued columns the sums are exact in double regardless of
+    accumulation order, so the SQL oracle computing the identical
+    expression is bit-identical; the builtin ``var_samp`` (Welford) is
+    order-dependent and would jitter at the rounding grid."""
+    ma = matching_docs(spark, cat, filter_a, max_expansions=max_expansions)
+    mb = matching_docs(spark, cat, filter_b, max_expansions=max_expansions)
+    v = F.col(value_col).cast("double")
+    base = docs.filter(v.isNotNull()).select(id_col, v.alias("_v"))
+    labeled = (
+        base.join(ma.withColumnRenamed("doc_id", id_col), id_col,
+                  "leftsemi").withColumn("side", F.lit("a"))
+        .unionByName(
+            base.join(mb.withColumnRenamed("doc_id", id_col), id_col,
+                      "leftsemi").withColumn("side", F.lit("b")))
+    )
+    va = F.when(F.col("side") == "a", F.col("_v"))
+    vb = F.when(F.col("side") == "b", F.col("_v"))
+
+    def _moments(v, p):
+        return [F.count(v).alias(f"n_{p}"), F.sum(v).alias(f"s_{p}"),
+                F.sum(v * v).alias(f"q_{p}")]
+
+    mom = labeled.agg(*_moments(va, "a"), *_moments(vb, "b"))
+
+    def _mv(p):
+        n, sm, q = F.col(f"n_{p}"), F.col(f"s_{p}"), F.col(f"q_{p}")
+        mean = sm / n
+        s2 = F.when(n >= 2, (q - sm * sm / n) / (n - 1))
+        return mean.alias(f"m_{p}"), s2.alias(f"s2_{p}")
+
+    ma_m, ma_v = _mv("a")
+    mb_m, mb_v = _mv("b")
+    row = mom.select("n_a", ma_m, ma_v, "n_b", mb_m, mb_v)
+    se2 = F.col("s2_a") / F.col("n_a") + F.col("s2_b") / F.col("n_b")
+    t = F.when(
+        (F.col("n_a") >= 2) & (F.col("n_b") >= 2) & (se2 > 0),
+        (F.col("m_a") - F.col("m_b")) / F.sqrt(se2),
+    )
+    return row.select(
+        "n_a", F.round("m_a", 6).alias("mean_a"),
+        F.round("s2_a", 6).alias("var_a"),
+        "n_b", F.round("m_b", 6).alias("mean_b"),
+        F.round("s2_b", 6).alias("var_b"),
+        F.round(t, 6).alias("t_stat"),
+    )
+
+
+def matrix_stats_agg(
+    spark: SparkSession,
+    cat: ParquetCatalog,
+    docs: DataFrame,
+    query,
+    col_x: str,
+    col_y: str,
+    id_col: str = "doc_id",
+    max_expansions: int = MAX_EXPANSIONS,
+) -> DataFrame:
+    """The ES ``matrix_stats`` agg for a column pair over the match
+    set: ONE row of n / means / POPULATION variances / covariance /
+    Pearson correlation (the ES matrix entries; rows where EITHER
+    column is NULL are skipped — ES's listwise deletion). One semi-join
+    + one partial aggregation of exact MOMENTS (see t_test_agg on why
+    moments, not covar_pop/corr); correlation NULL when either
+    variance is 0."""
+    m = matching_docs(spark, cat, query, max_expansions=max_expansions)
+    x = F.col(col_x).cast("double")
+    y = F.col(col_y).cast("double")
+    base = (
+        docs.join(m.withColumnRenamed("doc_id", id_col), id_col, "leftsemi")
+        .filter(x.isNotNull() & y.isNotNull())
+        .select(x.alias("_x"), y.alias("_y"))
+    )
+    # moments, not the iterative builtins: exact for integer-valued
+    # columns in any accumulation order (the X91 determinism argument)
+    mom = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").alias("sx"), F.sum("_y").alias("sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("qx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("qy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("pxy"),
+    )
+    n = F.col("n").cast("double")
+    mx, my_ = F.col("sx") / n, F.col("sy") / n
+    vx = F.col("qx") / n - mx * mx
+    vy = F.col("qy") / n - my_ * my_
+    cov = F.col("pxy") / n - mx * my_
+    corr = F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy))
+    row = mom.select(
+        "n", mx.alias("mean_x"), my_.alias("mean_y"),
+        vx.alias("var_x"), vy.alias("var_y"),
+        cov.alias("cov_xy"), corr.alias("corr_xy"),
+    )
+    return row.select(
+        "n",
+        F.round("mean_x", 6).alias("mean_x"),
+        F.round("mean_y", 6).alias("mean_y"),
+        F.round("var_x", 6).alias("var_x"),
+        F.round("var_y", 6).alias("var_y"),
+        F.round("cov_xy", 6).alias("cov_xy"),
+        F.round("corr_xy", 6).alias("corr_xy"),
+    )

@@ -281,3 +281,63 @@ def test_top_metrics_matches_manual(spark, built, docs_df, token_sets):
     assert asc == sorted(rows, key=lambda t: (t[1], t[0]))[:2]
     with pytest.raises(ValueError, match="metric_cols"):
         top_metrics_agg(spark, built, docs_df, "data", "n_chars", [])
+
+
+# ---------------------------------------------------------------------------
+# t_test / matrix_stats (X114/X115)
+# ---------------------------------------------------------------------------
+
+def test_t_test_matches_python_welch(spark, built, docs_df, token_sets):
+    import statistics
+
+    from mahout_spark.index.aggs import t_test_agg
+
+    vals = {r["doc_id"]: float(r["n_chars"])
+            for r in docs_df.select("doc_id", "n_chars").collect()
+            if r["n_chars"] is not None}
+    a = [vals[d] for d, s in token_sets.items()
+         if "table" in s and d in vals]
+    b = [vals[d] for d, s in token_sets.items()
+         if "stream" in s and d in vals]
+    got = t_test_agg(
+        spark, built, docs_df, "table", "stream", "n_chars").first()
+    assert (got["n_a"], got["n_b"]) == (len(a), len(b))
+    assert got["mean_a"] == pytest.approx(round(statistics.mean(a), 6))
+    assert got["var_b"] == pytest.approx(round(statistics.variance(b), 6))
+    se2 = statistics.variance(a) / len(a) + statistics.variance(b) / len(b)
+    t = (statistics.mean(a) - statistics.mean(b)) / se2 ** 0.5
+    assert got["t_stat"] == pytest.approx(round(t, 6), abs=1e-6)
+    # degenerate: a never-matching side yields NULL t
+    none = t_test_agg(
+        spark, built, docs_df, "table", "zzznotaword", "n_chars").first()
+    assert none["t_stat"] is None and none["n_b"] == 0
+
+
+def test_matrix_stats_matches_python(spark, built, docs_df, token_sets):
+    import statistics
+
+    from mahout_spark.index.aggs import matrix_stats_agg
+
+    # second numeric column: derived token count (meaningful corr with
+    # n_chars)
+    wdocs = docs_df.withColumn(
+        "n_toks",
+        F.size(F.filter(F.split(F.lower("text"), "[^a-z0-9]+"),
+                        lambda t: t != "")))
+    matched = {d for d, s in token_sets.items() if "data" in s}
+    rows = [(float(r["n_chars"]), float(r["n_toks"]))
+            for r in wdocs.select("doc_id", "n_chars", "n_toks").collect()
+            if r["doc_id"] in matched and r["n_chars"] is not None]
+    xs, ys = [x for x, _ in rows], [y for _, y in rows]
+    mx, my = statistics.mean(xs), statistics.mean(ys)
+    cov = sum((x - mx) * (y - my) for x, y in rows) / len(rows)
+    vx = statistics.pvariance(xs)
+    vy = statistics.pvariance(ys)
+    got = matrix_stats_agg(
+        spark, built, wdocs, "data", "n_chars", "n_toks").first()
+    assert got["n"] == len(rows)
+    assert got["mean_x"] == pytest.approx(round(mx, 6))
+    assert got["var_y"] == pytest.approx(round(vy, 6), abs=1e-6)
+    assert got["cov_xy"] == pytest.approx(round(cov, 6), abs=1e-5)
+    assert got["corr_xy"] == pytest.approx(
+        round(cov / (vx * vy) ** 0.5, 6), abs=1e-6)
