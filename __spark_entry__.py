@@ -865,6 +865,20 @@ def q_events_sessions(spark, sf_dir):
         _load(spark, sf_dir, "events"), gap="30 minutes")
 
 
+def q_histogram_serial_diff(spark, sf_dir):
+    """serial_diff pipeline agg (X117, ES serial_diff): lag-7
+    differencing of the daily histogram's sum_value — the weekly-
+    seasonality remover."""
+    from mahout_spark.operators.timeseries import (
+        bucket_serial_diff,
+        date_histogram,
+    )
+
+    events = _load(spark, sf_dir, "events")
+    return bucket_serial_diff(
+        date_histogram(events, "ts", "day", "value"), "sum_value", lag=7)
+
+
 def q_histogram_normalize(spark, sf_dir):
     """normalize pipeline agg (X113, ES normalize z-score): the daily
     histogram's sum_value z-scored across its sibling buckets
@@ -2404,6 +2418,31 @@ def q_engine_matrix_stats(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def q_engine_multi_terms(spark, sf_dir):
+    """multi_terms agg (X116, ES multi_terms): (lang, source) compound
+    buckets over the 'data' match set, most-populated first with the
+    key-tuple tie pin, sum(n_chars) attached."""
+    import shutil
+    import tempfile
+
+    from mahout_spark.index.aggs import multi_terms_agg
+    from mahout_spark.index.build import build_index
+
+    docs = _load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="msdrv_mt_")
+    try:
+        cat = build_index(
+            spark, docs, out_dir=out, content_col="text",
+            id_cols=["doc_id"], mode="simple", resume=False,
+        )
+        result = multi_terms_agg(
+            spark, cat, docs, "data", ["lang", "source"], n=10,
+            value_col="n_chars")
+        return spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def q_engine_rare_terms(spark, sf_dir):
     """rare_terms aggregation (X99, ES rare_terms): the 10 RAREST terms
     of the 'table OR data' match set by foreground doc count (fg_df asc,
@@ -3045,6 +3084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_top_buckets": q_histogram_top_buckets,
         "histogram_stats": q_histogram_stats,
         "histogram_normalize": q_histogram_normalize,
+        "histogram_serial_diff": q_histogram_serial_diff,
         "events_date_math": q_events_date_math,
         "events_sessions": q_events_sessions,
         "passage_search": q_passage_search,
@@ -3092,6 +3132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_terms_enum": q_engine_terms_enum,
         "engine_top_metrics": q_engine_top_metrics,
         "engine_rare_terms": q_engine_rare_terms,
+        "engine_multi_terms": q_engine_multi_terms,
         "engine_t_test": q_engine_t_test,
         "engine_matrix_stats": q_engine_matrix_stats,
         "engine_filters_agg": q_engine_filters_agg,
@@ -3573,6 +3614,19 @@ def _pipeline_sql() -> dict[str, str]:
         FROM documents JOIN matched USING (doc_id)
         WHERE n_chars IS NOT NULL
         ORDER BY n_chars DESC, doc_id ASC LIMIT 5
+        """,
+        # multi_terms oracle (X116): compound-key counts with the same
+        # tie pin
+        "engine_multi_terms": _TOK_CTE + """
+        , matched AS (
+            SELECT DISTINCT doc_id FROM tf WHERE term = 'data'
+        )
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS doc_count,
+               round(sum(n_chars), 6) AS sum_value
+        FROM documents JOIN matched USING (doc_id)
+        WHERE lang IS NOT NULL AND source IS NOT NULL
+        GROUP BY lang, source
+        ORDER BY doc_count DESC, lang ASC, source ASC LIMIT 10
         """,
         # t_test oracle (X114): identical moment-derived Welch math
         "engine_t_test": _TOK_CTE + """
@@ -4635,6 +4689,21 @@ def _base_oracle_sql() -> dict[str, str]:
                    (sum_value - avg(sum_value) OVER ())
                        / stddev_pop(sum_value) OVER ()
                END, 6) AS normalized
+        FROM h ORDER BY bucket
+        """,
+        # serial_diff (X117): lag-7 window difference over the same
+        # histogram relation
+        "histogram_serial_diff": """
+        WITH h AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+                   count(*) AS n_events,
+                   round(sum(value), 6) AS sum_value,
+                   round(avg(value), 6) AS avg_value
+            FROM events WHERE ts IS NOT NULL GROUP BY 1
+        )
+        SELECT bucket, n_events, sum_value, avg_value,
+               round(sum_value - lag(sum_value, 7) OVER (ORDER BY bucket),
+                     6) AS serial_diff
         FROM h ORDER BY bucket
         """,
         "engine_did_you_mean": _DYM_SQL,

@@ -815,3 +815,44 @@ def matrix_stats_agg(
         F.round("cov_xy", 6).alias("cov_xy"),
         F.round("corr_xy", 6).alias("corr_xy"),
     )
+
+
+def multi_terms_agg(
+    spark: SparkSession,
+    cat: ParquetCatalog,
+    docs: DataFrame,
+    query,
+    key_cols: list,
+    n: int = 10,
+    value_col: str | None = None,
+    id_col: str = "doc_id",
+    max_expansions: int = MAX_EXPANSIONS,
+) -> DataFrame:
+    """The ES ``multi_terms`` bucket agg: buckets keyed by a COMPOUND
+    of field values over the match set, most-populated first (ties pin
+    on the key tuple asc — ES leaves shard order; a relation must not),
+    optional sum of a metric. Rows with ANY NULL key are dropped (the
+    ES missing-bucket default). One semi-join + one partial aggregation
+    keyed by the compound — exactly the terms-agg plan with a wider
+    key."""
+    if not key_cols or len(key_cols) < 2:
+        raise ValueError(f"multi_terms needs >= 2 key columns: {key_cols}")
+    if n < 1:
+        raise ValueError(f"n must be >= 1: {n}")
+    m = matching_docs(spark, cat, query, max_expansions=max_expansions)
+    base = docs.join(
+        m.withColumnRenamed("doc_id", id_col), id_col, "leftsemi")
+    for c in key_cols:
+        base = base.filter(F.col(c).isNotNull())
+    aggs = [F.count(F.lit(1)).alias("doc_count")]
+    if value_col:
+        aggs.append(
+            F.round(F.sum(F.col(value_col).cast("double")), 6)
+            .alias("sum_value"))
+    return (
+        base.groupBy(*key_cols)
+        .agg(*aggs)
+        .orderBy(F.col("doc_count").desc(),
+                 *[F.col(c).asc() for c in key_cols])
+        .limit(n)
+    )

@@ -244,3 +244,28 @@ def bucket_normalize(
         buckets.withColumn(out_col, F.round(expr, 6))
         .orderBy(F.col(bucket_col).asc())
     )
+
+
+def bucket_serial_diff(
+    buckets: DataFrame,
+    value_col: str,
+    lag: int = 1,
+    out_col: str = "serial_diff",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """ES ``serial_diff`` pipeline agg: ``v[i] − v[i − lag]`` in bucket
+    order (NULL for the first ``lag`` buckets — the ES gap; lag=1 is
+    X93's derivative, larger lags remove seasonal components of that
+    period). Same single-ordered-window scale shape as bucket_pipeline;
+    input rows pass through unchanged."""
+    from pyspark.sql import Window
+
+    if lag < 1:
+        raise ValueError(f"lag must be >= 1: {lag}")
+    w = Window.orderBy(F.col(bucket_col).asc())
+    v = F.col(value_col).cast("double")
+    return (
+        buckets.withColumn(
+            out_col, F.round(v - F.lag(v, lag).over(w), 6))
+        .orderBy(F.col(bucket_col).asc())
+    )

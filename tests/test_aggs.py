@@ -341,3 +341,27 @@ def test_matrix_stats_matches_python(spark, built, docs_df, token_sets):
     assert got["cov_xy"] == pytest.approx(round(cov, 6), abs=1e-5)
     assert got["corr_xy"] == pytest.approx(
         round(cov / (vx * vy) ** 0.5, 6), abs=1e-6)
+
+
+def test_multi_terms_matches_manual(spark, built, docs_df, token_sets):
+    from mahout_spark.index.aggs import multi_terms_agg
+
+    matched = {d for d, s in token_sets.items() if "data" in s}
+    rows = [(r["lang"], r["source"], r["n_chars"])
+            for r in docs_df.collect()
+            if r["doc_id"] in matched and r["lang"] is not None
+            and r["source"] is not None]
+    cnt = Counter((l, s) for l, s, _ in rows)
+    sums = {}
+    for l, s, nc in rows:
+        sums[(l, s)] = sums.get((l, s), 0) + nc
+    exp = sorted(cnt.items(), key=lambda e: (-e[1], e[0]))[:5]
+    got = multi_terms_agg(
+        spark, built, docs_df, "data", ["lang", "source"], n=5,
+        value_col="n_chars").collect()
+    assert [((r["lang"], r["source"]), r["doc_count"]) for r in got] == exp
+    for r in got:
+        assert r["sum_value"] == pytest.approx(
+            round(sums[(r["lang"], r["source"])], 6))
+    with pytest.raises(ValueError, match=">= 2 key"):
+        multi_terms_agg(spark, built, docs_df, "data", ["lang"])

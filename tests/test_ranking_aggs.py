@@ -567,3 +567,24 @@ def test_bucket_normalize_degenerates(spark):
     assert ps == {"a": 0.5, "b": 0.5, "c": None}
     with pytest.raises(ValueError, match="method"):
         bucket_normalize(df, "m", "softmax")
+
+
+def test_bucket_serial_diff_matches_python(spark, events):
+    from mahout_spark.operators.timeseries import (
+        bucket_serial_diff,
+        date_histogram,
+    )
+
+    h = date_histogram(events, "ts", "day", "value")
+    base = sorted((r["bucket"], r["sum_value"]) for r in h.collect())
+    vals = [v for _, v in base]
+    for lag in (1, 7):
+        got = bucket_serial_diff(h, "sum_value", lag=lag).collect()
+        for i, r in enumerate(got):
+            if i < lag:
+                assert r["serial_diff"] is None
+            else:
+                assert r["serial_diff"] == pytest.approx(
+                    round(vals[i] - vals[i - lag], 6), abs=1e-6)
+    with pytest.raises(ValueError, match="lag"):
+        bucket_serial_diff(h, "sum_value", lag=0)
