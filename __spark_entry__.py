@@ -2255,6 +2255,34 @@ def q_engine_alias_search(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def q_engine_delete_by_query(spark, sf_dir):
+    """_delete_by_query (X118, the ES API): tombstone every 'stream'
+    matcher — the match kernel's id relation flows straight into the
+    tombstone append, never visiting the driver — then run the standard
+    BM25 query. Same Lucene visibility contract as engine_delete_search:
+    matchers vanish, stats stay pre-delete until compaction."""
+    import shutil
+    import tempfile
+
+    from mahout_spark.index.build import build_index
+    from mahout_spark.index.delete import delete_by_query
+    from mahout_spark.index.wand import topk
+
+    docs = _load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="msdrv_dbq_")
+    try:
+        cat = build_index(
+            spark, docs, out_dir=out, content_col="text",
+            id_cols=["doc_id"], mode="simple", resume=False,
+        )
+        delete_by_query(spark, cat, "stream")
+        result = topk(spark, cat, BM25_QUERY_TERMS, k=10).select(
+            "doc_id", F.round("score", 6).alias("score"))
+        return spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def q_engine_snapshot_restore(spark, sf_dir):
     """Snapshot/restore (X105, the ES _snapshot filesystem repository):
     build → snapshot → DESTRUCTIVELY delete docs from the live index →
@@ -3126,6 +3154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_regexp_search": q_engine_regexp_search,
         "engine_rescore_search": q_engine_rescore_search,
         "engine_significant_terms": q_engine_significant_terms,
+        "engine_delete_by_query": q_engine_delete_by_query,
         "engine_snapshot_restore": q_engine_snapshot_restore,
         "engine_alias_search": q_engine_alias_search,
         "engine_span_first": q_engine_span_first,
@@ -4775,6 +4804,14 @@ def _base_oracle_sql() -> dict[str, str]:
         """,
         "engine_indexed_bm25_simple": _BM25_BASE + """
         SELECT doc_id, score FROM agg
+        ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        # delete_by_query (X118): the full-corpus relation minus every
+        # doc containing the deleted query's term (stats pre-delete)
+        "engine_delete_by_query": _BM25_BASE + """
+        SELECT doc_id, score FROM agg
+        WHERE doc_id NOT IN (
+            SELECT doc_id FROM tf WHERE term = 'stream')
         ORDER BY score DESC, doc_id ASC LIMIT 10
         """,
         # snapshot/restore (X105): lossless restore => the restored

@@ -215,3 +215,27 @@ def live_mask(docs: np.ndarray, deleted: np.ndarray | None) -> np.ndarray:
     if deleted is None or len(docs) == 0:
         return np.ones(len(docs), dtype=bool)
     return ~np.isin(docs, deleted)
+
+
+def delete_by_query(
+    spark: SparkSession,
+    cat: ParquetCatalog,
+    query,
+    max_expansions: int | None = None,
+) -> dict:
+    """The ES ``_delete_by_query`` API (X118): tombstone every doc
+    matching ``query`` — the match kernel's doc_id relation flows
+    STRAIGHT into the tombstone append (delete_docs' DataFrame path),
+    so a match set of 10^8 ids never visits the driver; the count rides
+    the write's Observation metric like every other delete. Same
+    Lucene visibility contract as delete_docs: matches vanish from
+    results immediately, corpus statistics keep their pre-delete values
+    until compaction. Returns the updated meta."""
+    from mahout_spark.index.boolquery import MAX_EXPANSIONS, matching_docs
+
+    m = matching_docs(
+        spark, cat, query,
+        max_expansions=(MAX_EXPANSIONS if max_expansions is None
+                        else max_expansions),
+    )
+    return delete_docs(spark, cat, m)

@@ -355,3 +355,47 @@ def test_federated_respects_relational_regime(spark, corpus, tmp_path,
     assert not ({d for _, d, _ in arr} & set(dead))
     monkeypatch.setattr(del_mod, "DELETED_MAX_COLLECT", 0)
     assert run() == arr
+
+
+def test_delete_by_query_matches_manual_id_delete(spark, corpus, tmp_path):
+    """X118: _delete_by_query ≡ delete_docs of the query's match set;
+    results exclude every matcher, scores keep pre-delete stats."""
+    import re
+
+    from mahout_spark.index.delete import delete_by_query
+
+    cat = _build(spark, corpus, tmp_path / "dbq")
+    rows = corpus.collect()
+    stream_ids = {
+        r["doc_id"] for r in rows
+        if "stream" in re.split(r"[^a-z0-9]+", (r["content"] or "").lower())
+    }
+    assert stream_ids  # the fixture must actually delete something
+    before = _rows(topk(spark, cat, ["spark", "data"], k=10**6))
+    meta = delete_by_query(spark, cat, "stream")
+    assert int(meta["deletes"]) == len(stream_ids)
+    after = _rows(topk(spark, cat, ["spark", "data"], k=10**6))
+    assert after == [(d, s) for d, s in before if d not in stream_ids]
+    # idempotent: re-running deletes nothing new
+    meta2 = delete_by_query(spark, cat, "stream")
+    assert int(meta2["deletes"]) == len(stream_ids)
+
+
+def test_delete_by_query_boolean_shape(spark, corpus, tmp_path):
+    import re
+
+    from mahout_spark.index.delete import delete_by_query
+
+    cat = _build(spark, corpus, tmp_path / "dbq2")
+    rows = corpus.collect()
+    toks = {r["doc_id"]: set(
+        t for t in re.split(r"[^a-z0-9]+", (r["content"] or "").lower())
+        if t) for r in rows}
+    victims = {d for d, s in toks.items()
+               if "table" in s and "scan" in s}
+    meta = delete_by_query(spark, cat, "table AND scan")
+    assert int(meta["deletes"]) == len(victims)
+    live = {r["doc_id"]
+            for r in topk(spark, cat, ["table"], k=10**6).collect()}
+    assert live == {d for d, s in toks.items()
+                    if "table" in s} - victims
