@@ -2255,6 +2255,37 @@ def q_engine_alias_search(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def q_engine_search_template(spark, sf_dir):
+    """Search template (X119, the ES mustache model): the standard
+    boolean query rendered from '("{{p}}" OR {{a}}) AND {{m}} NOT
+    {{x}}' with injection-guarded parameter substitution, then run
+    exactly like engine_boolean_search — MATCH against the literal
+    query's oracle proves rendering is semantics-preserving."""
+    import shutil
+    import tempfile
+
+    from mahout_spark.index.boolquery import boolean_topk
+    from mahout_spark.index.build import build_index
+    from mahout_spark.index.queryparse import render_template
+
+    docs = _load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="msdrv_tpl_")
+    try:
+        cat = build_index(
+            spark, docs, out_dir=out, content_col="text",
+            id_cols=["doc_id"], mode="simple", resume=False,
+            positions=True,
+        )
+        rendered = render_template(
+            '("{{p}}" OR {{a}}) AND {{m}} NOT {{x}}',
+            dict(p="table scan", a="merge", m="data", x="stream"))
+        result = boolean_topk(spark, cat, rendered, k=10).select(
+            "doc_id", F.round("score", 6).alias("score"))
+        return spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def q_engine_delete_by_query(spark, sf_dir):
     """_delete_by_query (X118, the ES API): tombstone every 'stream'
     matcher — the match kernel's id relation flows straight into the
@@ -3154,6 +3185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_regexp_search": q_engine_regexp_search,
         "engine_rescore_search": q_engine_rescore_search,
         "engine_significant_terms": q_engine_significant_terms,
+        "engine_search_template": q_engine_search_template,
         "engine_delete_by_query": q_engine_delete_by_query,
         "engine_snapshot_restore": q_engine_snapshot_restore,
         "engine_alias_search": q_engine_alias_search,
@@ -4803,6 +4835,40 @@ def _base_oracle_sql() -> dict[str, str]:
         ORDER BY score DESC, doc_id ASC LIMIT 10
         """,
         "engine_indexed_bm25_simple": _BM25_BASE + """
+        SELECT doc_id, score FROM agg
+        ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        # search template (X119): rendering is semantics-preserving =>
+        # the LITERAL boolean query's relation
+        "engine_search_template": _TOK_CTE + f"""
+        , stream_s AS (
+            SELECT doc_id,
+                   ' ' || array_to_string(list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9]+'),
+                       t -> t <> ''), ' ') || ' ' AS s
+            FROM documents WHERE text IS NOT NULL
+        ), or_docs AS (
+            SELECT doc_id FROM stream_s WHERE s LIKE '% table scan %'
+            UNION
+            SELECT doc_id FROM tf WHERE term = 'merge'
+        ), matched AS (
+            SELECT doc_id FROM or_docs
+            INTERSECT
+            SELECT doc_id FROM tf WHERE term = 'data'
+            EXCEPT
+            SELECT doc_id FROM tf WHERE term = 'stream'
+        ), contrib AS (
+            SELECT tf.doc_id, {_BM25_CONTRIB} AS c
+            FROM tf
+            JOIN dfreq USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN scal
+            WHERE tf.term IN ('data', 'merge', 'scan', 'table')
+        ), agg AS (
+            SELECT doc_id, round(sum(c), 6) AS score
+            FROM contrib JOIN matched USING (doc_id)
+            GROUP BY doc_id
+        )
         SELECT doc_id, score FROM agg
         ORDER BY score DESC, doc_id ASC LIMIT 10
         """,

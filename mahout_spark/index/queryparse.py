@@ -899,3 +899,48 @@ def expand_prefixes(node, expansions: dict):
     if kind in ("and", "or"):
         return (kind, [expand_prefixes(c, expansions) for c in node[1]])
     return node
+
+
+# --------------------------------------------------------------------------
+# search templates (X119)
+# --------------------------------------------------------------------------
+
+_TPL_VAR = __import__("re").compile(r"\{\{\s*([A-Za-z_][A-Za-z0-9_]*)\s*\}\}")
+#: characters a substituted value may contain: terms, phrases (spaces),
+#: wildcards and fuzzy suffixes — NOT quotes or grouping.
+_TPL_SAFE = __import__("re").compile(r"^[A-Za-z0-9 *?.~\-]+$")
+
+
+def render_template(template: str, params: dict) -> str:
+    """The ES search-template model (mustache ``{{param}}`` holes in a
+    query string), with the injection guard ES leaves to the caller:
+    substituted values may be terms/phrases/wildcard patterns but NEVER
+    syntax — quotes, parentheses, and the operator words AND/OR/NOT are
+    rejected, so a hostile parameter cannot restructure the query (the
+    SQL-placeholder discipline applied to the query language). Strict
+    by design where ES is lenient: a missing parameter raises (ES
+    renders an empty string — a silently broader query), and unused
+    parameters raise (they are almost always a caller typo)."""
+    used = set()
+
+    def _sub(m):
+        name = m.group(1)
+        if name not in params:
+            raise KeyError(f"missing template parameter: {name!r}")
+        v = str(params[name])
+        if not _TPL_SAFE.fullmatch(v):
+            raise ValueError(
+                f"unsafe template value for {name!r}: {v!r}")
+        if any(t in ("AND", "OR", "NOT") for t in v.split()):
+            raise ValueError(
+                f"operator word in template value for {name!r}: {v!r}")
+        used.add(name)
+        return v
+
+    out = _TPL_VAR.sub(_sub, template)
+    unused = sorted(set(params) - used)
+    if unused:
+        raise ValueError(f"unused template parameters: {unused}")
+    if "{{" in out or "}}" in out:
+        raise ValueError(f"unresolved template holes in: {out!r}")
+    return out

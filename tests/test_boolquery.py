@@ -1039,3 +1039,48 @@ def test_suggest_min_df_overfetch_and_fastpath_cap(spark, tmp_path_factory):
     assert s.suggest("catz", n=5, min_df=2) == want  # warm repeat
     with pytest.raises(qp.QueryParseError):
         s.suggest("catz", max_edits=3)
+
+
+# ---------------------------------------------------------------------------
+# search templates (X119)
+# ---------------------------------------------------------------------------
+
+def test_render_template_and_injection_guard():
+    from mahout_spark.index.queryparse import render_template
+
+    out = render_template(
+        '("{{p}}" OR {{a}}) AND {{m}} NOT {{x}}',
+        dict(p="table scan", a="merge", m="data", x="stream"))
+    assert out == '("table scan" OR merge) AND data NOT stream'
+    # wildcard / fuzzy values pass
+    assert render_template("{{t}}", dict(t="mer*")) == "mer*"
+    assert render_template("{{t}}", dict(t="slot~2")) == "slot~2"
+    import pytest as _pt
+    with _pt.raises(KeyError, match="missing"):
+        render_template("{{a}} {{b}}", dict(a="x"))
+    with _pt.raises(ValueError, match="unused"):
+        render_template("{{a}}", dict(a="x", b="y"))
+    with _pt.raises(ValueError, match="unsafe"):
+        render_template("{{a}}", dict(a='x" OR "y'))
+    with _pt.raises(ValueError, match="unsafe"):
+        render_template("{{a}}", dict(a="x) OR (y"))
+    with _pt.raises(ValueError, match="operator word"):
+        render_template("{{a}}", dict(a="x AND y"))
+    with _pt.raises(ValueError, match="unresolved"):
+        render_template("{{ bad name }}", {})
+
+
+def test_rendered_template_queries_like_the_literal(spark, pos_built):
+    from mahout_spark.index.boolquery import boolean_topk
+    from mahout_spark.index.queryparse import render_template
+
+    rendered = render_template(
+        '("{{p}}" OR {{a}}) AND {{m}} NOT {{x}}',
+        dict(p="table scan", a="merge", m="data", x="stream"))
+    a = [(r["doc_id"], round(r["score"], 9)) for r in
+         boolean_topk(spark, pos_built,
+                      '("table scan" OR merge) AND data NOT stream',
+                      k=10).collect()]
+    b = [(r["doc_id"], round(r["score"], 9)) for r in
+         boolean_topk(spark, pos_built, rendered, k=10).collect()]
+    assert a == b and a
