@@ -2255,6 +2255,30 @@ def q_engine_alias_search(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def q_engine_disk_usage(spark, sf_dir):
+    """_disk_usage API (X120): per-table file/byte/row accounting of a
+    freshly built index — rows-only (sizes are filesystem facts, not
+    SQL-derivable; row-count/byte agreement is pytest-gated against
+    real scans + an os.walk)."""
+    import shutil
+    import tempfile
+
+    from mahout_spark.index.build import build_index
+    from mahout_spark.index.diag import disk_usage
+
+    docs = _load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="msdrv_du_")
+    try:
+        cat = build_index(
+            spark, docs, out_dir=out, content_col="text",
+            id_cols=["doc_id"], mode="simple", resume=False,
+        )
+        result = disk_usage(spark, cat)
+        return spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def q_engine_search_template(spark, sf_dir):
     """Search template (X119, the ES mustache model): the standard
     boolean query rendered from '("{{p}}" OR {{a}}) AND {{m}} NOT
@@ -3251,6 +3275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_cluster_docs": q_engine_cluster_docs,
         "engine_embedding_neardup_lsh": q_engine_embedding_neardup_lsh,
         "engine_mmr_ann": q_engine_mmr_ann,
+        "engine_disk_usage": q_engine_disk_usage,
     }
 
 

@@ -168,3 +168,42 @@ def term_vectors(
         .select("doc_id", "term", "tf", "doclen", "df")
         .orderBy("doc_id", "term")
     )
+
+
+def disk_usage(spark: SparkSession, cat: ParquetCatalog) -> DataFrame:
+    """The ES ``_disk_usage`` API (X120): per catalog table, file
+    count, on-disk bytes, parquet row count, and the share of the
+    index's total bytes (1e-6 rounded) — the "what is actually eating
+    the storage" answer behind tiering/compaction decisions. Ordered
+    by bytes desc (the ES presentation), ties on table name.
+
+    Driver-side METADATA walk by design: sizes come from the
+    filesystem, row counts from parquet FOOTERS (pyarrow metadata —
+    no scan, no job; at 100 TB this reads KBs of footers, not data).
+    The one relation returned is #tables rows."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    rows = []
+    for table in sorted(os.listdir(cat.root)):
+        tdir = cat.table_path(table)
+        if not os.path.isdir(tdir):
+            continue
+        n_files = n_bytes = n_rows = 0
+        for dirpath, _, names in os.walk(tdir):
+            for n in names:
+                p = os.path.join(dirpath, n)
+                n_bytes += os.stat(p).st_size
+                if n.endswith(".parquet"):
+                    n_files += 1
+                    n_rows += pq.ParquetFile(p).metadata.num_rows
+        rows.append((table, n_files, n_bytes, n_rows))
+    total = sum(b for _, _, b, _ in rows) or 1
+    out = [(t, f, b, r, round(b / total, 6)) for t, f, b, r in rows]
+    out.sort(key=lambda e: (-e[2], e[0]))
+    return spark.createDataFrame(
+        out,
+        "table string, n_files long, n_bytes long, n_rows long, "
+        "bytes_frac double",
+    )

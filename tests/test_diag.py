@@ -116,3 +116,34 @@ def test_content_integrity_detects_corruption(spark, corpus,
     extra = verify_content_integrity(
         spark, cat, corpus.unionByName(extra_doc)).collect()
     assert [(r["doc_id"], r["stored_sha"]) for r in extra] == [(90001, None)]
+
+
+def test_disk_usage_accounts_for_every_table(spark, corpus,
+                                              tmp_path_factory):
+    import os
+
+    from mahout_spark.index.build import build_index
+    from mahout_spark.index.diag import disk_usage
+
+    built = build_index(
+        spark, corpus, str(tmp_path_factory.mktemp("dudx")),
+        content_col="text", id_cols=["doc_id"], mode="simple",
+        n_buckets=4, docs_per_shard=64, block_size=16,
+    )
+    got = {r["table"]: r for r in disk_usage(spark, built).collect()}
+    on_disk = {t for t in os.listdir(built.root)
+               if os.path.isdir(built.table_path(t))}
+    assert set(got) == on_disk and "postings" in got
+    # row counts agree with real scans; bytes agree with the filesystem
+    for t in ("postings", "lexicon"):
+        assert got[t]["n_rows"] == built.read(spark, t).count()
+        walked = sum(
+            os.stat(os.path.join(d, f)).st_size
+            for d, _, fs in os.walk(built.table_path(t)) for f in fs)
+        assert got[t]["n_bytes"] == walked
+        assert got[t]["n_files"] >= 1
+    fracs = [r["bytes_frac"] for r in got.values()]
+    assert abs(sum(fracs) - 1.0) < 1e-4
+    sizes = [r["n_bytes"] for r in
+             sorted(got.values(), key=lambda r: (-r["n_bytes"], r["table"]))]
+    assert sizes == sorted(sizes, reverse=True)
