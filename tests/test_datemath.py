@@ -66,3 +66,19 @@ def test_filter_bounds(spark):
     assert open_lo == {0, 1, 3}
     with pytest.raises(ValueError, match="at least one"):
         date_math_filter(df, "ts")
+
+
+def test_date_math_bounds_push_to_scan(spark, tmp_path):
+    """The resolved literals must reach the parquet scan as pushed
+    range predicates (the operator's 100 TB claim)."""
+    rows = [(i, datetime(2024, 1, 1 + i % 28)) for i in range(50)]
+    df = spark.createDataFrame(rows, "event_id bigint, ts timestamp")
+    p = str(tmp_path / "ev")
+    df.write.parquet(p)
+    out = date_math_filter(
+        spark.read.parquet(p), "ts", gte="now-20d/d", lt="now-5d/d",
+        now=NOW)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    pushed = [l for l in plan.split("\n") if "PushedFilters" in l][0]
+    assert "GreaterThanOrEqual(ts" in pushed and "LessThan(ts" in pushed

@@ -164,3 +164,14 @@ def test_combined_fields_rejects(spark):
         combined_fields_topk({}, ["x"])
     with pytest.raises(ValueError, match="unknown"):
         combined_fields_topk({"a": a}, ["x"], weights={"zz": 1.0})
+
+
+def test_multi_match_single_hash_exchange(fields):
+    # the claim in the module docstring: the tie-pin window and the
+    # combine groupBy hash on the same key -> Catalyst plans ONE hash
+    # exchange (the trailing range partition is the final orderBy)
+    import re
+
+    out = multi_match_combine(fields, tie_breaker=0.3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
