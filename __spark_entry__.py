@@ -41,6 +41,119 @@ def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# ---------------------------------------------------------------------------
+# memoized index builds (round-5 contract-cost fix)
+#
+# Round 4's contract ran 62 hermetic per-query index builds (~28 min at
+# sf0.01) and starved the driver's budget — CORRECTNESS_r04.json came back
+# empty. Every engine_* query is read-only against the index it builds, so
+# one build per distinct knob set (mode / positions / lang_col / n_buckets /
+# corpus subset) now serves all of them from a process-lifetime cache dir;
+# build_index(resume=True) makes repeat calls metadata-only. Queries that
+# MUTATE index state (tombstones, compaction, snapshot+delete) run against a
+# hardlink clone of the shared base: parquet data files are immutable under
+# the catalog's staged-write contract so hardlinks are safe to share, while
+# the in-place-appended metadata (_meta.json, _lineage.jsonl, _SUCCESS,
+# tombstone side files) is real-copied per clone.
+# ---------------------------------------------------------------------------
+
+_IDX_CACHE_ROOT: str | None = None
+_IDX_MEMO: dict = {}
+
+
+def _idx_cache_root() -> str:
+    global _IDX_CACHE_ROOT
+    if _IDX_CACHE_ROOT is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        root = os.environ.get("MSDRV_IDX_CACHE")
+        if root:
+            os.makedirs(root, exist_ok=True)
+        else:
+            root = tempfile.mkdtemp(prefix="msdrv_idxcache_")
+            atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _IDX_CACHE_ROOT = root
+    return _IDX_CACHE_ROOT
+
+
+def _corpus_fingerprint(sf_dir: str) -> str:
+    """Stat-level fingerprint of documents.parquet so a cache dir pinned
+    via MSDRV_IDX_CACHE can never serve an index built from regenerated
+    testdata (path + file sizes + mtimes; no data read)."""
+    import hashlib
+
+    p = os.path.join(sf_dir, "documents.parquet")
+    parts = [os.path.abspath(sf_dir)]
+    if os.path.isdir(p):
+        for fn in sorted(os.listdir(p)):
+            st = os.stat(os.path.join(p, fn))
+            parts.append(f"{fn}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(p):
+        st = os.stat(p)
+        parts.append(f"doc:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:12]
+
+
+def _shared_index(spark, sf_dir, *, mode="simple", positions=False,
+                  lang_col=None, n_buckets=8, docs=None, tag=""):
+    """Build-once-per-process index over sf_dir's documents (or a derived
+    ``docs`` subset named by ``tag``). Tier builders (permuterm, gram,
+    suggest) may add their derived tables to the shared catalog — those
+    writes are idempotent, epoch-gated, and invisible to queries that do
+    not read them."""
+    key = (os.path.abspath(sf_dir), mode, positions, lang_col, n_buckets,
+           tag)
+    cat = _IDX_MEMO.get(key)
+    if cat is not None:
+        return cat
+    import hashlib
+
+    from mahout_spark.index.build import build_index
+
+    if docs is None:
+        docs = _load(spark, sf_dir, "documents")
+    name = hashlib.sha256(
+        "|".join(map(str, key + (_corpus_fingerprint(sf_dir),))).encode()
+    ).hexdigest()[:12]
+    cat = build_index(
+        spark, docs, out_dir=os.path.join(_idx_cache_root(), name),
+        content_col="text", id_cols=["doc_id"], mode=mode,
+        positions=positions, lang_col=lang_col, n_buckets=n_buckets,
+        resume=True,
+    )
+    _IDX_MEMO[key] = cat
+    return cat
+
+
+def _cloned_index(spark, sf_dir, *, mode="simple", positions=False):
+    """Private mutable clone of the shared base index for queries that
+    write index state. Returns (catalog, tmpdir); the caller owns tmpdir
+    cleanup. Parquet files are hardlinked (never modified in place — the
+    catalog only stages + renames + unlinks), everything else is copied."""
+    import shutil
+    import tempfile
+
+    base = _shared_index(spark, sf_dir, mode=mode, positions=positions)
+    dst = tempfile.mkdtemp(prefix="msdrv_mut_")
+
+    def _cp(src, d):
+        if src.endswith(".parquet"):
+            try:
+                os.link(src, d)
+                return
+            except OSError:
+                pass
+        shutil.copy2(src, d)
+
+    clone_root = os.path.join(dst, "idx")
+    shutil.copytree(base.root, clone_root, copy_function=_cp)
+    from mahout_spark.sources.catalog import ParquetCatalog
+
+    return ParquetCatalog(clone_root), dst
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 over sf0.001 documents with the real analyzer
     chain (tokenize -> stop -> Porter), query analyzed the same way."""
@@ -240,28 +353,17 @@ def q_engine_indexed_bm25(spark, sf_dir):
     temp dir, then answer the standard query with WAND block-max top-k.
     Rows-only driver check; rank/score identity with the naive scorer and
     a numpy oracle is pytest-gated (tests/test_index.py)."""
-    import shutil
-    import tempfile
-
-    from mahout_spark.index.build import build_index
     from mahout_spark.index.wand import topk
     from mahout_spark.tokenize import tokenize_text
 
     docs = _load(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="msdrv_idx_")
-    try:
-        cat = build_index(
-            spark, docs, out_dir=out, content_col="text",
-            id_cols=["doc_id"], mode="text", resume=False,
-        )
-        result = topk(
-            spark, cat, tokenize_text(" ".join(BM25_QUERY_TERMS)), k=10
-        )
-        # materialize before the temp index dir is removed
-        rows = result.collect()
-        return spark.createDataFrame(rows, result.schema)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    cat = _shared_index(spark, sf_dir, mode="text")
+    result = topk(
+        spark, cat, tokenize_text(" ".join(BM25_QUERY_TERMS)), k=10
+    )
+    # materialize before the temp index dir is removed
+    rows = result.collect()
+    return spark.createDataFrame(rows, result.schema)
 
 
 def q_engine_indexed_bm25_simple(spark, sf_dir):
@@ -274,26 +376,15 @@ def q_engine_indexed_bm25_simple(spark, sf_dir):
     → WAND → merge under the already-green bm25_topk_or oracle — the
     engine's most correctness-dense component gets a driver-verified
     rows+schema+hash row, not just pytest gates."""
-    import shutil
-    import tempfile
-
-    from mahout_spark.index.build import build_index
     from mahout_spark.index.wand import topk
 
     docs = _load(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="msdrv_idxs_")
-    try:
-        cat = build_index(
-            spark, docs, out_dir=out, content_col="text",
-            id_cols=["doc_id"], mode="simple", resume=False,
-        )
-        result = topk(spark, cat, BM25_QUERY_TERMS, k=10).select(
-            "doc_id", F.round("score", 6).alias("score")
-        )
-        rows = result.collect()
-        return spark.createDataFrame(rows, result.schema)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    cat = _shared_index(spark, sf_dir)
+    result = topk(spark, cat, BM25_QUERY_TERMS, k=10).select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
+    rows = result.collect()
+    return spark.createDataFrame(rows, result.schema)
 
 
 PHRASE_QUERY = ["table", "scan"]
@@ -309,19 +400,13 @@ def q_engine_delete_search(spark, sf_dir):
     until compaction — so the oracle is the full-corpus BM25 relation
     with only the final candidate set restricted to live docs."""
     import shutil
-    import tempfile
 
-    from mahout_spark.index.build import build_index
     from mahout_spark.index.delete import delete_docs
     from mahout_spark.index.wand import topk
 
     docs = _load(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="msdrv_del_")
+    cat, out = _cloned_index(spark, sf_dir)
     try:
-        cat = build_index(
-            spark, docs, out_dir=out, content_col="text",
-            id_cols=["doc_id"], mode="simple", resume=False,
-        )
         delete_docs(
             spark, cat,
             docs.filter(F.col("doc_id") % DELETE_MOD == 0)
@@ -347,21 +432,15 @@ def q_engine_dedup_delete_search(spark, sf_dir):
     is the full-corpus BM25 relation with candidates restricted to the
     dedup survivors."""
     import shutil
-    import tempfile
 
     from mahout_spark.index import delete as del_mod
-    from mahout_spark.index.build import build_index
     from mahout_spark.index.delete import delete_docs
     from mahout_spark.index.wand import topk
 
     docs = _load(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="msdrv_ddel_")
+    cat, out = _cloned_index(spark, sf_dir)
     old_cap = del_mod.DELETED_MAX_COLLECT
     try:
-        cat = build_index(
-            spark, docs, out_dir=out, content_col="text",
-            id_cols=["doc_id"], mode="simple", resume=False,
-        )
         keep = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
         dups = docs.select("doc_id").join(
             keep.select("doc_id"), "doc_id", "left_anti"
@@ -387,20 +466,14 @@ def q_engine_delete_purge_search(spark, sf_dir):
     build over the surviving docs (block-level equality is pytest-gated
     in tests/test_delete.py; this pins the score side to DuckDB)."""
     import shutil
-    import tempfile
 
-    from mahout_spark.index.build import build_index
     from mahout_spark.index.compact import compact_index
     from mahout_spark.index.delete import delete_docs
     from mahout_spark.index.wand import topk
 
     docs = _load(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="msdrv_prg_")
+    cat, out = _cloned_index(spark, sf_dir)
     try:
-        cat = build_index(
-            spark, docs, out_dir=out, content_col="text",
-            id_cols=["doc_id"], mode="simple", resume=False,
-        )
         delete_docs(
             spark, cat,
             docs.filter(F.col("doc_id") % DELETE_MOD == 0)
@@ -426,27 +499,15 @@ def q_engine_phrase_search(spark, sf_dir):
     space-joined string and phrase-matches with LIKE — a fully independent
     relation — so adjacency, positional codec round-trip, and scoring are
     all hash-checked end-to-end."""
-    import shutil
-    import tempfile
-
-    from mahout_spark.index.build import build_index
     from mahout_spark.index.phrase import phrase_topk
 
     docs = _load(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="msdrv_phr_")
-    try:
-        cat = build_index(
-            spark, docs, out_dir=out, content_col="text",
-            id_cols=["doc_id"], mode="simple", resume=False,
-            positions=True,
-        )
-        result = phrase_topk(spark, cat, PHRASE_QUERY, k=10).select(
-            "doc_id", F.round("score", 6).alias("score")
-        )
-        rows = result.collect()
-        return spark.createDataFrame(rows, result.schema)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    cat = _shared_index(spark, sf_dir, positions=True)
+    result = phrase_topk(spark, cat, PHRASE_QUERY, k=10).select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
+    rows = result.collect()
+    return spark.createDataFrame(rows, result.schema)
 
 
 PROX_TERMS = ["data", "merge"]
@@ -465,27 +526,15 @@ def q_engine_boolean_search(spark, sf_dir):
     operations (UNION / INTERSECT / EXCEPT over per-term doc sets, LIKE
     on the token stream for the phrase leaf) — a fully independent
     relation."""
-    import shutil
-    import tempfile
-
     from mahout_spark.index.boolquery import boolean_topk
-    from mahout_spark.index.build import build_index
 
     docs = _load(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="msdrv_bool_")
-    try:
-        cat = build_index(
-            spark, docs, out_dir=out, content_col="text",
-            id_cols=["doc_id"], mode="simple", resume=False,
-            positions=True,
-        )
-        result = boolean_topk(spark, cat, BOOL_QUERY, k=10).select(
-            "doc_id", F.round("score", 6).alias("score")
-        )
-        rows = result.collect()
-        return spark.createDataFrame(rows, result.schema)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    cat = _shared_index(spark, sf_dir, positions=True)
+    result = boolean_topk(spark, cat, BOOL_QUERY, k=10).select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
+    rows = result.collect()
+    return spark.createDataFrame(rows, result.schema)
 
 
 def q_engine_prefix_search(spark, sf_dir):
@@ -494,26 +543,15 @@ def q_engine_prefix_search(spark, sf_dir):
     sf0.01 vocabulary has 6, so expansion is exhaustive and the SQL
     LIKE-relation oracle is exact) and the expanded OR is AND-ed with a
     plain term. No positions needed — runs on the standard index."""
-    import shutil
-    import tempfile
-
     from mahout_spark.index.boolquery import boolean_topk
-    from mahout_spark.index.build import build_index
 
     docs = _load(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="msdrv_pfx_")
-    try:
-        cat = build_index(
-            spark, docs, out_dir=out, content_col="text",
-            id_cols=["doc_id"], mode="simple", resume=False,
-        )
-        result = boolean_topk(spark, cat, PREFIX_QUERY, k=10).select(
-            "doc_id", F.round("score", 6).alias("score")
-        )
-        rows = result.collect()
-        return spark.createDataFrame(rows, result.schema)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    cat = _shared_index(spark, sf_dir)
+    result = boolean_topk(spark, cat, PREFIX_QUERY, k=10).select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
+    rows = result.collect()
+    return spark.createDataFrame(rows, result.schema)
 
 
 FUZZY_QUERY = "slot~2 AND group"
@@ -529,26 +567,15 @@ def q_engine_fuzzy_search(spark, sf_dir):
     corpus, so this exercises pure-fuzzy recall. The DuckDB oracle
     recomputes the expansion set with its own independent levenshtein
     implementation."""
-    import shutil
-    import tempfile
-
     from mahout_spark.index.boolquery import boolean_topk
-    from mahout_spark.index.build import build_index
 
     docs = _load(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="msdrv_fzy_")
-    try:
-        cat = build_index(
-            spark, docs, out_dir=out, content_col="text",
-            id_cols=["doc_id"], mode="simple", resume=False,
-        )
-        result = boolean_topk(spark, cat, FUZZY_QUERY, k=10).select(
-            "doc_id", F.round("score", 6).alias("score")
-        )
-        rows = result.collect()
-        return spark.createDataFrame(rows, result.schema)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    cat = _shared_index(spark, sf_dir)
+    result = boolean_topk(spark, cat, FUZZY_QUERY, k=10).select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
+    rows = result.collect()
+    return spark.createDataFrame(rows, result.schema)
 
 
 BOOST_QUERY = "table^3 OR (scan AND data)^0.5 OR merge"
@@ -561,26 +588,15 @@ def q_engine_boost_search(spark, sf_dir):
     checks the fold plus the match semantics stay boost-invariant. The
     DuckDB oracle evaluates the same tree with SQL set ops and scales
     each term's BM25 contribution with an explicit CASE weight table."""
-    import shutil
-    import tempfile
-
     from mahout_spark.index.boolquery import boolean_topk
-    from mahout_spark.index.build import build_index
 
     docs = _load(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="msdrv_bst_")
-    try:
-        cat = build_index(
-            spark, docs, out_dir=out, content_col="text",
-            id_cols=["doc_id"], mode="simple", resume=False,
-        )
-        result = boolean_topk(spark, cat, BOOST_QUERY, k=10).select(
-            "doc_id", F.round("score", 6).alias("score")
-        )
-        rows = result.collect()
-        return spark.createDataFrame(rows, result.schema)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    cat = _shared_index(spark, sf_dir)
+    result = boolean_topk(spark, cat, BOOST_QUERY, k=10).select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
+    rows = result.collect()
+    return spark.createDataFrame(rows, result.schema)
 
 
 BATCH_QUERIES = {
@@ -596,30 +612,19 @@ def q_engine_boolean_batch(spark, sf_dir):
     decode, ranked per query by a partitioned window. The DuckDB oracle
     recomputes each query's relation independently and UNION ALLs them
     with the same per-query ROW_NUMBER cut."""
-    import shutil
-    import tempfile
-
     from mahout_spark.index.boolquery import boolean_topk_batch
-    from mahout_spark.index.build import build_index
 
     docs = _load(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="msdrv_bb_")
-    try:
-        cat = build_index(
-            spark, docs, out_dir=out, content_col="text",
-            id_cols=["doc_id"], mode="simple", resume=False,
-        )
-        result = boolean_topk_batch(
-            spark, cat, BATCH_QUERIES, k=10
-        ).select(
-            "query_id", "doc_id",
-            F.round("score", 6).alias("score"),
-            F.col("rank").cast("long").alias("rank"),
-        )
-        rows = result.collect()
-        return spark.createDataFrame(rows, result.schema)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    cat = _shared_index(spark, sf_dir)
+    result = boolean_topk_batch(
+        spark, cat, BATCH_QUERIES, k=10
+    ).select(
+        "query_id", "doc_id",
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+    rows = result.collect()
+    return spark.createDataFrame(rows, result.schema)
 
 
 def q_engine_filtered_search(spark, sf_dir):
@@ -628,27 +633,16 @@ def q_engine_filtered_search(spark, sf_dir):
     untouched by the filter (the ES query-vs-filter-context contract).
     Oracle: the same full-corpus BM25 relation joined to the documents
     table on the predicate."""
-    import shutil
-    import tempfile
-
     from mahout_spark.index.boolquery import filtered_topk
-    from mahout_spark.index.build import build_index
 
     docs = _load(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="msdrv_flt_")
-    try:
-        cat = build_index(
-            spark, docs, out_dir=out, content_col="text",
-            id_cols=["doc_id"], mode="simple", resume=False,
-        )
-        result = filtered_topk(
-            spark, cat, " OR ".join(BM25_QUERY_TERMS),
-            docs.filter(F.col("lang") == "en"), k=10,
-        ).select("doc_id", F.round("score", 6).alias("score"))
-        rows = result.collect()
-        return spark.createDataFrame(rows, result.schema)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    cat = _shared_index(spark, sf_dir)
+    result = filtered_topk(
+        spark, cat, " OR ".join(BM25_QUERY_TERMS),
+        docs.filter(F.col("lang") == "en"), k=10,
+    ).select("doc_id", F.round("score", 6).alias("score"))
+    rows = result.collect()
+    return spark.createDataFrame(rows, result.schema)
 
 
 def q_engine_range_search(spark, sf_dir):
@@ -657,27 +651,16 @@ def q_engine_range_search(spark, sf_dir):
     table predicate, and run through the adaptive filter-context plan —
     filter semantics, scores untouched. Oracle: the same full-corpus
     BM25 relation joined to documents on the BETWEEN predicate."""
-    import shutil
-    import tempfile
-
-    from mahout_spark.index.build import build_index
     from mahout_spark.index.rangequery import ranged_topk
 
     docs = _load(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="msdrv_rng_")
-    try:
-        cat = build_index(
-            spark, docs, out_dir=out, content_col="text",
-            id_cols=["doc_id"], mode="simple", resume=False,
-        )
-        q = f"({' OR '.join(BM25_QUERY_TERMS)}) AND n_chars:[200 TO 450]"
-        result = ranged_topk(spark, cat, docs, q, k=10).select(
-            "doc_id", F.round("score", 6).alias("score")
-        )
-        rows = result.collect()
-        return spark.createDataFrame(rows, result.schema)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    cat = _shared_index(spark, sf_dir)
+    q = f"({' OR '.join(BM25_QUERY_TERMS)}) AND n_chars:[200 TO 450]"
+    result = ranged_topk(spark, cat, docs, q, k=10).select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
+    rows = result.collect()
+    return spark.createDataFrame(rows, result.schema)
 
 
 def q_engine_sorted_search(spark, sf_dir):
@@ -685,78 +668,45 @@ def q_engine_sorted_search(spark, sf_dir):
     match set ordered by a corpus column instead of relevance — BM25
     never runs. Oracle: the SQL match set joined to documents, ordered
     by the same column with the doc_id tiebreak."""
-    import shutil
-    import tempfile
-
-    from mahout_spark.index.build import build_index
     from mahout_spark.index.ranking import sorted_topk
 
     docs = _load(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="msdrv_srt_")
-    try:
-        cat = build_index(
-            spark, docs, out_dir=out, content_col="text",
-            id_cols=["doc_id"], mode="simple", resume=False,
-        )
-        result = sorted_topk(
-            spark, cat, docs, " OR ".join(BM25_QUERY_TERMS),
-            "-n_chars", k=15,
-        )
-        rows = result.collect()
-        return spark.createDataFrame(rows, result.schema)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    cat = _shared_index(spark, sf_dir)
+    result = sorted_topk(
+        spark, cat, docs, " OR ".join(BM25_QUERY_TERMS),
+        "-n_chars", k=15,
+    )
+    rows = result.collect()
+    return spark.createDataFrame(rows, result.schema)
 
 
 def q_engine_match_count(spark, sf_dir):
     """Count API (X77, the ES ``_count`` endpoint): the match-set size
     of a boolean query with NOT — one partial-aggregated scalar, no
     scoring. Oracle: count over the SQL set-op relation."""
-    import shutil
-    import tempfile
-
     from mahout_spark.index.aggs import match_count
-    from mahout_spark.index.build import build_index
 
     docs = _load(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="msdrv_cnt_")
-    try:
-        cat = build_index(
-            spark, docs, out_dir=out, content_col="text",
-            id_cols=["doc_id"], mode="simple", resume=False,
-        )
-        result = match_count(spark, cat, "(spark OR query) AND data")
-        rows = result.collect()
-        return spark.createDataFrame(rows, result.schema)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    cat = _shared_index(spark, sf_dir)
+    result = match_count(spark, cat, "(spark OR query) AND data")
+    rows = result.collect()
+    return spark.createDataFrame(rows, result.schema)
 
 
 def q_engine_cardinality(spark, sf_dir):
     """Cardinality aggregation (X77, ES ``cardinality`` agg, exact
     regime): distinct lang / source values over the match set. Oracle:
     COUNT(DISTINCT ...) over the same relation."""
-    import shutil
-    import tempfile
-
     from mahout_spark.index.aggs import facet_cardinality
-    from mahout_spark.index.build import build_index
 
     docs = _load(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="msdrv_card_")
-    try:
-        cat = build_index(
-            spark, docs, out_dir=out, content_col="text",
-            id_cols=["doc_id"], mode="simple", resume=False,
-        )
-        result = facet_cardinality(
-            spark, cat, docs, " OR ".join(BM25_QUERY_TERMS),
-            ["lang", "source"],
-        )
-        rows = result.collect()
-        return spark.createDataFrame(rows, result.schema)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    cat = _shared_index(spark, sf_dir)
+    result = facet_cardinality(
+        spark, cat, docs, " OR ".join(BM25_QUERY_TERMS),
+        ["lang", "source"],
+    )
+    rows = result.collect()
+    return spark.createDataFrame(rows, result.schema)
 
 
 def q_engine_function_score(spark, sf_dir):
@@ -765,31 +715,20 @@ def q_engine_function_score(spark, sf_dir):
     ``score = bm25 * (2 * log1p(0.01 * n_chars))`` — components
     returned for auditability. Oracle: the unrounded BM25 relation
     joined to documents with the same arithmetic."""
-    import shutil
-    import tempfile
-
-    from mahout_spark.index.build import build_index
     from mahout_spark.index.ranking import function_score_topk
 
     docs = _load(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="msdrv_fsc_")
-    try:
-        cat = build_index(
-            spark, docs, out_dir=out, content_col="text",
-            id_cols=["doc_id"], mode="simple", resume=False,
-        )
-        result = function_score_topk(
-            spark, cat, docs, " OR ".join(BM25_QUERY_TERMS),
-            "n_chars", k=10, factor=0.01, modifier="log1p", weight=2.0,
-            boost_mode="multiply",
-        ).select(
-            "doc_id", F.round("score", 6).alias("score"),
-            F.round("bm25", 6).alias("bm25"), F.round("fn", 6).alias("fn"),
-        )
-        rows = result.collect()
-        return spark.createDataFrame(rows, result.schema)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    cat = _shared_index(spark, sf_dir)
+    result = function_score_topk(
+        spark, cat, docs, " OR ".join(BM25_QUERY_TERMS),
+        "n_chars", k=10, factor=0.01, modifier="log1p", weight=2.0,
+        boost_mode="multiply",
+    ).select(
+        "doc_id", F.round("score", 6).alias("score"),
+        F.round("bm25", 6).alias("bm25"), F.round("fn", 6).alias("fn"),
+    )
+    rows = result.collect()
+    return spark.createDataFrame(rows, result.schema)
 
 
 def q_engine_term_vectors(spark, sf_dir):
@@ -797,24 +736,13 @@ def q_engine_term_vectors(spark, sf_dir):
     stats (tf, doclen, corpus df) read from the row-form forward index
     with the doc_id predicate pushed to parquet. Oracle: the token
     stream recounted per doc and joined to the df relation."""
-    import shutil
-    import tempfile
-
-    from mahout_spark.index.build import build_index
     from mahout_spark.index.diag import term_vectors
 
     docs = _load(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="msdrv_tv_")
-    try:
-        cat = build_index(
-            spark, docs, out_dir=out, content_col="text",
-            id_cols=["doc_id"], mode="simple", resume=False,
-        )
-        result = term_vectors(spark, cat, [0, 1, 2, 3, 4])
-        rows = result.collect()
-        return spark.createDataFrame(rows, result.schema)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    cat = _shared_index(spark, sf_dir)
+    result = term_vectors(spark, cat, [0, 1, 2, 3, 4])
+    rows = result.collect()
+    return spark.createDataFrame(rows, result.schema)
 
 
 def q_date_histogram(spark, sf_dir):
@@ -969,24 +897,13 @@ def q_engine_did_you_mean(spark, sf_dir):
     shape): per-token best lexicon correction by (distance asc, df
     desc, term asc), present tokens kept. Oracle: DuckDB's independent
     levenshtein over the df relation per token."""
-    import shutil
-    import tempfile
-
     from mahout_spark.index.boolquery import did_you_mean
-    from mahout_spark.index.build import build_index
 
     docs = _load(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="msdrv_dym_")
-    try:
-        cat = build_index(
-            spark, docs, out_dir=out, content_col="text",
-            id_cols=["doc_id"], mode="simple", resume=False,
-        )
-        result = did_you_mean(spark, cat, "sparkk dtaa query")
-        rows = result.collect()
-        return spark.createDataFrame(rows, result.schema)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    cat = _shared_index(spark, sf_dir)
+    result = did_you_mean(spark, cat, "sparkk dtaa query")
+    rows = result.collect()
+    return spark.createDataFrame(rows, result.schema)
 
 
 def q_engine_filtered_ann(spark, sf_dir):
@@ -1329,27 +1246,16 @@ def q_engine_percentiles(spark, sf_dir):
     regime): n_chars quantiles over the match set — linear
     interpolation, the SQL quantile_cont contract, so the DuckDB oracle
     is exact. The approx (Greenwald-Khanna) regime is test-gated."""
-    import shutil
-    import tempfile
-
     from mahout_spark.index.aggs import facet_percentiles
-    from mahout_spark.index.build import build_index
 
     docs = _load(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="msdrv_pct_")
-    try:
-        cat = build_index(
-            spark, docs, out_dir=out, content_col="text",
-            id_cols=["doc_id"], mode="simple", resume=False,
-        )
-        result = facet_percentiles(
-            spark, cat, docs, " OR ".join(BM25_QUERY_TERMS), "n_chars",
-            (0.25, 0.5, 0.75, 0.95),
-        )
-        rows = result.collect()
-        return spark.createDataFrame(rows, result.schema)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    cat = _shared_index(spark, sf_dir)
+    result = facet_percentiles(
+        spark, cat, docs, " OR ".join(BM25_QUERY_TERMS), "n_chars",
+        (0.25, 0.5, 0.75, 0.95),
+    )
+    rows = result.collect()
+    return spark.createDataFrame(rows, result.schema)
 
 
 def q_engine_extended_stats(spark, sf_dir):
@@ -1357,26 +1263,15 @@ def q_engine_extended_stats(spark, sf_dir):
     seven moments of n_chars over the match set, derived from ES's own
     sum/sumOfSquares formulation so the SQL oracle's IEEE arithmetic is
     bit-identical."""
-    import shutil
-    import tempfile
-
     from mahout_spark.index.aggs import extended_stats
-    from mahout_spark.index.build import build_index
 
     docs = _load(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="msdrv_xst_")
-    try:
-        cat = build_index(
-            spark, docs, out_dir=out, content_col="text",
-            id_cols=["doc_id"], mode="simple", resume=False,
-        )
-        result = extended_stats(
-            spark, cat, docs, " OR ".join(BM25_QUERY_TERMS), "n_chars",
-        )
-        rows = result.collect()
-        return spark.createDataFrame(rows, result.schema)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    cat = _shared_index(spark, sf_dir)
+    result = extended_stats(
+        spark, cat, docs, " OR ".join(BM25_QUERY_TERMS), "n_chars",
+    )
+    rows = result.collect()
+    return spark.createDataFrame(rows, result.schema)
 
 
 def q_engine_composite(spark, sf_dir):
@@ -1385,27 +1280,16 @@ def q_engine_composite(spark, sf_dir):
     space over a match set — strictly after the ("en", 100.0) cursor,
     key-ordered, 10 buckets. The cursor predicate and LIMIT cut after
     ONE partial-agg shuffle — page N costs page 1."""
-    import shutil
-    import tempfile
-
     from mahout_spark.index.aggs import composite_agg
-    from mahout_spark.index.build import build_index
 
     docs = _load(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="msdrv_cmp_")
-    try:
-        cat = build_index(
-            spark, docs, out_dir=out, content_col="text",
-            id_cols=["doc_id"], mode="simple", resume=False,
-        )
-        result = composite_agg(
-            spark, cat, docs, "table OR scan OR data",
-            ["lang", ("n_chars", 100.0)], size=10, after=("en", 100.0),
-        )
-        rows = result.collect()
-        return spark.createDataFrame(rows, result.schema)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    cat = _shared_index(spark, sf_dir)
+    result = composite_agg(
+        spark, cat, docs, "table OR scan OR data",
+        ["lang", ("n_chars", 100.0)], size=10, after=("en", 100.0),
+    )
+    rows = result.collect()
+    return spark.createDataFrame(rows, result.schema)
 
 
 def q_engine_top_hits(spark, sf_dir):
@@ -1413,26 +1297,15 @@ def q_engine_top_hits(spark, sf_dir):
     buckets of the "table OR scan" match set, each with its top-3 BM25
     hits. Oracle: the full SQL relation — bucket counts, ROW_NUMBER per
     lang over the un-cut BM25 agg, both cuts."""
-    import shutil
-    import tempfile
-
     from mahout_spark.index.aggs import top_hits_agg
-    from mahout_spark.index.build import build_index
 
     docs = _load(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="msdrv_th_")
-    try:
-        cat = build_index(
-            spark, docs, out_dir=out, content_col="text",
-            id_cols=["doc_id"], mode="simple", resume=False,
-        )
-        result = top_hits_agg(
-            spark, cat, docs, "table OR scan", "lang", n_buckets=3, size=3,
-        )
-        rows = result.collect()
-        return spark.createDataFrame(rows, result.schema)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    cat = _shared_index(spark, sf_dir)
+    result = top_hits_agg(
+        spark, cat, docs, "table OR scan", "lang", n_buckets=3, size=3,
+    )
+    rows = result.collect()
+    return spark.createDataFrame(rows, result.schema)
 
 
 def q_engine_sorted_scan(spark, sf_dir):
@@ -1470,35 +1343,24 @@ def q_engine_federated_search(spark, sf_dir):
     one union index, the oracle is the same full-corpus BM25 relation as
     engine_indexed_bm25_simple, plus the owning-index column recomputed
     from the parity split."""
-    import shutil
-    import tempfile
-
-    from mahout_spark.index.build import build_index
     from mahout_spark.index.federated import federated_topk
 
     docs = _load(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="msdrv_fed_")
-    try:
-        cats = {}
+    cats = {
+        name: _shared_index(spark, sf_dir, docs=docs.filter(pred), tag=name)
         for name, pred in (
             ("even", F.col("doc_id") % 2 == 0),
             ("odd", F.col("doc_id") % 2 == 1),
-        ):
-            cats[name] = build_index(
-                spark, docs.filter(pred), out_dir=f"{out}/{name}",
-                content_col="text", id_cols=["doc_id"], mode="simple",
-                resume=False,
-            )
-        result = federated_topk(
-            spark, cats, BM25_QUERY_TERMS, k=10
-        ).select(
-            F.col("index").alias("src"), "doc_id",
-            F.round("score", 6).alias("score"),
         )
-        rows = result.collect()
-        return spark.createDataFrame(rows, result.schema)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    }
+    result = federated_topk(
+        spark, cats, BM25_QUERY_TERMS, k=10
+    ).select(
+        F.col("index").alias("src"), "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+    rows = result.collect()
+    return spark.createDataFrame(rows, result.schema)
 
 
 FED_BOOL_QUERY = "mer* OR data NOT stream"
@@ -1512,35 +1374,24 @@ def q_engine_federated_boolean(spark, sf_dir):
     tree (expansion via LIKE over the global df table, honoring the
     parser's precedence: mer* OR (data AND NOT stream)) plus the
     parity owner column."""
-    import shutil
-    import tempfile
-
-    from mahout_spark.index.build import build_index
     from mahout_spark.index.federated import federated_boolean_topk
 
     docs = _load(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="msdrv_fbq_")
-    try:
-        cats = {}
+    cats = {
+        name: _shared_index(spark, sf_dir, docs=docs.filter(pred), tag=name)
         for name, pred in (
             ("even", F.col("doc_id") % 2 == 0),
             ("odd", F.col("doc_id") % 2 == 1),
-        ):
-            cats[name] = build_index(
-                spark, docs.filter(pred), out_dir=f"{out}/{name}",
-                content_col="text", id_cols=["doc_id"], mode="simple",
-                resume=False,
-            )
-        result = federated_boolean_topk(
-            spark, cats, FED_BOOL_QUERY, k=10
-        ).select(
-            F.col("index").alias("src"), "doc_id",
-            F.round("score", 6).alias("score"),
         )
-        rows = result.collect()
-        return spark.createDataFrame(rows, result.schema)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    }
+    result = federated_boolean_topk(
+        spark, cats, FED_BOOL_QUERY, k=10
+    ).select(
+        F.col("index").alias("src"), "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+    rows = result.collect()
+    return spark.createDataFrame(rows, result.schema)
 
 
 def q_engine_index_stats(spark, sf_dir):
@@ -1548,27 +1399,16 @@ def q_engine_index_stats(spark, sf_dir):
     (n_docs, n_terms, n_postings, avgdl) must agree with a from-scratch
     DuckDB recount of the token stream — an end-to-end consistency audit
     of meta + lexicon."""
-    import shutil
-    import tempfile
-
-    from mahout_spark.index.build import build_index
     from mahout_spark.index.diag import index_stats
 
     docs = _load(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="msdrv_diag_")
-    try:
-        cat = build_index(
-            spark, docs, out_dir=out, content_col="text",
-            id_cols=["doc_id"], mode="simple", resume=False,
-        )
-        result = index_stats(spark, cat).select(
-            F.col("n_docs").cast("long").alias("n_docs"),
-            "n_terms", "n_postings", "avgdl",
-        )
-        rows = result.collect()
-        return spark.createDataFrame(rows, result.schema)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    cat = _shared_index(spark, sf_dir)
+    result = index_stats(spark, cat).select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "n_terms", "n_postings", "avgdl",
+    )
+    rows = result.collect()
+    return spark.createDataFrame(rows, result.schema)
 
 
 def q_engine_content_sha(spark, sf_dir):
@@ -1578,36 +1418,25 @@ def q_engine_content_sha(spark, sf_dir):
     itself, so a MATCH proves sha equality per result row against the
     source table (plus verify_content_integrity returns zero violations
     over the whole corpus, asserted here before returning)."""
-    import shutil
-    import tempfile
-
-    from mahout_spark.index.build import build_index
     from mahout_spark.index.diag import verify_content_integrity
     from mahout_spark.index.wand import topk
 
     docs = _load(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="msdrv_sha_")
-    try:
-        cat = build_index(
-            spark, docs, out_dir=out, content_col="text",
-            id_cols=["doc_id"], mode="simple", resume=False,
+    cat = _shared_index(spark, sf_dir)
+    violations = verify_content_integrity(spark, cat, docs).count()
+    if violations:
+        raise AssertionError(
+            f"content integrity violated for {violations} docs"
         )
-        violations = verify_content_integrity(spark, cat, docs).count()
-        if violations:
-            raise AssertionError(
-                f"content integrity violated for {violations} docs"
-            )
-        stored = cat.read(spark, "docstats").select("doc_id", "content_sha")
-        result = (
-            topk(spark, cat, BM25_QUERY_TERMS, k=10)
-            .join(F.broadcast(stored), "doc_id")
-            .select("doc_id", F.round("score", 6).alias("score"),
-                    "content_sha")
-        )
-        rows = result.collect()
-        return spark.createDataFrame(rows, result.schema)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    stored = cat.read(spark, "docstats").select("doc_id", "content_sha")
+    result = (
+        topk(spark, cat, BM25_QUERY_TERMS, k=10)
+        .join(F.broadcast(stored), "doc_id")
+        .select("doc_id", F.round("score", 6).alias("score"),
+                "content_sha")
+    )
+    rows = result.collect()
+    return spark.createDataFrame(rows, result.schema)
 
 
 def q_engine_percolate(spark, sf_dir):
@@ -1644,25 +1473,14 @@ def q_engine_suggest(spark, sf_dir):
     term asc), word itself excluded — 'hat' has 5 distance-2 neighbors
     in this vocabulary, so the cap and the df tie-breaks are exercised. The DuckDB oracle recomputes the
     ranking with its independent levenshtein over the token relation."""
-    import shutil
-    import tempfile
-
     from mahout_spark.index.boolquery import suggest_terms
-    from mahout_spark.index.build import build_index
 
     docs = _load(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="msdrv_sug_")
-    try:
-        cat = build_index(
-            spark, docs, out_dir=out, content_col="text",
-            id_cols=["doc_id"], mode="simple", resume=False,
-        )
-        rows = suggest_terms(spark, cat, SUGGEST_WORD, n=5, max_edits=2)
-        return spark.createDataFrame(
-            rows, "term string, dist long, df long"
-        )
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    cat = _shared_index(spark, sf_dir)
+    rows = suggest_terms(spark, cat, SUGGEST_WORD, n=5, max_edits=2)
+    return spark.createDataFrame(
+        rows, "term string, dist long, df long"
+    )
 
 
 COLLAPSE_QUERY = "table OR scan"
@@ -1676,29 +1494,18 @@ def q_engine_collapse_search(spark, sf_dir):
     set) + one PARTITIONED window, parallel by group. The DuckDB oracle
     recomputes the whole relation: un-cut BM25 agg joined to documents,
     ROW_NUMBER per lang."""
-    import shutil
-    import tempfile
-
     from mahout_spark.index.boolquery import collapse_topk
-    from mahout_spark.index.build import build_index
 
     docs = _load(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="msdrv_col_")
-    try:
-        cat = build_index(
-            spark, docs, out_dir=out, content_col="text",
-            id_cols=["doc_id"], mode="simple", resume=False,
-        )
-        result = collapse_topk(
-            spark, cat, docs, COLLAPSE_QUERY, "lang", n=COLLAPSE_N,
-        ).select(
-            "lang", F.col("rank").cast("long").alias("rank"), "doc_id",
-            F.round("score", 6).alias("score"),
-        )
-        rows = result.collect()
-        return spark.createDataFrame(rows, result.schema)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    cat = _shared_index(spark, sf_dir)
+    result = collapse_topk(
+        spark, cat, docs, COLLAPSE_QUERY, "lang", n=COLLAPSE_N,
+    ).select(
+        "lang", F.col("rank").cast("long").alias("rank"), "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+    rows = result.collect()
+    return spark.createDataFrame(rows, result.schema)
 
 
 SYN_QUERY = "join AND data"
@@ -1711,27 +1518,16 @@ def q_engine_synonym_search(spark, sf_dir):
     members score with the group's MAX df, so the rarer synonym cannot
     out-rank its head. The DuckDB oracle recomputes the group-max df and
     the blended idf relationally."""
-    import shutil
-    import tempfile
-
     from mahout_spark.index.boolquery import boolean_topk
-    from mahout_spark.index.build import build_index
 
     docs = _load(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="msdrv_syn_")
-    try:
-        cat = build_index(
-            spark, docs, out_dir=out, content_col="text",
-            id_cols=["doc_id"], mode="simple", resume=False,
-        )
-        result = boolean_topk(
-            spark, cat, SYN_QUERY, k=10, synonyms=SYNONYMS,
-            synonym_blend=True,
-        ).select("doc_id", F.round("score", 6).alias("score"))
-        rows = result.collect()
-        return spark.createDataFrame(rows, result.schema)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    cat = _shared_index(spark, sf_dir)
+    result = boolean_topk(
+        spark, cat, SYN_QUERY, k=10, synonyms=SYNONYMS,
+        synonym_blend=True,
+    ).select("doc_id", F.round("score", 6).alias("score"))
+    rows = result.collect()
+    return spark.createDataFrame(rows, result.schema)
 
 
 EXPLAIN_QUERY = "table AND data"
@@ -1744,31 +1540,20 @@ def q_engine_explain(spark, sf_dir):
     total. The DuckDB oracle reproduces the whole relation — contrib
     table joined to the top-k cut — so the breakdown itself is
     hash-checked, not just the ranking."""
-    import shutil
-    import tempfile
-
     from mahout_spark.index.boolquery import explain_topk
-    from mahout_spark.index.build import build_index
 
     docs = _load(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="msdrv_xp_")
-    try:
-        cat = build_index(
-            spark, docs, out_dir=out, content_col="text",
-            id_cols=["doc_id"], mode="simple", resume=False,
-        )
-        result = explain_topk(spark, cat, EXPLAIN_QUERY, k=10).select(
-            "doc_id",
-            F.round("score", 6).alias("score"),
-            "term", "tf", "doclen",
-            F.round("idf", 6).alias("idf"),
-            F.round("weight", 6).alias("weight"),
-            F.round("contrib", 6).alias("contrib"),
-        )
-        rows = result.collect()
-        return spark.createDataFrame(rows, result.schema)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    cat = _shared_index(spark, sf_dir)
+    result = explain_topk(spark, cat, EXPLAIN_QUERY, k=10).select(
+        "doc_id",
+        F.round("score", 6).alias("score"),
+        "term", "tf", "doclen",
+        F.round("idf", 6).alias("idf"),
+        F.round("weight", 6).alias("weight"),
+        F.round("contrib", 6).alias("contrib"),
+    )
+    rows = result.collect()
+    return spark.createDataFrame(rows, result.schema)
 
 
 WILDCARD_QUERY = "*e AND ?a??"
@@ -1782,26 +1567,15 @@ def q_engine_wildcard_search(spark, sf_dir):
     expansions with regexp_matches over the SAME anchored regex
     translation (exhaustive under the cap on this vocabulary) and the
     same BM25 sum."""
-    import shutil
-    import tempfile
-
     from mahout_spark.index.boolquery import boolean_topk
-    from mahout_spark.index.build import build_index
 
     docs = _load(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="msdrv_wc_")
-    try:
-        cat = build_index(
-            spark, docs, out_dir=out, content_col="text",
-            id_cols=["doc_id"], mode="simple", resume=False,
-        )
-        result = boolean_topk(spark, cat, WILDCARD_QUERY, k=10).select(
-            "doc_id", F.round("score", 6).alias("score")
-        )
-        rows = result.collect()
-        return spark.createDataFrame(rows, result.schema)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    cat = _shared_index(spark, sf_dir)
+    result = boolean_topk(spark, cat, WILDCARD_QUERY, k=10).select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
+    rows = result.collect()
+    return spark.createDataFrame(rows, result.schema)
 
 
 REGEXP_QUERY = "/m[aeiou]rge|str[aeiou]am/ AND /qu[a-z]+/"
@@ -1815,26 +1589,15 @@ def q_engine_regexp_search(spark, sf_dir):
     recomputes both expansions with regexp_matches over the same
     anchored pattern (Java-and-RE2 common subset; exhaustive under the
     cap on this vocabulary) and the same BM25 sum."""
-    import shutil
-    import tempfile
-
     from mahout_spark.index.boolquery import boolean_topk
-    from mahout_spark.index.build import build_index
 
     docs = _load(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="msdrv_rx_")
-    try:
-        cat = build_index(
-            spark, docs, out_dir=out, content_col="text",
-            id_cols=["doc_id"], mode="simple", resume=False,
-        )
-        result = boolean_topk(spark, cat, REGEXP_QUERY, k=10).select(
-            "doc_id", F.round("score", 6).alias("score")
-        )
-        rows = result.collect()
-        return spark.createDataFrame(rows, result.schema)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    cat = _shared_index(spark, sf_dir)
+    result = boolean_topk(spark, cat, REGEXP_QUERY, k=10).select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
+    rows = result.collect()
+    return spark.createDataFrame(rows, result.schema)
 
 
 def q_engine_wildcard_permuterm(spark, sf_dir):
@@ -1843,28 +1606,17 @@ def q_engine_wildcard_permuterm(spark, sf_dir):
     dictionary (build_permuterm) for its single-star leaf — a MATCH
     against the same oracle proves the tier is a pure physical
     optimization (identical expansions, identical ranking)."""
-    import shutil
-    import tempfile
-
     from mahout_spark.index.boolquery import boolean_topk
-    from mahout_spark.index.build import build_index
     from mahout_spark.index.permuterm import build_permuterm
 
     docs = _load(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="msdrv_pt_")
-    try:
-        cat = build_index(
-            spark, docs, out_dir=out, content_col="text",
-            id_cols=["doc_id"], mode="simple", resume=False,
-        )
-        build_permuterm(spark, cat)
-        result = boolean_topk(spark, cat, WILDCARD_QUERY, k=10).select(
-            "doc_id", F.round("score", 6).alias("score")
-        )
-        rows = result.collect()
-        return spark.createDataFrame(rows, result.schema)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    cat = _shared_index(spark, sf_dir)
+    build_permuterm(spark, cat)
+    result = boolean_topk(spark, cat, WILDCARD_QUERY, k=10).select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
+    rows = result.collect()
+    return spark.createDataFrame(rows, result.schema)
 
 
 GRAM_FUZZY_QUERY = "vektor~2 AND data"
@@ -1876,28 +1628,17 @@ def q_engine_fuzzy_gramtier(spark, sf_dir):
     count-filter table instead of the vocabulary scan; a MATCH against
     the independent DuckDB levenshtein relation proves the tier is a
     pure physical optimization."""
-    import shutil
-    import tempfile
-
     from mahout_spark.index.boolquery import boolean_topk
-    from mahout_spark.index.build import build_index
     from mahout_spark.index.gramindex import build_gramindex
 
     docs = _load(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="msdrv_gft_")
-    try:
-        cat = build_index(
-            spark, docs, out_dir=out, content_col="text",
-            id_cols=["doc_id"], mode="simple", resume=False,
-        )
-        build_gramindex(spark, cat)
-        result = boolean_topk(spark, cat, GRAM_FUZZY_QUERY, k=10).select(
-            "doc_id", F.round("score", 6).alias("score")
-        )
-        rows = result.collect()
-        return spark.createDataFrame(rows, result.schema)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    cat = _shared_index(spark, sf_dir)
+    build_gramindex(spark, cat)
+    result = boolean_topk(spark, cat, GRAM_FUZZY_QUERY, k=10).select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
+    rows = result.collect()
+    return spark.createDataFrame(rows, result.schema)
 
 
 MSM_QUERY = "table OR scan OR merge OR data"
@@ -1911,26 +1652,15 @@ def q_engine_msm_search(spark, sf_dir):
     query. The DuckDB oracle counts distinct matching clause terms per
     doc with GROUP BY/HAVING — relational mm — and recomputes the same
     BM25 sum."""
-    import shutil
-    import tempfile
-
     from mahout_spark.index.boolquery import boolean_topk
-    from mahout_spark.index.build import build_index
 
     docs = _load(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="msdrv_msm_")
-    try:
-        cat = build_index(
-            spark, docs, out_dir=out, content_col="text",
-            id_cols=["doc_id"], mode="simple", resume=False,
-        )
-        result = boolean_topk(
-            spark, cat, MSM_QUERY, k=10, minimum_should_match=MSM_M
-        ).select("doc_id", F.round("score", 6).alias("score"))
-        rows = result.collect()
-        return spark.createDataFrame(rows, result.schema)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    cat = _shared_index(spark, sf_dir)
+    result = boolean_topk(
+        spark, cat, MSM_QUERY, k=10, minimum_should_match=MSM_M
+    ).select("doc_id", F.round("score", 6).alias("score"))
+    rows = result.collect()
+    return spark.createDataFrame(rows, result.schema)
 
 
 AFTER_QUERY = "table OR scan"
@@ -1945,28 +1675,17 @@ def q_engine_search_after(spark, sf_dir):
     runs before the top-k cut (page N costs page 1 — no offset
     materialization). The DuckDB oracle checks page 2 IS ranks 11-20 of
     the deep ranking (LIMIT/OFFSET over the same relation)."""
-    import shutil
-    import tempfile
-
     from mahout_spark.index.boolquery import boolean_topk
-    from mahout_spark.index.build import build_index
 
     docs = _load(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="msdrv_sa_")
-    try:
-        cat = build_index(
-            spark, docs, out_dir=out, content_col="text",
-            id_cols=["doc_id"], mode="simple", resume=False,
-        )
-        page1 = boolean_topk(spark, cat, AFTER_QUERY, k=10).collect()
-        cursor = (page1[-1]["score"], page1[-1]["doc_id"])
-        result = boolean_topk(
-            spark, cat, AFTER_QUERY, k=10, after=cursor
-        ).select("doc_id", F.round("score", 6).alias("score"))
-        rows = result.collect()
-        return spark.createDataFrame(rows, result.schema)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    cat = _shared_index(spark, sf_dir)
+    page1 = boolean_topk(spark, cat, AFTER_QUERY, k=10).collect()
+    cursor = (page1[-1]["score"], page1[-1]["doc_id"])
+    result = boolean_topk(
+        spark, cat, AFTER_QUERY, k=10, after=cursor
+    ).select("doc_id", F.round("score", 6).alias("score"))
+    rows = result.collect()
+    return spark.createDataFrame(rows, result.schema)
 
 
 MLT_DOC_ID = 42
@@ -1981,27 +1700,16 @@ def q_engine_mlt_search(spark, sf_dir):
     excluded from its own neighborhood. The DuckDB oracle recomputes
     term selection AND retrieval relationally from the token stream —
     both MLT stages are hash-checked end-to-end."""
-    import shutil
-    import tempfile
-
-    from mahout_spark.index.build import build_index
     from mahout_spark.index.mlt import more_like_doc
 
     docs = _load(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="msdrv_mlt_")
-    try:
-        cat = build_index(
-            spark, docs, out_dir=out, content_col="text",
-            id_cols=["doc_id"], mode="simple", resume=False,
-        )
-        result = more_like_doc(
-            spark, cat, docs, MLT_DOC_ID, content_col="text", k=10,
-            max_query_terms=MLT_MAX_TERMS,
-        ).select("doc_id", F.round("score", 6).alias("score"))
-        rows = result.collect()
-        return spark.createDataFrame(rows, result.schema)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    cat = _shared_index(spark, sf_dir)
+    result = more_like_doc(
+        spark, cat, docs, MLT_DOC_ID, content_col="text", k=10,
+        max_query_terms=MLT_MAX_TERMS,
+    ).select("doc_id", F.round("score", 6).alias("score"))
+    rows = result.collect()
+    return spark.createDataFrame(rows, result.schema)
 
 
 def q_engine_facet_search(spark, sf_dir):
@@ -2013,28 +1721,16 @@ def q_engine_facet_search(spark, sf_dir):
     one shuffle join + one partial-aggregated count. The DuckDB oracle
     recomputes the same boolean tree with SQL set ops and groups the
     matching documents directly."""
-    import shutil
-    import tempfile
-
     from mahout_spark.index.boolquery import facet_counts
-    from mahout_spark.index.build import build_index
 
     docs = _load(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="msdrv_fct_")
-    try:
-        cat = build_index(
-            spark, docs, out_dir=out, content_col="text",
-            id_cols=["doc_id"], mode="simple", resume=False,
-            positions=True,
-        )
-        result = (
-            facet_counts(spark, cat, docs, BOOL_QUERY, ["lang", "source"])
-            .orderBy("lang", "source")
-        )
-        rows = result.collect()
-        return spark.createDataFrame(rows, result.schema)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    cat = _shared_index(spark, sf_dir, positions=True)
+    result = (
+        facet_counts(spark, cat, docs, BOOL_QUERY, ["lang", "source"])
+        .orderBy("lang", "source")
+    )
+    rows = result.collect()
+    return spark.createDataFrame(rows, result.schema)
 
 
 FIELD_QUERY = "lang:es table scan"
@@ -2049,27 +1745,15 @@ def q_engine_field_search(spark, sf_dir):
     contribution from first principles: df(tag) = count of indexed docs
     with that lang, tf=1, the doc's text-token doclen — fully
     independent of the posting machinery."""
-    import shutil
-    import tempfile
-
     from mahout_spark.index.boolquery import boolean_topk
-    from mahout_spark.index.build import build_index
 
     docs = _load(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="msdrv_fld_")
-    try:
-        cat = build_index(
-            spark, docs, out_dir=out, content_col="text",
-            id_cols=["doc_id"], mode="simple", lang_col="lang",
-            resume=False,
-        )
-        result = boolean_topk(spark, cat, FIELD_QUERY, k=10).select(
-            "doc_id", F.round("score", 6).alias("score")
-        )
-        rows = result.collect()
-        return spark.createDataFrame(rows, result.schema)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    cat = _shared_index(spark, sf_dir, lang_col="lang")
+    result = boolean_topk(spark, cat, FIELD_QUERY, k=10).select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
+    rows = result.collect()
+    return spark.createDataFrame(rows, result.schema)
 
 
 def q_engine_proximity_search(spark, sf_dir):
@@ -2082,27 +1766,15 @@ def q_engine_proximity_search(spark, sf_dir):
     (generate_subscripts) on |p1 - p2| <= window — exact for the two
     distinct query terms — fully independent of the kernel's key
     arithmetic."""
-    import shutil
-    import tempfile
-
-    from mahout_spark.index.build import build_index
     from mahout_spark.index.phrase import proximity_topk
 
     docs = _load(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="msdrv_prox_")
-    try:
-        cat = build_index(
-            spark, docs, out_dir=out, content_col="text",
-            id_cols=["doc_id"], mode="simple", resume=False,
-            positions=True,
-        )
-        result = proximity_topk(
-            spark, cat, PROX_TERMS, PROX_WINDOW, k=10
-        ).select("doc_id", F.round("score", 6).alias("score"))
-        rows = result.collect()
-        return spark.createDataFrame(rows, result.schema)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    cat = _shared_index(spark, sf_dir, positions=True)
+    result = proximity_topk(
+        spark, cat, PROX_TERMS, PROX_WINDOW, k=10
+    ).select("doc_id", F.round("score", 6).alias("score"))
+    rows = result.collect()
+    return spark.createDataFrame(rows, result.schema)
 
 
 def q_phrase_snippets(spark, sf_dir):
@@ -2196,26 +1868,15 @@ def q_engine_significant_terms(spark, sf_dir):
     terms over-represented in the 'table AND data' match set vs the
     corpus. Oracle recomputes foreground df from the match set, background
     df from the token stream, and the same JLH formula."""
-    import shutil
-    import tempfile
-
     from mahout_spark.index.aggs import significant_terms
-    from mahout_spark.index.build import build_index
 
     docs = _load(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="msdrv_sig_")
-    try:
-        cat = build_index(
-            spark, docs, out_dir=out, content_col="text",
-            id_cols=["doc_id"], mode="simple", resume=False,
-        )
-        cleanup: list = []
-        result = significant_terms(
-            spark, cat, "table AND data", n=10, cleanup=cleanup
-        )
-        return _localize(spark, result, cleanup)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    cat = _shared_index(spark, sf_dir)
+    cleanup: list = []
+    result = significant_terms(
+        spark, cat, "table AND data", n=10, cleanup=cleanup
+    )
+    return _localize(spark, result, cleanup)
 
 
 def q_engine_alias_search(spark, sf_dir):
@@ -2228,24 +1889,18 @@ def q_engine_alias_search(spark, sf_dir):
     import tempfile
 
     from mahout_spark.index.alias import AliasRegistry
-    from mahout_spark.index.build import build_index
     from mahout_spark.index.wand import topk
 
     docs = _load(spark, sf_dir, "documents")
     out = tempfile.mkdtemp(prefix="msdrv_alias_")
     try:
-        half = build_index(
-            spark, docs.filter(F.col("doc_id") % 2 == 0),
-            out_dir=os.path.join(out, "half"), content_col="text",
-            id_cols=["doc_id"], mode="simple", resume=False,
+        half = _shared_index(
+            spark, sf_dir, docs=docs.filter(F.col("doc_id") % 2 == 0),
+            tag="even",
         )
         reg = AliasRegistry(os.path.join(out, "reg"))
         reg.set_alias("docs", half.root)
-        full = build_index(
-            spark, docs, out_dir=os.path.join(out, "full"),
-            content_col="text", id_cols=["doc_id"], mode="simple",
-            resume=False,
-        )
+        full = _shared_index(spark, sf_dir)
         reg.set_alias("docs", full.root)  # the atomic cutover
         result = topk(
             spark, reg.resolve("docs"), BM25_QUERY_TERMS, k=10
@@ -2260,23 +1915,12 @@ def q_engine_disk_usage(spark, sf_dir):
     freshly built index — rows-only (sizes are filesystem facts, not
     SQL-derivable; row-count/byte agreement is pytest-gated against
     real scans + an os.walk)."""
-    import shutil
-    import tempfile
-
-    from mahout_spark.index.build import build_index
     from mahout_spark.index.diag import disk_usage
 
     docs = _load(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="msdrv_du_")
-    try:
-        cat = build_index(
-            spark, docs, out_dir=out, content_col="text",
-            id_cols=["doc_id"], mode="simple", resume=False,
-        )
-        result = disk_usage(spark, cat)
-        return spark.createDataFrame(result.collect(), result.schema)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    cat = _shared_index(spark, sf_dir)
+    result = disk_usage(spark, cat)
+    return spark.createDataFrame(result.collect(), result.schema)
 
 
 def q_engine_search_template(spark, sf_dir):
@@ -2285,29 +1929,17 @@ def q_engine_search_template(spark, sf_dir):
     {{x}}' with injection-guarded parameter substitution, then run
     exactly like engine_boolean_search — MATCH against the literal
     query's oracle proves rendering is semantics-preserving."""
-    import shutil
-    import tempfile
-
     from mahout_spark.index.boolquery import boolean_topk
-    from mahout_spark.index.build import build_index
     from mahout_spark.index.queryparse import render_template
 
     docs = _load(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="msdrv_tpl_")
-    try:
-        cat = build_index(
-            spark, docs, out_dir=out, content_col="text",
-            id_cols=["doc_id"], mode="simple", resume=False,
-            positions=True,
-        )
-        rendered = render_template(
-            '("{{p}}" OR {{a}}) AND {{m}} NOT {{x}}',
-            dict(p="table scan", a="merge", m="data", x="stream"))
-        result = boolean_topk(spark, cat, rendered, k=10).select(
-            "doc_id", F.round("score", 6).alias("score"))
-        return spark.createDataFrame(result.collect(), result.schema)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    cat = _shared_index(spark, sf_dir, positions=True)
+    rendered = render_template(
+        '("{{p}}" OR {{a}}) AND {{m}} NOT {{x}}',
+        dict(p="table scan", a="merge", m="data", x="stream"))
+    result = boolean_topk(spark, cat, rendered, k=10).select(
+        "doc_id", F.round("score", 6).alias("score"))
+    return spark.createDataFrame(result.collect(), result.schema)
 
 
 def q_engine_delete_by_query(spark, sf_dir):
@@ -2317,19 +1949,12 @@ def q_engine_delete_by_query(spark, sf_dir):
     BM25 query. Same Lucene visibility contract as engine_delete_search:
     matchers vanish, stats stay pre-delete until compaction."""
     import shutil
-    import tempfile
 
-    from mahout_spark.index.build import build_index
     from mahout_spark.index.delete import delete_by_query
     from mahout_spark.index.wand import topk
 
-    docs = _load(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="msdrv_dbq_")
+    cat, out = _cloned_index(spark, sf_dir)
     try:
-        cat = build_index(
-            spark, docs, out_dir=out, content_col="text",
-            id_cols=["doc_id"], mode="simple", resume=False,
-        )
         delete_by_query(spark, cat, "stream")
         result = topk(spark, cat, BM25_QUERY_TERMS, k=10).select(
             "doc_id", F.round("score", 6).alias("score"))
@@ -2345,21 +1970,13 @@ def q_engine_snapshot_restore(spark, sf_dir):
     oracle is the plain undeleted BM25 relation — MATCH proves the
     restore is lossless and isolated from post-snapshot mutation."""
     import shutil
-    import tempfile
 
-    from mahout_spark.index.build import build_index
     from mahout_spark.index.delete import delete_docs
     from mahout_spark.index.snapshot import restore_index, snapshot_index
     from mahout_spark.index.wand import topk
 
-    docs = _load(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="msdrv_snap_")
+    cat, out = _cloned_index(spark, sf_dir)
     try:
-        cat = build_index(
-            spark, docs, out_dir=os.path.join(out, "idx"),
-            content_col="text", id_cols=["doc_id"], mode="simple",
-            resume=False,
-        )
         snapshot_index(cat, os.path.join(out, "repo"), "s1")
         live = topk(spark, cat, BM25_QUERY_TERMS, k=3).collect()
         delete_docs(spark, cat, [r["doc_id"] for r in live])
@@ -2378,74 +1995,40 @@ def q_engine_span_first(spark, sf_dir):
     positions (span end start+L <= 12), BM25-scored like phrase search.
     The oracle phrase-matches the space-joined prefix of the normalized
     token stream — fully independent of the composite-key kernel."""
-    import shutil
-    import tempfile
-
-    from mahout_spark.index.build import build_index
     from mahout_spark.index.phrase import span_first_topk
 
     docs = _load(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="msdrv_spf_")
-    try:
-        cat = build_index(
-            spark, docs, out_dir=out, content_col="text",
-            id_cols=["doc_id"], mode="simple", resume=False,
-            positions=True,
-        )
-        result = span_first_topk(
-            spark, cat, PHRASE_QUERY, end=12, k=10
-        ).select("doc_id", F.round("score", 6).alias("score"))
-        return spark.createDataFrame(result.collect(), result.schema)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    cat = _shared_index(spark, sf_dir, positions=True)
+    result = span_first_topk(
+        spark, cat, PHRASE_QUERY, end=12, k=10
+    ).select("doc_id", F.round("score", 6).alias("score"))
+    return spark.createDataFrame(result.collect(), result.schema)
 
 
 def q_engine_terms_enum(spark, sf_dir):
     """terms_enum API (X111, ES _terms_enum): index terms with prefix
     's' in term order with doc frequencies — one filtered lexicon scan
     (vocabulary-sized, never postings)."""
-    import shutil
-    import tempfile
-
     from mahout_spark.index.aggs import terms_enum
-    from mahout_spark.index.build import build_index
 
     docs = _load(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="msdrv_tenum_")
-    try:
-        cat = build_index(
-            spark, docs, out_dir=out, content_col="text",
-            id_cols=["doc_id"], mode="simple", resume=False,
-        )
-        result = terms_enum(spark, cat, "s", n=10)
-        return spark.createDataFrame(result.collect(), result.schema)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    cat = _shared_index(spark, sf_dir)
+    result = terms_enum(spark, cat, "s", n=10)
+    return spark.createDataFrame(result.collect(), result.schema)
 
 
 def q_engine_top_metrics(spark, sf_dir):
     """top_metrics agg (X112, ES top_metrics): lang/source at the 5
     largest n_chars of the 'data' match set (ties on doc_id)."""
-    import shutil
-    import tempfile
-
     from mahout_spark.index.aggs import top_metrics_agg
-    from mahout_spark.index.build import build_index
 
     docs = _load(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="msdrv_topm_")
-    try:
-        cat = build_index(
-            spark, docs, out_dir=out, content_col="text",
-            id_cols=["doc_id"], mode="simple", resume=False,
-        )
-        result = top_metrics_agg(
-            spark, cat, docs, "data", "n_chars", ["lang", "source"],
-            size=5,
-        )
-        return spark.createDataFrame(result.collect(), result.schema)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    cat = _shared_index(spark, sf_dir)
+    result = top_metrics_agg(
+        spark, cat, docs, "data", "n_chars", ["lang", "source"],
+        size=5,
+    )
+    return spark.createDataFrame(result.collect(), result.schema)
 
 
 def q_engine_t_test(spark, sf_dir):
@@ -2453,77 +2036,44 @@ def q_engine_t_test(spark, sf_dir):
     different between the 'table' and 'stream' match sets? Moments-
     derived sample variances (exact for the integer column), the same
     expression tree in the oracle."""
-    import shutil
-    import tempfile
-
     from mahout_spark.index.aggs import t_test_agg
-    from mahout_spark.index.build import build_index
 
     docs = _load(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="msdrv_tt_")
-    try:
-        cat = build_index(
-            spark, docs, out_dir=out, content_col="text",
-            id_cols=["doc_id"], mode="simple", resume=False,
-        )
-        result = t_test_agg(
-            spark, cat, docs, "table", "stream", "n_chars")
-        return spark.createDataFrame(result.collect(), result.schema)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    cat = _shared_index(spark, sf_dir)
+    result = t_test_agg(
+        spark, cat, docs, "table", "stream", "n_chars")
+    return spark.createDataFrame(result.collect(), result.schema)
 
 
 def q_engine_matrix_stats(spark, sf_dir):
     """matrix_stats agg (X115, ES matrix_stats): population variances /
     covariance / Pearson correlation between n_chars and the derived
     token count over the 'data' match set — exact moment arithmetic."""
-    import shutil
-    import tempfile
-
     from mahout_spark.index.aggs import matrix_stats_agg
-    from mahout_spark.index.build import build_index
 
     docs = _load(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="msdrv_mx_")
-    try:
-        cat = build_index(
-            spark, docs, out_dir=out, content_col="text",
-            id_cols=["doc_id"], mode="simple", resume=False,
-        )
-        wdocs = docs.withColumn(
-            "n_toks",
-            F.size(F.filter(F.split(F.lower("text"), "[^a-z0-9]+"),
-                            lambda t: t != "")))
-        result = matrix_stats_agg(
-            spark, cat, wdocs, "data", "n_chars", "n_toks")
-        return spark.createDataFrame(result.collect(), result.schema)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    cat = _shared_index(spark, sf_dir)
+    wdocs = docs.withColumn(
+        "n_toks",
+        F.size(F.filter(F.split(F.lower("text"), "[^a-z0-9]+"),
+                        lambda t: t != "")))
+    result = matrix_stats_agg(
+        spark, cat, wdocs, "data", "n_chars", "n_toks")
+    return spark.createDataFrame(result.collect(), result.schema)
 
 
 def q_engine_multi_terms(spark, sf_dir):
     """multi_terms agg (X116, ES multi_terms): (lang, source) compound
     buckets over the 'data' match set, most-populated first with the
     key-tuple tie pin, sum(n_chars) attached."""
-    import shutil
-    import tempfile
-
     from mahout_spark.index.aggs import multi_terms_agg
-    from mahout_spark.index.build import build_index
 
     docs = _load(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="msdrv_mt_")
-    try:
-        cat = build_index(
-            spark, docs, out_dir=out, content_col="text",
-            id_cols=["doc_id"], mode="simple", resume=False,
-        )
-        result = multi_terms_agg(
-            spark, cat, docs, "data", ["lang", "source"], n=10,
-            value_col="n_chars")
-        return spark.createDataFrame(result.collect(), result.schema)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    cat = _shared_index(spark, sf_dir)
+    result = multi_terms_agg(
+        spark, cat, docs, "data", ["lang", "source"], n=10,
+        value_col="n_chars")
+    return spark.createDataFrame(result.collect(), result.schema)
 
 
 def q_engine_rare_terms(spark, sf_dir):
@@ -2531,80 +2081,47 @@ def q_engine_rare_terms(spark, sf_dir):
     of the 'table OR data' match set by foreground doc count (fg_df asc,
     term asc) — the long-tail complement of the terms agg, exact where
     ES approximates with a CuckooFilter."""
-    import shutil
-    import tempfile
-
     from mahout_spark.index.aggs import rare_terms
-    from mahout_spark.index.build import build_index
 
     docs = _load(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="msdrv_rare_")
-    try:
-        cat = build_index(
-            spark, docs, out_dir=out, content_col="text",
-            id_cols=["doc_id"], mode="simple", resume=False,
-        )
-        cleanup: list = []
-        result = rare_terms(
-            spark, cat, "table OR data", n=10, cleanup=cleanup)
-        return _localize(spark, result, cleanup)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    cat = _shared_index(spark, sf_dir)
+    cleanup: list = []
+    result = rare_terms(
+        spark, cat, "table OR data", n=10, cleanup=cleanup)
+    return _localize(spark, result, cleanup)
 
 
 def q_engine_filters_agg(spark, sf_dir):
     """filters aggregation (X99, ES filters): named buckets with match
     counts, INCLUDING the zero bucket for a never-matching term."""
-    import shutil
-    import tempfile
-
     from mahout_spark.index.aggs import filters_agg
-    from mahout_spark.index.build import build_index
 
     docs = _load(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="msdrv_filt_")
-    try:
-        cat = build_index(
-            spark, docs, out_dir=out, content_col="text",
-            id_cols=["doc_id"], mode="simple", resume=False,
-        )
-        cleanup: list = []
-        result = filters_agg(
-            spark, cat,
-            {"has_data": "data", "has_table": "table",
-             "both": "data AND table", "never": "zzzznotaword"},
-            cleanup=cleanup,
-        )
-        return _localize(spark, result, cleanup)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    cat = _shared_index(spark, sf_dir)
+    cleanup: list = []
+    result = filters_agg(
+        spark, cat,
+        {"has_data": "data", "has_table": "table",
+         "both": "data AND table", "never": "zzzznotaword"},
+        cleanup=cleanup,
+    )
+    return _localize(spark, result, cleanup)
 
 
 def q_engine_adjacency(spark, sf_dir):
     """adjacency_matrix aggregation (X99, ES adjacency_matrix): doc
     counts for each filter and each filter pair intersection (a&b keys),
     zero intersections omitted."""
-    import shutil
-    import tempfile
-
     from mahout_spark.index.aggs import adjacency_matrix
-    from mahout_spark.index.build import build_index
 
     docs = _load(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="msdrv_adj_")
-    try:
-        cat = build_index(
-            spark, docs, out_dir=out, content_col="text",
-            id_cols=["doc_id"], mode="simple", resume=False,
-        )
-        cleanup: list = []
-        result = adjacency_matrix(
-            spark, cat, {"d": "data", "q": "query", "t": "table"},
-            cleanup=cleanup,
-        )
-        return _localize(spark, result, cleanup)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    cat = _shared_index(spark, sf_dir)
+    cleanup: list = []
+    result = adjacency_matrix(
+        spark, cat, {"d": "data", "q": "query", "t": "table"},
+        cleanup=cleanup,
+    )
+    return _localize(spark, result, cleanup)
 
 
 def q_engine_range_agg(spark, sf_dir):
@@ -2612,76 +2129,43 @@ def q_engine_range_agg(spark, sf_dir):
     the 'table OR data' match set — from-inclusive/to-exclusive,
     OVERLAPPING ranges allowed (each is an independent conditional
     aggregate in one pass), empty buckets included with NULL metrics."""
-    import shutil
-    import tempfile
-
     from mahout_spark.index.aggs import range_agg
-    from mahout_spark.index.build import build_index
 
     docs = _load(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="msdrv_rng_")
-    try:
-        cat = build_index(
-            spark, docs, out_dir=out, content_col="text",
-            id_cols=["doc_id"], mode="simple", resume=False,
-        )
-        result = range_agg(
-            spark, cat, docs, "table OR data", "n_chars",
-            [("a_small", None, 500.0), ("b_mid", 400.0, 900.0),
-             ("c_large", 900.0, None)],
-        )
-        return spark.createDataFrame(result.collect(), result.schema)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    cat = _shared_index(spark, sf_dir)
+    result = range_agg(
+        spark, cat, docs, "table OR data", "n_chars",
+        [("a_small", None, 500.0), ("b_mid", 400.0, 900.0),
+         ("c_large", 900.0, None)],
+    )
+    return spark.createDataFrame(result.collect(), result.schema)
 
 
 def q_engine_weighted_avg(spark, sf_dir):
     """weighted_avg aggregation (X101, ES weighted_avg): n_chars
     weighted by (doc_id % 7 + 1) over the 'data' match set."""
-    import shutil
-    import tempfile
-
     from mahout_spark.index.aggs import weighted_avg
-    from mahout_spark.index.build import build_index
 
     docs = _load(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="msdrv_wavg_")
-    try:
-        cat = build_index(
-            spark, docs, out_dir=out, content_col="text",
-            id_cols=["doc_id"], mode="simple", resume=False,
-        )
-        wdocs = docs.withColumn("w", (F.col("doc_id") % 7 + 1))
-        result = weighted_avg(spark, cat, wdocs, "data", "n_chars", "w")
-        return spark.createDataFrame(result.collect(), result.schema)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    cat = _shared_index(spark, sf_dir)
+    wdocs = docs.withColumn("w", (F.col("doc_id") % 7 + 1))
+    result = weighted_avg(spark, cat, wdocs, "data", "n_chars", "w")
+    return spark.createDataFrame(result.collect(), result.schema)
 
 
 def q_engine_facet_histogram(spark, sf_dir):
     """Numeric histogram facet (X66, ES histogram agg): n_chars in
     width-200 buckets over the 'table OR data' match set. Oracle:
     the same bucket arithmetic over the SQL match set."""
-    import shutil
-    import tempfile
-
     from mahout_spark.index.aggs import facet_histogram
-    from mahout_spark.index.build import build_index
 
     docs = _load(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="msdrv_fh_")
-    try:
-        cat = build_index(
-            spark, docs, out_dir=out, content_col="text",
-            id_cols=["doc_id"], mode="simple", resume=False,
-        )
-        result = facet_histogram(
-            spark, cat, docs, "table OR data", "n_chars", 200
-        )
-        rows = result.collect()
-        return spark.createDataFrame(rows, result.schema)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    cat = _shared_index(spark, sf_dir)
+    result = facet_histogram(
+        spark, cat, docs, "table OR data", "n_chars", 200
+    )
+    rows = result.collect()
+    return spark.createDataFrame(rows, result.schema)
 
 
 RESCORE_WINDOW = 50
@@ -2696,34 +2180,23 @@ def q_engine_rescore_search(spark, sf_dir):
     query vector). Oracle recomputes the UNROUNDED BM25 window relation,
     DuckDB's own list-op cosine (rounded to 6, as the engine rounds),
     and the same linear combination."""
-    import shutil
-    import tempfile
-
-    from mahout_spark.index.build import build_index
     from mahout_spark.index.hybrid import rescore_topk
 
     docs = _load(spark, sf_dir, "documents")
     emb = _load(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in
             emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    out = tempfile.mkdtemp(prefix="msdrv_rsc_")
-    try:
-        cat = build_index(
-            spark, docs, out_dir=out, content_col="text",
-            id_cols=["doc_id"], mode="simple", resume=False,
-        )
-        result = rescore_topk(
-            spark, cat, " OR ".join(BM25_QUERY_TERMS), emb, qvec,
-            k=10, window=RESCORE_WINDOW,
-            query_weight=1.0, rescore_weight=RESCORE_W,
-        ).select(
-            "doc_id", "score",
-            F.round("bm25", 6).alias("bm25"), "cosine",
-        )
-        rows = result.collect()
-        return spark.createDataFrame(rows, result.schema)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    cat = _shared_index(spark, sf_dir)
+    result = rescore_topk(
+        spark, cat, " OR ".join(BM25_QUERY_TERMS), emb, qvec,
+        k=10, window=RESCORE_WINDOW,
+        query_weight=1.0, rescore_weight=RESCORE_W,
+    ).select(
+        "doc_id", "score",
+        F.round("bm25", 6).alias("bm25"), "cosine",
+    )
+    rows = result.collect()
+    return spark.createDataFrame(rows, result.schema)
 
 
 def q_engine_hybrid_search(spark, sf_dir):
@@ -2732,34 +2205,23 @@ def q_engine_hybrid_search(spark, sf_dir):
     independently (ROW_NUMBER over the unrounded BM25 relation and the
     rounded cosine relation) and the same RRF sum over a FULL OUTER
     join."""
-    import shutil
-    import tempfile
-
-    from mahout_spark.index.build import build_index
     from mahout_spark.index.hybrid import hybrid_topk
 
     docs = _load(spark, sf_dir, "documents")
     emb = _load(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in
             emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    out = tempfile.mkdtemp(prefix="msdrv_hyb_")
-    try:
-        cat = build_index(
-            spark, docs, out_dir=out, content_col="text",
-            id_cols=["doc_id"], mode="simple", resume=False,
-        )
-        result = hybrid_topk(
-            spark, cat, " OR ".join(BM25_QUERY_TERMS), emb, qvec,
-            k=10, depth=RRF_DEPTH, rrf_k=RRF_K,
-        ).select(
-            "doc_id", "score",
-            F.col("lex_rank").cast("long").alias("lex_rank"),
-            F.col("vec_rank").cast("long").alias("vec_rank"),
-        )
-        rows = result.collect()
-        return spark.createDataFrame(rows, result.schema)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    cat = _shared_index(spark, sf_dir)
+    result = hybrid_topk(
+        spark, cat, " OR ".join(BM25_QUERY_TERMS), emb, qvec,
+        k=10, depth=RRF_DEPTH, rrf_k=RRF_K,
+    ).select(
+        "doc_id", "score",
+        F.col("lex_rank").cast("long").alias("lex_rank"),
+        F.col("vec_rank").cast("long").alias("vec_rank"),
+    )
+    rows = result.collect()
+    return spark.createDataFrame(rows, result.schema)
 
 
 def q_cosine_topk(spark, sf_dir):

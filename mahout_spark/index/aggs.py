@@ -644,18 +644,26 @@ def terms_enum(
     in term order with their doc frequencies — the autocomplete /
     dictionary-browse surface. One filtered lexicon scan (the lexicon
     is hash-bucketed, so a prefix cannot prune buckets — by design:
-    bucketing serves point lookups; prefix enumeration reads the
-    lexicon, which is vocabulary-sized, orders of magnitude smaller
-    than postings) + TakeOrdered. ``min_df`` drops hapax noise."""
+    bucketing serves point lookups) + TakeOrdered; when the permuterm
+    tier exists, the same ``$prefix`` rotation probe that serves prefix
+    leaves answers the enumeration row-group-pruned instead of reading
+    the vocabulary. ``min_df`` drops hapax noise."""
     if n < 1:
         raise ValueError(f"n must be >= 1: {n}")
     if min_df < 1:
         raise ValueError(f"min_df must be >= 1: {min_df}")
+    from mahout_spark.index.permuterm import SENTINEL, prefix_candidates
+
     meta = cat.read_meta("postings")
-    lex = cat.read(spark, "lexicon", schema_json=meta.get("lexicon_schema"))
+    if meta.get("permuterm") and SENTINEL not in prefix:
+        cand = prefix_candidates(spark, cat, prefix)
+    else:
+        lex = cat.read(
+            spark, "lexicon", schema_json=meta.get("lexicon_schema")
+        )
+        cand = lex.filter(F.col("term").startswith(prefix))
     return (
-        lex.filter(F.col("term").startswith(prefix)
-                   & (F.col("df") >= min_df))
+        cand.filter(F.col("df") >= min_df)
         .select("term", "df")
         .orderBy(F.col("term").asc())
         .limit(n)

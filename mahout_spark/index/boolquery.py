@@ -397,14 +397,12 @@ def _compile_query(spark, cat, query, max_expansions, lex_rows, normalize,
     if pres or fzs or wcs or rxs:
         lex = cat.read(spark, "lexicon")
         if pres:
+            from mahout_spark.index.permuterm import expand_prefix_rows
+
             expansions: dict = {}
             for p in pres:
-                rows = (
-                    lex.filter(F.col("term").startswith(p))
-                    .select("term", "bucket", "df")
-                    .orderBy(F.col("df").desc(), F.col("term").asc())
-                    .limit(max_expansions)
-                    .collect()
+                rows = expand_prefix_rows(
+                    spark, cat, lex, p, max_expansions, meta=meta
                 )
                 expansions[p] = [r["term"] for r in rows]
                 prefix_lex.extend(rows)
@@ -865,15 +863,13 @@ def boolean_topk_batch(
     rxs = sorted({x for n in nodes.values() for x in regexps(n)})
     expansion_lex: list = []
     if pres or fzs or wcs or rxs:
+        from mahout_spark.index.permuterm import expand_prefix_rows
+
         lex = cat.read(spark, "lexicon")
         pexp: dict = {}
         for pfx in pres:
-            rows = (
-                lex.filter(F.col("term").startswith(pfx))
-                .select("term", "bucket", "df")
-                .orderBy(F.col("df").desc(), F.col("term").asc())
-                .limit(max_expansions)
-                .collect()
+            rows = expand_prefix_rows(
+                spark, cat, lex, pfx, max_expansions, meta=meta
             )
             pexp[pfx] = [r["term"] for r in rows]
             expansion_lex.extend(rows)

@@ -322,17 +322,16 @@ def federated_boolean_topk(
                     ent[1] = d if ent[1] is None else min(ent[1], d)
 
         from mahout_spark.index.gramindex import expand_fuzzy_rows
-        from mahout_spark.index.permuterm import expand_wildcard_rows
+        from mahout_spark.index.permuterm import (
+            expand_prefix_rows,
+            expand_wildcard_rows,
+        )
 
         for nm in sorted(cats):
             lex = cats[nm].read(spark, "lexicon")
             for p in pres:
-                feed(("p", p), (
-                    lex.filter(F.col("term").startswith(p))
-                    .select("term", "bucket", "df")
-                    .orderBy(F.col("df").desc(), F.col("term").asc())
-                    .limit(cap).collect()
-                ))
+                feed(("p", p), expand_prefix_rows(
+                    spark, cats[nm], lex, p, cap, meta=metas[nm]))
             for stem, ne in fzs:
                 feed(("f", stem, ne), expand_fuzzy_rows(
                     spark, cats[nm], lex, stem, ne, cap, meta=metas[nm]))

@@ -123,6 +123,35 @@ def permuterm_prefix(pattern: str) -> str | None:
     return f"{y}{SENTINEL}{x}"
 
 
+def _rotation_candidates(
+    spark: SparkSession, cat: ParquetCatalog, rot_prefix: str
+) -> DataFrame:
+    """Lazy (term, bucket, df) candidates from one rotation-prefix probe
+    of the rot-sorted permuterm table (parquet min/max row-group pruning
+    does the work). Appended deltas re-stamp touched terms with their
+    current df; per term the max-(epoch, df) struct IS the latest row
+    (epoch dominates; df tiebreak is vacuous — one delta per epoch)."""
+    pt = spark.read.parquet(cat.table_path("permuterm"))
+    cand = pt.filter(F.col("rot").startswith(rot_prefix))
+    if "epoch" in cand.columns:
+        return cand.groupBy("term", "bucket").agg(
+            F.max(F.struct("epoch", "df"))["df"].alias("df")
+        )
+    # pre-epoch table layout
+    return cand.select("term", "bucket", "df").distinct()
+
+
+def prefix_candidates(
+    spark: SparkSession, cat: ParquetCatalog, prefix: str
+) -> DataFrame:
+    """Lazy candidates whose TERM starts with ``prefix``: every term has
+    exactly one sentinel-leading rotation (``$term``), so the probe
+    ``$prefix`` enumerates the prefix's terms without touching the rest
+    of the vocabulary. Callers apply their own rank/cap (boolean prefix
+    leaves want df desc; terms_enum wants term asc)."""
+    return _rotation_candidates(spark, cat, SENTINEL + prefix)
+
+
 def permuterm_expansion_rows(
     spark: SparkSession,
     cat: ParquetCatalog,
@@ -138,20 +167,45 @@ def permuterm_expansion_rows(
     expansion."""
     prefix = permuterm_prefix(pattern)
     assert prefix is not None, pattern
-    pt = spark.read.parquet(cat.table_path("permuterm"))
-    cand = pt.filter(F.col("rot").startswith(prefix))
-    if "epoch" in cand.columns:
-        # appended deltas re-stamp touched terms with their current df;
-        # per term the max-(epoch, df) struct IS the latest row (epoch
-        # dominates; df tiebreak is vacuous — one delta per epoch)
-        cand = cand.groupBy("term", "bucket").agg(
-            F.max(F.struct("epoch", "df"))["df"].alias("df")
-        )
-    else:  # pre-epoch table layout
-        cand = cand.select("term", "bucket", "df").distinct()
     return (
-        cand.filter(F.col("term").rlike(regex))
+        _rotation_candidates(spark, cat, prefix)
+        .filter(F.col("term").rlike(regex))
         .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(cap)
+        .collect()
+    )
+
+
+def expand_prefix_rows(
+    spark: SparkSession,
+    cat: ParquetCatalog,
+    lex: DataFrame,
+    prefix: str,
+    cap: int,
+    meta: dict | None = None,
+) -> list:
+    """THE prefix-leaf expansion routing point (boolquery / batch /
+    Searcher / federated all call this): ``word*`` qualifies for the
+    permuterm tier as a ``$word`` rotation probe — a row-group-pruned
+    point lookup on the rot-sorted table instead of a startswith filter
+    over the hash-bucketed lexicon, which cannot prune (bucketing serves
+    point lookups). At a 10^9-term vocabulary that is the difference
+    between reading the matching rotations and scanning the dictionary
+    per prefix leaf. Falls back to the exact lexicon scan when the tier
+    is absent; both paths return identical rows (test-gated)."""
+    if meta is None:
+        try:
+            meta = cat.read_meta("postings")
+        except FileNotFoundError:
+            meta = {}
+    if meta.get("permuterm") and SENTINEL not in prefix:
+        cand = prefix_candidates(spark, cat, prefix)
+    else:
+        cand = lex.filter(F.col("term").startswith(prefix)).select(
+            "term", "bucket", "df"
+        )
+    return (
+        cand.orderBy(F.col("df").desc(), F.col("term").asc())
         .limit(cap)
         .collect()
     )

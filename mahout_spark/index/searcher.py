@@ -314,13 +314,11 @@ class Searcher:
         repeats are free until the index mutates."""
         key = (prefix, cap)
         if key not in self._prefix:
+            from mahout_spark.index.permuterm import expand_prefix_rows
+
             lex = self.cat.read(self.spark, "lexicon")
-            self._prefix[key] = (
-                lex.filter(F.col("term").startswith(prefix))
-                .select("term", "bucket", "df")
-                .orderBy(F.col("df").desc(), F.col("term").asc())
-                .limit(cap)
-                .collect()
+            self._prefix[key] = expand_prefix_rows(
+                self.spark, self.cat, lex, prefix, cap
             )
             for r in self._prefix[key]:
                 self._terms[r["term"]] = (int(r["bucket"]), int(r["df"]))

@@ -18,9 +18,11 @@ Usage: python tests/driver_parity.py [sf_dir]
 
 from __future__ import annotations
 
+import json
 import math
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -84,15 +86,20 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: list | None = None) -> int
         qs = {n: qs[n] for n in only}
     oracles = entry.oracle_sql()
     failures = 0
+    cost: dict[str, float] = {}
+    t_all = time.time()
     for name, fn in qs.items():
+        t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
             spdf = sdf.toPandas()
             sc, sr = _canon(spdf)
         except Exception as e:  # the driver records this as err
+            cost[name] = round(time.time() - t0, 3)
             print(f"{name:28s} SPARK/CANON ERR {type(e).__name__}: {e}")
             failures += 1
             continue
+        cost[name] = round(time.time() - t0, 3)
         if name not in oracles:
             print(f"{name:28s} ROWS-ONLY  rows={len(sr)}")
             continue
@@ -120,6 +127,22 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: list | None = None) -> int
         else:
             failures += 1
     print(f"\n{failures} failures")
+    if not only:
+        # contract self-timing: per-query Spark-side wall seconds, so a
+        # contract-cost regression is visible before the driver hits it
+        # (round 4's 62 hermetic builds starved the driver's budget and
+        # produced an empty CORRECTNESS artifact).
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        with open(os.path.join(repo, "CONTRACT_COST.json"), "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "total_sec": round(time.time() - t_all, 1),
+                    "n_queries": len(qs),
+                    "per_query_sec": cost,
+                },
+                f, indent=1, sort_keys=True,
+            )
     return failures
 
 
