@@ -1609,9 +1609,9 @@ def q_engine_wildcard_permuterm(spark, sf_dir):
     from mahout_spark.index.boolquery import boolean_topk
     from mahout_spark.index.permuterm import build_permuterm
 
-    docs = _load(spark, sf_dir, "documents")
     cat = _shared_index(spark, sf_dir)
-    build_permuterm(spark, cat)
+    if not cat.read_meta("postings").get("permuterm"):
+        build_permuterm(spark, cat)
     result = boolean_topk(spark, cat, WILDCARD_QUERY, k=10).select(
         "doc_id", F.round("score", 6).alias("score")
     )
@@ -1631,9 +1631,9 @@ def q_engine_fuzzy_gramtier(spark, sf_dir):
     from mahout_spark.index.boolquery import boolean_topk
     from mahout_spark.index.gramindex import build_gramindex
 
-    docs = _load(spark, sf_dir, "documents")
     cat = _shared_index(spark, sf_dir)
-    build_gramindex(spark, cat)
+    if not cat.read_meta("postings").get("gramindex"):
+        build_gramindex(spark, cat)
     result = boolean_topk(spark, cat, GRAM_FUZZY_QUERY, k=10).select(
         "doc_id", F.round("score", 6).alias("score")
     )
@@ -1911,14 +1911,24 @@ def q_engine_alias_search(spark, sf_dir):
 
 
 def q_engine_disk_usage(spark, sf_dir):
-    """_disk_usage API (X120): per-table file/byte/row accounting of a
-    freshly built index — rows-only (sizes are filesystem facts, not
-    SQL-derivable; row-count/byte agreement is pytest-gated against
-    real scans + an os.walk)."""
+    """_disk_usage API (X120): per-table file/byte/row accounting of the
+    index — rows-only (sizes are filesystem facts, not SQL-derivable;
+    row-count/byte agreement is pytest-gated against real scans + an
+    os.walk). The dictionary tiers are ensured FIRST (meta-gated, no-op
+    when present) so the reported table set is the full 6-table catalog
+    regardless of which contract queries ran earlier in the process —
+    the shared-index refactor made table presence order-dependent
+    otherwise."""
     from mahout_spark.index.diag import disk_usage
+    from mahout_spark.index.gramindex import build_gramindex
+    from mahout_spark.index.permuterm import build_permuterm
 
-    docs = _load(spark, sf_dir, "documents")
     cat = _shared_index(spark, sf_dir)
+    meta = cat.read_meta("postings")
+    if not meta.get("permuterm"):
+        build_permuterm(spark, cat)
+    if not meta.get("gramindex"):
+        build_gramindex(spark, cat)
     result = disk_usage(spark, cat)
     return spark.createDataFrame(result.collect(), result.schema)
 
@@ -1940,6 +1950,26 @@ def q_engine_search_template(spark, sf_dir):
     result = boolean_topk(spark, cat, rendered, k=10).select(
         "doc_id", F.round("score", 6).alias("score"))
     return spark.createDataFrame(result.collect(), result.schema)
+
+
+def q_engine_highlight(spark, sf_dir):
+    """ES ``highlight`` over ANY boolean query (X121, round-4 VERDICT
+    ask #6 — phrase_snippets covered phrase queries only): BOOL_QUERY's
+    match set from the positional index kernel, each matching doc
+    rendered as the ±3-token window around the FIRST occurrence of any
+    positive leaf term with matched tokens wrapped in <em> tags. The
+    DuckDB oracle recomputes the match relation with SQL set ops (LIKE
+    on the token stream for the phrase leaf) and rebuilds the identical
+    fragment with list_position / inclusive list slicing /
+    list_transform — a fully independent relation, so window arithmetic,
+    tag wrapping, and match semantics are all hash-checked."""
+    from mahout_spark.index.boolquery import highlight
+
+    docs = _load(spark, sf_dir, "documents")
+    cat = _shared_index(spark, sf_dir, positions=True)
+    result = highlight(spark, cat, docs, BOOL_QUERY, context=3)
+    rows = result.collect()
+    return spark.createDataFrame(rows, result.schema)
 
 
 def q_engine_delete_by_query(spark, sf_dir):
@@ -2672,6 +2702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_rescore_search": q_engine_rescore_search,
         "engine_significant_terms": q_engine_significant_terms,
         "engine_search_template": q_engine_search_template,
+        "engine_highlight": q_engine_highlight,
         "engine_delete_by_query": q_engine_delete_by_query,
         "engine_snapshot_restore": q_engine_snapshot_restore,
         "engine_alias_search": q_engine_alias_search,
@@ -4484,6 +4515,57 @@ def _base_oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, score FROM agg
         ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        # highlight oracle: the boolean match relation, then the ±3
+        # window around the first positive-term occurrence rebuilt with
+        # list_position / INCLUSIVE DuckDB list slicing / list_transform
+        # — independent of the engine's array_position/slice exprs.
+        "engine_highlight": _TOK_CTE + """
+        , stream_s AS (
+            SELECT doc_id,
+                   ' ' || array_to_string(list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9]+'),
+                       t -> t <> ''), ' ') || ' ' AS s
+            FROM documents WHERE text IS NOT NULL
+        ), or_docs AS (
+            SELECT doc_id FROM stream_s WHERE s LIKE '% table scan %'
+            UNION
+            SELECT doc_id FROM tf WHERE term = 'merge'
+        ), matched AS (
+            SELECT doc_id FROM or_docs
+            INTERSECT
+            SELECT doc_id FROM tf WHERE term = 'data'
+            EXCEPT
+            SELECT doc_id FROM tf WHERE term = 'stream'
+        ), toksl AS (
+            SELECT doc_id, list_filter(
+                string_split_regex(lower(text), '[^a-z0-9]+'),
+                t -> t <> '') AS l
+            FROM documents WHERE text IS NOT NULL
+        ), fp AS (
+            SELECT m.doc_id, l,
+                least(
+                    coalesce(nullif(list_position(l, 'table'), 0),
+                             2000000000),
+                    coalesce(nullif(list_position(l, 'scan'), 0),
+                             2000000000),
+                    coalesce(nullif(list_position(l, 'merge'), 0),
+                             2000000000),
+                    coalesce(nullif(list_position(l, 'data'), 0),
+                             2000000000)
+                ) AS f1
+            FROM matched m JOIN toksl USING (doc_id)
+        )
+        SELECT doc_id,
+               CAST(f1 - 1 AS BIGINT) AS first_pos,
+               array_to_string(
+                   list_transform(
+                       l[greatest(f1 - 3, 1):least(f1 + 3, len(l))],
+                       t -> CASE WHEN t IN ('table', 'scan', 'merge',
+                                            'data')
+                            THEN '<em>' || t || '</em>' ELSE t END),
+                   ' ') AS snippet
+        FROM fp WHERE f1 < 2000000000
         """,
         # prefix oracle: s* AND window. The LIKE relation is exact because
         # the sf-vocabulary's s-prefix terms (6) fit the engine's

@@ -20,7 +20,7 @@ explicitly by pipelines that need replayability (the default wall-clock
 from __future__ import annotations
 
 import re
-from datetime import datetime, timedelta
+from datetime import datetime, timedelta, timezone
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -125,10 +125,17 @@ def date_math_filter(
     ``lt`` exclusive (the ES gte/lt contract), either side open. The
     bounds resolve to TIMESTAMP LITERALS driver-side, so the filter
     reaches the scan as two plain range predicates (row-group stats /
-    partition pruning intact)."""
+    partition pruning intact).
+
+    Default ``now`` is naive UTC (matching naive ts columns and ES,
+    which resolves ``now`` in UTC) — never host-local wall clock, which
+    would return different rows per host timezone. Pass ``now``
+    explicitly for replayable pipelines."""
     if gte is None and lt is None:
         raise ValueError("at least one of gte/lt is required")
-    now = now if now is not None else datetime.now()
+    now = now if now is not None else datetime.now(timezone.utc).replace(
+        tzinfo=None
+    )
     c: Column = F.col(ts_col)
     out = df
     if gte is not None:

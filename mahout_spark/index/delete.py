@@ -184,9 +184,12 @@ def apply_shard_kernel(
         return blocks.groupBy("shard").applyInPandas(kernel, schema)
     if docs_per_shard is None:
         raise ValueError("relational tombstone regime needs docs_per_shard")
+    # integer `div`, matching the build's doc_id // docs_per_shard
+    # EXACTLY: a double quotient can round across an integer boundary
+    # for ids near 2^53 and silently map a tombstone to the wrong shard
     tomb_s = tomb.select(
-        (F.col("doc_id") / F.lit(int(docs_per_shard)))
-        .cast("long").alias("shard"),
+        F.expr(f"CAST(doc_id AS BIGINT) div {int(docs_per_shard)}")
+        .alias("shard"),
         F.col("doc_id").cast("long"),
     )
 

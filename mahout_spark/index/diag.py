@@ -170,35 +170,108 @@ def term_vectors(
     )
 
 
-def disk_usage(spark: SparkSession, cat: ParquetCatalog) -> DataFrame:
+def _scan_dir_stats(dirpath: str, recursive: bool) -> tuple[int, int, int]:
+    """(n_parquet_files, n_bytes, n_rows) for one directory — bytes from
+    stat over every file, rows from parquet FOOTERS (pyarrow metadata,
+    no data scan). Shared by the driver and the distributed regimes so
+    both count identically."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    n_files = n_bytes = n_rows = 0
+    if recursive:
+        walker = os.walk(dirpath)
+    else:  # direct files only — subdirs are their own jobs
+        names = [
+            n for n in os.listdir(dirpath)
+            if os.path.isfile(os.path.join(dirpath, n))
+        ]
+        walker = [(dirpath, [], names)]
+    for dp, _, names in walker:
+        for n in names:
+            p = os.path.join(dp, n)
+            n_bytes += os.stat(p).st_size
+            if n.endswith(".parquet"):
+                n_files += 1
+                n_rows += pq.ParquetFile(p).metadata.num_rows
+    return n_files, n_bytes, n_rows
+
+
+def disk_usage(
+    spark: SparkSession,
+    cat: ParquetCatalog,
+    distribute_min_dirs: int = 256,
+) -> DataFrame:
     """The ES ``_disk_usage`` API (X120): per catalog table, file
     count, on-disk bytes, parquet row count, and the share of the
     index's total bytes (1e-6 rounded) — the "what is actually eating
     the storage" answer behind tiering/compaction decisions. Ordered
     by bytes desc (the ES presentation), ties on table name.
 
-    Driver-side METADATA walk by design: sizes come from the
-    filesystem, row counts from parquet FOOTERS (pyarrow metadata —
-    no scan, no job; at 100 TB this reads KBs of footers, not data).
-    The one relation returned is #tables rows."""
+    METADATA only by design: sizes from stat, row counts from parquet
+    FOOTERS (at 100 TB this reads KBs of footers, not data). Small
+    catalogs walk on the driver. Past ``distribute_min_dirs`` partition
+    dirs the stat+footer I/O — the part that turns into driver-hours at
+    millions of files (round-4 VERDICT ask #5) — runs as a mapInPandas
+    over (table, dir) jobs enumerated by a SHALLOW driver listing
+    (tables + their immediate partition dirs, never per-file); executors
+    walk their assigned dirs in parallel against the shared filesystem.
+    The one relation returned is #tables rows either way."""
     import os
 
-    import pyarrow.parquet as pq
-
-    rows = []
+    jobs = []  # (table, dir, recursive)
     for table in sorted(os.listdir(cat.root)):
         tdir = cat.table_path(table)
         if not os.path.isdir(tdir):
             continue
-        n_files = n_bytes = n_rows = 0
-        for dirpath, _, names in os.walk(tdir):
-            for n in names:
-                p = os.path.join(dirpath, n)
-                n_bytes += os.stat(p).st_size
-                if n.endswith(".parquet"):
-                    n_files += 1
-                    n_rows += pq.ParquetFile(p).metadata.num_rows
-        rows.append((table, n_files, n_bytes, n_rows))
+        jobs.append((table, tdir, False))
+        jobs.extend(
+            (table, os.path.join(tdir, d), True)
+            for d in sorted(os.listdir(tdir))
+            if os.path.isdir(os.path.join(tdir, d))
+        )
+
+    if len(jobs) < distribute_min_dirs:
+        acc: dict = {}
+        for table, d, rec in jobs:
+            f, b, r = _scan_dir_stats(d, rec)
+            t = acc.setdefault(table, [0, 0, 0])
+            t[0] += f
+            t[1] += b
+            t[2] += r
+        rows = [(t, f, b, r) for t, (f, b, r) in acc.items()]
+    else:
+        def scan(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                out = [
+                    (t,) + _scan_dir_stats(d, rec)
+                    for t, d, rec in pdf.itertuples(index=False)
+                ]
+                yield pd.DataFrame(
+                    out, columns=["table", "n_files", "n_bytes", "n_rows"]
+                )
+
+        jdf = spark.createDataFrame(
+            jobs, "table string, dir string, recursive boolean"
+        ).repartition(
+            min(len(jobs), spark.sparkContext.defaultParallelism * 2)
+        )
+        per = jdf.mapInPandas(
+            scan,
+            "table string, n_files long, n_bytes long, n_rows long",
+        ).groupBy("table").agg(
+            F.sum("n_files").alias("f"),
+            F.sum("n_bytes").alias("b"),
+            F.sum("n_rows").alias("r"),
+        )
+        rows = [
+            (x["table"], int(x["f"]), int(x["b"]), int(x["r"]))
+            for x in per.collect()
+        ]
+
     total = sum(b for _, _, b, _ in rows) or 1
     out = [(t, f, b, r, round(b / total, 6)) for t, f, b, r in rows]
     out.sort(key=lambda e: (-e[2], e[0]))

@@ -122,6 +122,59 @@ def _compile_node(node, toks: Column, stream: Column) -> Column:
     raise ValueError(f"unexpected node kind in percolation: {kind!r}")
 
 
+def _parse_registry(
+    queries: dict,
+    normalize=None,
+    synonyms: dict | None = None,
+    minimum_should_match: int = 0,
+    lang_col: str | None = None,
+) -> dict:
+    """Registry-side front half shared by both percolation tiers and the
+    persistent registry: parse/validate + synonym/msm preprocessing +
+    leaf-pattern checks, in sorted query_id order. Raises on the first
+    invalid query — the ES index-time validation contract."""
+    norm = qp._simple_normalize if normalize is None else normalize
+    nodes = {}
+    for qid, q in sorted(queries.items()):
+        if isinstance(q, str):
+            node = qp.parse(q) if normalize is None else qp.parse(q, norm)
+        else:
+            qp.validate(q)
+            node = q
+        if synonyms:
+            node = qp.expand_synonyms(node, synonyms, norm)
+        if minimum_should_match:
+            node = qp.with_minimum_should_match(node, minimum_should_match)
+        _leaf_patterns_ok(node, allow_fields=lang_col is not None)
+        nodes[qid] = node
+    return nodes
+
+
+def _compile_registry(
+    queries: dict,
+    normalize=None,
+    synonyms: dict | None = None,
+    minimum_should_match: int = 0,
+    lang_col: str | None = None,
+) -> tuple:
+    """Full registry-side compile for the prefilter tier: parsed nodes +
+    the required-term candidate map + the always-verify residual. This
+    is the unit PercolatorRegistry memoizes per epoch."""
+    nodes = _parse_registry(
+        queries, normalize, synonyms, minimum_should_match, lang_col
+    )
+    term_to_qids: dict[str, list] = {}
+    residual: list = []
+    for qid, node in nodes.items():
+        cov = required_cover(node)
+        if cov is None:
+            residual.append(qid)
+        else:
+            for t in cov:
+                term_to_qids.setdefault(t, []).append(qid)
+    return nodes, term_to_qids, residual
+
+
 def percolate(
     spark,
     queries: dict,
@@ -147,24 +200,13 @@ def percolate(
     phrase stream, mirroring the indexer's empty-positions contract.
     The compiled plan is one narrow stateless projection — it accepts a
     Structured Streaming frame unchanged."""
-    norm = qp._simple_normalize if normalize is None else normalize
     if not queries:
         return spark.createDataFrame(
             [], f"{id_col} long, query_id string"
         )
-    nodes = {}
-    for qid, q in sorted(queries.items()):
-        if isinstance(q, str):
-            node = qp.parse(q) if normalize is None else qp.parse(q, norm)
-        else:
-            qp.validate(q)
-            node = q
-        if synonyms:
-            node = qp.expand_synonyms(node, synonyms, norm)
-        if minimum_should_match:
-            node = qp.with_minimum_should_match(node, minimum_should_match)
-        _leaf_patterns_ok(node, allow_fields=lang_col is not None)
-        nodes[qid] = node
+    nodes = _parse_registry(
+        queries, normalize, synonyms, minimum_should_match, lang_col
+    )
 
     # staged projection: the token array is aliased once and referenced
     # by every leaf — the >=2-reference barrier that keeps Catalyst's
@@ -333,6 +375,7 @@ def percolate_prefiltered(
     synonyms: dict | None = None,
     minimum_should_match: int = 0,
     lang_col: str | None = None,
+    _compiled: tuple | None = None,
 ) -> DataFrame:
     """Percolation for LARGE registries (the module header's 10^5 rule):
     same contract and results as ``percolate`` (parity test-gated), with
@@ -355,33 +398,18 @@ def percolate_prefiltered(
     is a pure JVM projection: a 10^5-column codegen projection is not a
     plan Catalyst can compile, and evaluating only ~candidates per doc is
     the asymptotic win the compiled path cannot express. Crossover is
-    registry-size dependent (bench-gated: sublinear growth 1k->10k)."""
-    norm = qp._simple_normalize if normalize is None else normalize
+    registry-size dependent (bench-gated: sublinear growth 1k->10k).
+
+    ``_compiled`` (internal): a prebuilt ``_compile_registry`` result —
+    PercolatorRegistry passes its epoch-memoized compile so an unchanged
+    registry never re-parses per micro-batch."""
     if not queries:
         return spark.createDataFrame([], f"{id_col} long, query_id string")
-    nodes = {}
-    for qid, q in sorted(queries.items()):
-        if isinstance(q, str):
-            node = qp.parse(q) if normalize is None else qp.parse(q, norm)
-        else:
-            qp.validate(q)
-            node = q
-        if synonyms:
-            node = qp.expand_synonyms(node, synonyms, norm)
-        if minimum_should_match:
-            node = qp.with_minimum_should_match(node, minimum_should_match)
-        _leaf_patterns_ok(node, allow_fields=lang_col is not None)
-        nodes[qid] = node
-
-    term_to_qids: dict[str, list] = {}
-    residual: list = []
-    for qid, node in nodes.items():
-        cov = required_cover(node)
-        if cov is None:
-            residual.append(qid)
-        else:
-            for t in cov:
-                term_to_qids.setdefault(t, []).append(qid)
+    if _compiled is None:
+        _compiled = _compile_registry(
+            queries, normalize, synonyms, minimum_should_match, lang_col
+        )
+    nodes, term_to_qids, residual = _compiled
 
     from mahout_spark.operators.textstats import tokens_expr
 
@@ -433,3 +461,175 @@ def percolate_prefiltered(
                                 "query_id": qids_out})
 
     return staged.mapInPandas(verify, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Persistent registry (X122 — the ES `.percolator` mapping)
+# ---------------------------------------------------------------------------
+
+
+class PercolatorRegistry:
+    """Durable stored-query registry (round-4 VERDICT ask #7): a real
+    alerting fleet stores its rules in a table with add/remove and
+    version stamps, not a per-process dict. Storage is an append-only
+    ops log (``_ops.jsonl`` — one ``{op, query_id, query, epoch}`` row
+    per mutation, the ES ``.percolator``-as-documents model mapped onto
+    the catalog's lineage idiom); the live registry is the replay (last
+    op per query_id wins), and ``epoch`` — the max stamp — is the cache
+    key everything derives from.
+
+    * Queries are VALIDATED at ``add`` time (parse + leaf-pattern
+      checks, the ES index-time contract): a bad rule fails its writer
+      immediately, never the alerting fleet at match time, and the log
+      is only appended after the whole batch validates.
+    * ``percolate(...)`` memoizes the registry-side compile (parse +
+      required-term cover extraction) per epoch, so a streaming
+      foreachBatch loop re-parses NOTHING while the registry is
+      unchanged and picks up adds/removes on the next epoch.
+    * A torn trailing line from a crashed append is skipped on replay
+      (the next append overwrites it); every complete op row is
+      newline-terminated before the write returns.
+    * ``as_dataframe`` exposes the LIVE registry relationally for
+      audit/join jobs (#rules rows — registry metadata is KB-MB scale).
+    """
+
+    OPS_FILE = "_ops.jsonl"
+
+    def __init__(self, root: str) -> None:
+        import os
+
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self._path = os.path.join(root, self.OPS_FILE)
+        self._compiled: tuple | None = None  # (epoch, key, compile)
+
+    # -- log replay ---------------------------------------------------------
+
+    def _replay(self) -> tuple[dict, int]:
+        import json
+        import os
+
+        live: dict = {}
+        epoch = 0
+        if not os.path.isfile(self._path):
+            return live, epoch
+        with open(self._path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    row = json.loads(line)
+                except ValueError:  # torn trailing line from a crash
+                    continue
+                epoch = max(epoch, int(row["epoch"]))
+                if row["op"] == "add":
+                    live[row["query_id"]] = row["query"]
+                else:
+                    live.pop(row["query_id"], None)
+        return live, epoch
+
+    def _append(self, rows: list) -> None:
+        import json
+        import os
+
+        lead = ""
+        if os.path.isfile(self._path) and os.path.getsize(self._path):
+            with open(self._path, "rb") as f:
+                f.seek(-1, os.SEEK_END)
+                if f.read(1) != b"\n":
+                    # seal a torn trailing line from a crashed writer so
+                    # the new rows never concatenate onto it (the torn
+                    # fragment then parses as its own bad line and is
+                    # skipped by replay)
+                    lead = "\n"
+        with open(self._path, "a") as f:
+            f.write(lead + "".join(json.dumps(r) + "\n" for r in rows))
+
+    # -- public surface ------------------------------------------------------
+
+    def epoch(self) -> int:
+        return self._replay()[1]
+
+    def queries(self) -> dict:
+        """The live registry: query_id -> query string, sorted."""
+        return dict(sorted(self._replay()[0].items()))
+
+    def add(self, queries: dict, lang_col: str | None = None) -> int:
+        """Add (or replace) stored queries; returns the new epoch. The
+        WHOLE batch validates before one byte is appended."""
+        if not queries:
+            raise ValueError("empty add batch")
+        _parse_registry(queries, lang_col=lang_col)  # validate first
+        live, epoch = self._replay()
+        epoch += 1
+        self._append([
+            {"op": "add", "query_id": qid, "query": q, "epoch": epoch}
+            for qid, q in sorted(queries.items())
+        ])
+        return epoch
+
+    def remove(self, query_ids: list) -> int:
+        """Remove stored queries by id; unknown ids fail loudly (a rule
+        fleet that silently 'removes' a typo keeps alerting). Returns
+        the new epoch."""
+        live, epoch = self._replay()
+        missing = sorted(set(query_ids) - set(live))
+        if missing:
+            raise KeyError(f"unknown query ids: {missing}")
+        epoch += 1
+        self._append([
+            {"op": "remove", "query_id": qid, "query": None, "epoch": epoch}
+            for qid in sorted(set(query_ids))
+        ])
+        return epoch
+
+    def as_dataframe(self, spark) -> DataFrame:
+        """The live registry as ``(query_id, query, epoch)`` — epoch is
+        the registry's current version stamp on every row."""
+        live, epoch = self._replay()
+        rows = [(qid, q, epoch) for qid, q in sorted(live.items())]
+        schema = "query_id string, query string, epoch long"
+        return spark.createDataFrame(rows, schema)
+
+    def percolate(
+        self,
+        spark,
+        docs: DataFrame,
+        content_col: str = "text",
+        id_col: str = "doc_id",
+        prefiltered: bool = True,
+        normalize=None,
+        synonyms: dict | None = None,
+        minimum_should_match: int = 0,
+        lang_col: str | None = None,
+    ) -> DataFrame:
+        """Match ``docs`` against the CURRENT registry. ``prefiltered``
+        picks the 10^5-tier candidate path (default — the registry
+        compile is epoch-memoized so repeat/streaming calls are free);
+        ``False`` routes the plain JVM-projection tier (same results,
+        parity test-gated)."""
+        live, epoch = self._replay()
+        if not live:
+            return spark.createDataFrame(
+                [], f"{id_col} long, query_id string"
+            )
+        if not prefiltered:
+            return percolate(
+                spark, live, docs, content_col=content_col,
+                id_col=id_col, normalize=normalize, synonyms=synonyms,
+                minimum_should_match=minimum_should_match,
+                lang_col=lang_col,
+            )
+        key = (epoch, minimum_should_match, lang_col,
+               id(normalize), id(synonyms))
+        if self._compiled is None or self._compiled[0] != key:
+            self._compiled = (key, _compile_registry(
+                live, normalize, synonyms, minimum_should_match, lang_col
+            ))
+        return percolate_prefiltered(
+            spark, live, docs, content_col=content_col, id_col=id_col,
+            normalize=normalize, synonyms=synonyms,
+            minimum_should_match=minimum_should_match, lang_col=lang_col,
+            _compiled=self._compiled[1],
+        )

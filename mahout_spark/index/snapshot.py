@@ -17,9 +17,9 @@ directly:
   visible under its final name, and the incremental reuse is exactly
   ES's segment-level dedup (an unchanged 100 TB index re-snapshots in
   metadata time).
-* ``restore_index`` — verify the manifest (every file present, sizes
-  equal) BEFORE copying into a fresh catalog root; refuse loudly on
-  any mismatch. Restores never touch the repository.
+* ``restore_index`` — verify the manifest (every file present, size
+  AND content sha256 equal) BEFORE copying into a fresh catalog root;
+  refuse loudly on any mismatch. Restores never touch the repository.
 * ``list_snapshots`` — the repository's manifest inventory, newest
   last (lexicographic on the caller-chosen names).
 
@@ -31,6 +31,7 @@ hardlink branch becomes a server-side copy; the seam is `_place_file`.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
@@ -39,6 +40,14 @@ import uuid
 from mahout_spark.sources.catalog import ParquetCatalog
 
 MANIFEST = "_snapshot.json"
+
+
+def _sha256(path: str) -> str:
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
 
 
 def _walk_files(root: str) -> list[tuple[str, int, int]]:
@@ -84,6 +93,7 @@ def snapshot_index(
     if os.path.exists(final):
         raise ValueError(f"snapshot already exists: {name}")
     prev = None
+    prev_sha: dict = {}
     existing = list_snapshots(repo_dir)
     if existing:
         prev = os.path.join(repo_dir, existing[-1]["name"])
@@ -91,6 +101,7 @@ def snapshot_index(
             (r, s): m for r, s, m in _walk_files(prev)
             if r != MANIFEST
         }
+        prev_sha = existing[-1].get("sha256", {})
     else:
         prev_files = {}
     files = _walk_files(cat.root)
@@ -98,16 +109,26 @@ def snapshot_index(
     n_reused = 0
     try:
         os.makedirs(stage)
+        shas: dict = {}
         for rel, size, mtime in files:
             link = None
             if prev is not None and prev_files.get((rel, size)) == mtime:
                 link = os.path.join(prev, rel)
-            n_reused += _place_file(
-                os.path.join(cat.root, rel),
-                os.path.join(stage, rel), link)
+            dst = os.path.join(stage, rel)
+            reused = _place_file(os.path.join(cat.root, rel), dst, link)
+            n_reused += reused
+            # per-file content checksum (the ES per-segment checksum
+            # analog): hashing the STAGED file also verifies the copy;
+            # incremental reuse inherits the previous manifest's hash
+            # so unchanged files stay metadata-time
+            if reused and rel in prev_sha:
+                shas[rel] = prev_sha[rel]
+            else:
+                shas[rel] = _sha256(dst)
         manifest = {
             "name": name,
             "files": [[r, s] for r, s, _ in files],
+            "sha256": shas,
             "n_files": len(files),
             "n_bytes": sum(s for _, s, _ in files),
             "n_reused": n_reused,
@@ -125,20 +146,23 @@ def restore_index(
     repo_dir: str, name: str, dest: str,
 ) -> ParquetCatalog:
     """Restore ``repo_dir/name`` into the fresh directory ``dest`` and
-    return its catalog. The manifest is verified (every file present
-    with its recorded size) BEFORE anything is copied — a damaged
-    repository fails loudly instead of yielding a silently-short
-    index."""
+    return its catalog. The manifest is verified BEFORE anything is
+    copied — every file present, size equal, AND content sha256 equal
+    to the recorded checksum (size-preserving corruption — bit rot,
+    partial overwrite — fails loudly instead of restoring silently;
+    pre-checksum manifests fall back to the size check)."""
     src = os.path.join(repo_dir, name)
     mf_path = os.path.join(src, MANIFEST)
     if not os.path.isfile(mf_path):
         raise ValueError(f"no snapshot {name!r} in {repo_dir}")
     with open(mf_path) as f:
         manifest = json.load(f)
+    shas = manifest.get("sha256", {})
     bad = []
     for rel, size in manifest["files"]:
         p = os.path.join(src, rel)
-        if not os.path.isfile(p) or os.stat(p).st_size != size:
+        if (not os.path.isfile(p) or os.stat(p).st_size != size
+                or (rel in shas and _sha256(p) != shas[rel])):
             bad.append(rel)
     if bad:
         raise ValueError(

@@ -158,11 +158,21 @@ def pack_key_expr(id_col: str, seed: int) -> Column:
     """The deterministic shuffle key: ``(id · pack_multiplier(seed)) mod
     PACK_MOD`` — plain int64 arithmetic any SQL engine replays exactly
     (no overflow while ``id · M < 2^63``, i.e. ids below ~9·10^9; beyond
-    that pass an ``xxhash64`` ``key_expr`` instead)."""
-    return F.pmod(
-        F.col(id_col).cast("long") * F.lit(pack_multiplier(seed)),
-        F.lit(PACK_MOD),
-    )
+    that pass an ``xxhash64`` ``key_expr`` instead). Ids outside the
+    bound RAISE inside the job (a codegen conditional, no extra driver
+    agg) rather than silently wrapping and breaking the documented
+    SQL-replayable permutation."""
+    mult = pack_multiplier(seed)
+    bound = (2**63 - 1) // mult
+    idc = F.col(id_col).cast("long")
+    guarded = F.when(
+        (idc < 0) | (idc > bound),
+        F.raise_error(F.format_string(
+            "pack_key_expr int64 overflow: id %s outside [0, "
+            f"{bound}] for seed {int(seed)}; pass "
+            "key_expr=F.xxhash64(id) instead", idc)),
+    ).otherwise(idc)
+    return F.pmod(guarded * F.lit(mult), F.lit(PACK_MOD))
 
 
 def pack_documents(

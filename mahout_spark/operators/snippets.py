@@ -32,6 +32,62 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def first_match_snippets(
+    docs: DataFrame,
+    terms: list[str],
+    content_col: str = "text",
+    id_cols: list[str] | None = None,
+    context: int = 3,
+    pre_tag: str = "<em>",
+    post_tag: str = "</em>",
+) -> DataFrame:
+    """Per doc containing ANY of ``terms`` (simple tokenizer):
+    ``(*id_cols, first_pos, snippet)`` — ``first_pos`` is the 0-based
+    token index of the FIRST occurrence of any term, and ``snippet``
+    re-joins the ``2*context+1`` token window centered there (clipped to
+    the doc) with every ``terms`` token wrapped in ``pre_tag``/
+    ``post_tag`` (the ES highlight fragment shape). Pure JVM expressions
+    — one ``array_position`` per term over the staged token array, no
+    UDF, no shuffle; the index-integrated entry point is
+    ``boolquery.highlight``, which semi-joins the corpus to the match
+    set first so this pass only ever reads matching docs."""
+    if not terms:
+        raise ValueError("empty term list")
+    if id_cols is None:
+        id_cols = ["doc_id"]
+    toks = F.filter(
+        F.split(F.lower(F.col(content_col)), "[^a-z0-9]+"),
+        lambda x: x != "",
+    )
+    # 1-based first positions per term; 0 = absent
+    pos_arr = F.array(*[F.array_position("_toks", F.lit(t)) for t in terms])
+    term_arr = F.array(*[F.lit(t) for t in terms])
+    staged = (
+        docs.filter(F.col(content_col).isNotNull())
+        .withColumn("_toks", toks)
+        .withColumn("_hits", F.filter(pos_arr, lambda x: x > 0))
+        .filter(F.size("_hits") > 0)
+        .withColumn("_first", (F.array_min("_hits") - 1).cast("long"))
+    )
+    start0 = F.greatest(F.col("_first") - F.lit(context), F.lit(0))
+    end0 = F.least(
+        F.col("_first") + F.lit(context + 1), F.size("_toks").cast("long")
+    )
+    wrapped = F.transform(
+        F.slice("_toks", (start0 + 1).cast("int"),
+                (end0 - start0).cast("int")),
+        lambda t: F.when(
+            F.array_contains(term_arr, t),
+            F.concat(F.lit(pre_tag), t, F.lit(post_tag)),
+        ).otherwise(t),
+    )
+    return staged.select(
+        *id_cols,
+        F.col("_first").alias("first_pos"),
+        F.array_join(wrapped, " ").alias("snippet"),
+    )
+
+
 def phrase_snippets(
     docs: DataFrame,
     phrase: list[str],

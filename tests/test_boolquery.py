@@ -1084,3 +1084,86 @@ def test_rendered_template_queries_like_the_literal(spark, pos_built):
     b = [(r["doc_id"], round(r["score"], 9)) for r in
          boolean_topk(spark, pos_built, rendered, k=10).collect()]
     assert a == b and a
+
+
+# -- highlight (round-4 VERDICT ask #6) -------------------------------------
+
+
+def _py_highlight(oracle, match_ids, terms, context=3,
+                  pre="<em>", post="</em>"):
+    """Independent list-scan highlighter over the oracle's token dict."""
+    out = {}
+    for did in match_ids:
+        toks = oracle.tokens[did]
+        firsts = [i for i, t in enumerate(toks) if t in terms]
+        if not firsts:
+            continue
+        f = firsts[0]
+        lo, hi = max(f - context, 0), min(f + context + 1, len(toks))
+        out[did] = (f, " ".join(
+            f"{pre}{t}{post}" if t in terms else t for t in toks[lo:hi]))
+    return out
+
+
+def _hl_rows(df):
+    return {r["doc_id"]: (r["first_pos"], r["snippet"]) for r in df.collect()}
+
+
+def test_highlight_matches_python_oracle(spark, pos_built, corpus, oracle):
+    from mahout_spark.index.boolquery import highlight
+
+    q = '("table scan" OR merge) AND data NOT stream'
+    match = {d for d, _ in oracle.boolean_search(q, k=10**6)}
+    assert match  # non-trivial on this corpus
+    want = _py_highlight(
+        oracle, match, {"table", "scan", "merge", "data"})
+    got = _hl_rows(highlight(
+        spark, pos_built, corpus, q, content_col="content"))
+    assert got == want
+    # NOT-excluded docs never appear
+    stream_docs = {d for d, t in oracle.tokens.items() if "stream" in t}
+    assert not (set(got) & stream_docs)
+
+
+def test_highlight_wraps_expanded_prefix_terms(spark, pos_built, corpus,
+                                               oracle):
+    """A doc matched via ``mer*`` must highlight the CONCRETE expanded
+    term it contains, not the prefix."""
+    from mahout_spark.index.boolquery import highlight
+
+    q = "mer* AND data"
+    vocab = {t for toks in oracle.tokens.values() for t in toks}
+    expanded = {t for t in vocab if t.startswith("mer")}
+    assert expanded  # corpus has mer- terms
+    match = {d for d, _ in oracle.boolean_search(q, k=10**6)}
+    want = _py_highlight(oracle, match, expanded | {"data"})
+    got = _hl_rows(highlight(
+        spark, pos_built, corpus, q, content_col="content"))
+    assert got == want
+    assert any("<em>mer" in snip for _, snip in got.values())
+
+
+def test_highlight_custom_tags_and_context(spark, pos_built, corpus,
+                                           oracle):
+    from mahout_spark.index.boolquery import highlight
+
+    q = "data AND table"
+    match = {d for d, _ in oracle.boolean_search(q, k=10**6)}
+    want = _py_highlight(oracle, match, {"data", "table"},
+                         context=1, pre="[", post="]")
+    got = _hl_rows(highlight(
+        spark, pos_built, corpus, q, content_col="content",
+        context=1, pre_tag="[", post_tag="]"))
+    assert got == want
+    # window is at most 2*context+1 tokens
+    assert all(len(s.split(" ")) <= 3 for _, s in got.values())
+
+
+def test_highlight_no_match_returns_empty_with_schema(spark, pos_built,
+                                                      corpus):
+    from mahout_spark.index.boolquery import highlight
+
+    out = highlight(spark, pos_built, corpus,
+                    "zzznosuchterm AND qqqnope", content_col="content")
+    assert out.columns == ["doc_id", "first_pos", "snippet"]
+    assert out.count() == 0

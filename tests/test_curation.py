@@ -118,6 +118,33 @@ def test_pack_matches_global_cumsum(spark):
     assert off == sum(n for n, *_ in want.values())
 
 
+def test_pack_key_overflow_raises_not_wraps(spark):
+    """ADVICE r4: ids past the int64-safe bound (~9.2e9 for typical
+    multipliers) must RAISE inside the job instead of silently wrapping
+    and breaking the SQL-replayable permutation; in-bound ids keep the
+    exact modular arithmetic."""
+    from mahout_spark.operators.curation import pack_key_expr
+
+    seed = 42
+    mult = pack_multiplier(seed)
+    bound = (2**63 - 1) // mult
+    ok = spark.createDataFrame([(7,), (bound,)], "doc_id bigint").select(
+        pack_key_expr("doc_id", seed).alias("k"), "doc_id"
+    )
+    got = {r["doc_id"]: r["k"] for r in ok.collect()}
+    assert got == {i: (i * mult) % PACK_MOD for i in (7, bound)}
+    bad = spark.createDataFrame([(bound + 1,)], "doc_id bigint").select(
+        pack_key_expr("doc_id", seed)
+    )
+    with pytest.raises(Exception, match="overflow"):
+        bad.collect()
+    neg = spark.createDataFrame([(-1,)], "doc_id bigint").select(
+        pack_key_expr("doc_id", seed)
+    )
+    with pytest.raises(Exception, match="overflow"):
+        neg.collect()
+
+
 def test_pack_seed_changes_order_not_content(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     a = pack_documents(docs, seq_len=64, seed=1)

@@ -68,6 +68,30 @@ def test_filter_bounds(spark):
         date_math_filter(df, "ts")
 
 
+def test_default_now_is_utc(spark, monkeypatch):
+    """ADVICE r4: the wall-clock default must resolve ``now`` in UTC
+    (naive, matching naive ts columns and ES) — never host-local time,
+    which returns different rows per host timezone."""
+    from datetime import timezone
+
+    from mahout_spark.functions import datemath as dm
+
+    class _FakeDT(datetime):
+        @classmethod
+        def now(cls, tz=None):
+            assert tz is timezone.utc, \
+                "date_math_filter default must ask for UTC"
+            return datetime(2024, 1, 28, 12, 30, tzinfo=tz)
+
+    monkeypatch.setattr(dm, "datetime", _FakeDT)
+    rows = [(0, datetime(2024, 1, 27, 5, 0, 0)),
+            (1, datetime(2024, 1, 20, 0, 0, 0))]
+    df = spark.createDataFrame(rows, "event_id bigint, ts timestamp")
+    got = {r["event_id"] for r in dm.date_math_filter(
+        df, "ts", gte="now-1d/d").collect()}
+    assert got == {0}
+
+
 def test_date_math_bounds_push_to_scan(spark, tmp_path):
     """The resolved literals must reach the parquet scan as pushed
     range predicates (the operator's 100 TB claim)."""

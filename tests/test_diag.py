@@ -147,3 +147,11 @@ def test_disk_usage_accounts_for_every_table(spark, corpus,
     sizes = [r["n_bytes"] for r in
              sorted(got.values(), key=lambda r: (-r["n_bytes"], r["table"]))]
     assert sizes == sorted(sizes, reverse=True)
+    # round-4 VERDICT ask #5: the distributed regime (mapInPandas over
+    # the shallow (table, dir) job list) must return the identical
+    # relation — force it with a zero threshold
+    dist = sorted(
+        tuple(r) for r in
+        disk_usage(spark, built, distribute_min_dirs=0).collect()
+    )
+    assert dist == sorted(tuple(r) for r in got.values())

@@ -87,3 +87,35 @@ def test_mmr_rejects(spark, emb):
         mmr_rerank(emb, q, lambda_=1.5)
     with pytest.raises(ValueError, match="fetch"):
         mmr_rerank(emb, q, k=10, fetch=5)
+
+
+def test_mmr_batch_identical_to_per_query(spark, emb):
+    """Round-4 VERDICT ask #10: the one-job batch fetch + shared greedy
+    must reproduce per-query mmr_rerank EXACTLY, per query, including
+    tie behavior and selection order."""
+    from mahout_spark.operators.similarity import mmr_rerank_batch
+
+    queries = {f"q{i}": _qvec(emb, qid=i) for i in (1, 3, 7, 12)}
+    got = {}
+    for r in mmr_rerank_batch(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"),
+        queries, k=8, fetch=40, lambda_=0.4,
+    ).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["vec_id"], r["cosine"], r["mmr"], r["rank"]))
+    assert set(got) == set(queries)
+    for qid, qv in queries.items():
+        want = [(r["vec_id"], r["cosine"], r["mmr"], r["rank"])
+                for r in mmr_rerank(emb, qv, k=8, fetch=40,
+                                    lambda_=0.4).collect()]
+        assert got[qid] == want, qid
+
+
+def test_mmr_batch_empty_and_rejects(spark, emb):
+    from mahout_spark.operators.similarity import mmr_rerank_batch
+
+    assert mmr_rerank_batch(emb, {}, k=3).count() == 0
+    with pytest.raises(ValueError, match="fetch"):
+        mmr_rerank_batch(emb, {"q": _qvec(emb)}, k=10, fetch=5)
+    with pytest.raises(ValueError, match="lambda"):
+        mmr_rerank_batch(emb, {"q": _qvec(emb)}, lambda_=1.5)

@@ -357,3 +357,90 @@ def test_prefiltered_field_tags_and_rejections(spark, docs_df):
         percolate_prefiltered(spark, qs, docs_df)
     with pytest.raises(ValueError, match="slop"):
         percolate_prefiltered(spark, {"bad": '"table scan"~3'}, docs_df)
+
+
+# -- persistent registry (X122, round-4 VERDICT ask #7) ----------------------
+
+
+def _hits(df):
+    return {(r["doc_id"], r["query_id"]) for r in df.collect()}
+
+
+def test_registry_add_remove_epochs_and_persistence(spark, docs_df,
+                                                    tmp_path):
+    from mahout_spark.index.percolate import PercolatorRegistry, percolate
+
+    reg = PercolatorRegistry(str(tmp_path / "perc"))
+    assert reg.epoch() == 0 and reg.queries() == {}
+    e1 = reg.add({"q_and": QUERIES["q_and"], "q_prefix": QUERIES["q_prefix"]})
+    assert e1 == 1
+    e2 = reg.add({"q_phrase": QUERIES["q_phrase"]})
+    assert e2 == 2 and set(reg.queries()) == {"q_and", "q_prefix", "q_phrase"}
+
+    want = _hits(percolate(spark, reg.queries(), docs_df))
+    got = _hits(reg.percolate(spark, docs_df))
+    assert got == want and got
+
+    # remove drops matches; epoch moves; unknown id fails loudly
+    e3 = reg.remove(["q_prefix"])
+    assert e3 == 3 and set(reg.queries()) == {"q_and", "q_phrase"}
+    got2 = _hits(reg.percolate(spark, docs_df))
+    assert got2 == {h for h in want if h[1] != "q_prefix"}
+    with pytest.raises(KeyError, match="q_prefix"):
+        reg.remove(["q_prefix"])
+
+    # a FRESH instance over the same dir sees identical state
+    reg2 = PercolatorRegistry(str(tmp_path / "perc"))
+    assert reg2.epoch() == 3 and reg2.queries() == reg.queries()
+    assert _hits(reg2.percolate(spark, docs_df)) == got2
+
+    # relational view carries the version stamp on every row
+    pdf = reg.as_dataframe(spark).toPandas()
+    assert set(pdf["query_id"]) == {"q_and", "q_phrase"}
+    assert set(pdf["epoch"]) == {3}
+
+
+def test_registry_validates_at_add_time(spark, tmp_path):
+    from mahout_spark.index.percolate import PercolatorRegistry
+
+    reg = PercolatorRegistry(str(tmp_path / "perc"))
+    reg.add({"ok": "table AND data"})
+    with pytest.raises(Exception):
+        reg.add({"ok2": "scan OR merge", "bad": '"a b"~2'})  # slop leaf
+    # the WHOLE batch was rejected: no partial write, epoch unchanged
+    assert reg.epoch() == 1 and set(reg.queries()) == {"ok"}
+    with pytest.raises(Exception):
+        reg.add({"bad": "lang:java AND x"})  # field tag without lang_col
+    assert reg.epoch() == 1
+
+
+def test_registry_prefilter_parity_and_epoch_memo(spark, docs_df,
+                                                  tmp_path):
+    from mahout_spark.index import percolate as perc
+
+    reg = perc.PercolatorRegistry(str(tmp_path / "perc"))
+    reg.add(dict(QUERIES))
+    a = _hits(reg.percolate(spark, docs_df, prefiltered=True))
+    b = _hits(reg.percolate(spark, docs_df, prefiltered=False))
+    c = _hits(perc.percolate(spark, dict(QUERIES), docs_df))
+    assert a == b == c and a
+    # epoch-memoized compile: a second prefiltered call reuses the
+    # cached registry compile (same object), a mutation invalidates it
+    first = reg._compiled
+    _ = reg.percolate(spark, docs_df, prefiltered=True)
+    assert reg._compiled is first
+    reg.add({"extra": "vector OR stream"})
+    _ = reg.percolate(spark, docs_df, prefiltered=True)
+    assert reg._compiled is not first
+
+
+def test_registry_replay_skips_torn_trailing_line(spark, tmp_path):
+    from mahout_spark.index.percolate import PercolatorRegistry
+
+    reg = PercolatorRegistry(str(tmp_path / "perc"))
+    reg.add({"ok": "table AND data"})
+    with open(reg._path, "a") as f:  # crashed writer: half a JSON row
+        f.write('{"op": "add", "query_id": "half')
+    assert reg.queries() == {"ok": "table AND data"}
+    assert reg.add({"more": "scan OR merge"}) == 2
+    assert set(reg.queries()) == {"ok", "more"}

@@ -77,6 +77,39 @@ def test_restore_verifies_before_copying(spark, built, tmp_path):
     assert not os.path.exists(dest) or os.listdir(dest) == []
 
 
+def test_restore_catches_size_preserving_corruption(spark, built, tmp_path):
+    """ADVICE r4: size-equal bit rot / partial overwrite must fail the
+    manifest's per-file sha256 check, not restore silently."""
+    repo = str(tmp_path / "repo")
+    m = snapshot_index(built, repo, "s")
+    victim = next(r for r, _ in m["files"] if r.endswith(".parquet"))
+    p = os.path.join(repo, "s", victim)
+    size = os.stat(p).st_size
+    with open(p, "r+b") as f:  # flip one byte, keep the size
+        f.seek(size // 2)
+        b = f.read(1)
+        f.seek(size // 2)
+        f.write(bytes([b[0] ^ 0xFF]))
+    assert os.stat(p).st_size == size
+    with pytest.raises(ValueError, match="verification"):
+        restore_index(repo, "s", str(tmp_path / "rstc"))
+
+
+def test_incremental_snapshot_inherits_checksums(spark, built, tmp_path):
+    """Reused (hardlinked) files must inherit the previous manifest's
+    sha256 instead of being re-hashed — and the inherited hash must be
+    the true content hash."""
+    import hashlib
+
+    repo = str(tmp_path / "repo")
+    m1 = snapshot_index(built, repo, "a1")
+    m2 = snapshot_index(built, repo, "a2")
+    assert m2["sha256"] == m1["sha256"]
+    probe = next(r for r, _ in m2["files"] if r.endswith(".parquet"))
+    with open(os.path.join(repo, "a2", probe), "rb") as f:
+        assert hashlib.sha256(f.read()).hexdigest() == m2["sha256"][probe]
+
+
 def test_rejects(spark, built, tmp_path):
     repo = str(tmp_path / "repo")
     snapshot_index(built, repo, "x")
