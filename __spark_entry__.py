@@ -356,7 +356,6 @@ def q_engine_indexed_bm25(spark, sf_dir):
     from mahout_spark.index.wand import topk
     from mahout_spark.tokenize import tokenize_text
 
-    docs = _load(spark, sf_dir, "documents")
     cat = _shared_index(spark, sf_dir, mode="text")
     result = topk(
         spark, cat, tokenize_text(" ".join(BM25_QUERY_TERMS)), k=10
@@ -378,7 +377,6 @@ def q_engine_indexed_bm25_simple(spark, sf_dir):
     rows+schema+hash row, not just pytest gates."""
     from mahout_spark.index.wand import topk
 
-    docs = _load(spark, sf_dir, "documents")
     cat = _shared_index(spark, sf_dir)
     result = topk(spark, cat, BM25_QUERY_TERMS, k=10).select(
         "doc_id", F.round("score", 6).alias("score")
@@ -501,7 +499,6 @@ def q_engine_phrase_search(spark, sf_dir):
     all hash-checked end-to-end."""
     from mahout_spark.index.phrase import phrase_topk
 
-    docs = _load(spark, sf_dir, "documents")
     cat = _shared_index(spark, sf_dir, positions=True)
     result = phrase_topk(spark, cat, PHRASE_QUERY, k=10).select(
         "doc_id", F.round("score", 6).alias("score")
@@ -528,7 +525,6 @@ def q_engine_boolean_search(spark, sf_dir):
     relation."""
     from mahout_spark.index.boolquery import boolean_topk
 
-    docs = _load(spark, sf_dir, "documents")
     cat = _shared_index(spark, sf_dir, positions=True)
     result = boolean_topk(spark, cat, BOOL_QUERY, k=10).select(
         "doc_id", F.round("score", 6).alias("score")
@@ -545,7 +541,6 @@ def q_engine_prefix_search(spark, sf_dir):
     plain term. No positions needed — runs on the standard index."""
     from mahout_spark.index.boolquery import boolean_topk
 
-    docs = _load(spark, sf_dir, "documents")
     cat = _shared_index(spark, sf_dir)
     result = boolean_topk(spark, cat, PREFIX_QUERY, k=10).select(
         "doc_id", F.round("score", 6).alias("score")
@@ -569,7 +564,6 @@ def q_engine_fuzzy_search(spark, sf_dir):
     implementation."""
     from mahout_spark.index.boolquery import boolean_topk
 
-    docs = _load(spark, sf_dir, "documents")
     cat = _shared_index(spark, sf_dir)
     result = boolean_topk(spark, cat, FUZZY_QUERY, k=10).select(
         "doc_id", F.round("score", 6).alias("score")
@@ -590,7 +584,6 @@ def q_engine_boost_search(spark, sf_dir):
     each term's BM25 contribution with an explicit CASE weight table."""
     from mahout_spark.index.boolquery import boolean_topk
 
-    docs = _load(spark, sf_dir, "documents")
     cat = _shared_index(spark, sf_dir)
     result = boolean_topk(spark, cat, BOOST_QUERY, k=10).select(
         "doc_id", F.round("score", 6).alias("score")
@@ -614,7 +607,6 @@ def q_engine_boolean_batch(spark, sf_dir):
     with the same per-query ROW_NUMBER cut."""
     from mahout_spark.index.boolquery import boolean_topk_batch
 
-    docs = _load(spark, sf_dir, "documents")
     cat = _shared_index(spark, sf_dir)
     result = boolean_topk_batch(
         spark, cat, BATCH_QUERIES, k=10
@@ -686,7 +678,6 @@ def q_engine_match_count(spark, sf_dir):
     scoring. Oracle: count over the SQL set-op relation."""
     from mahout_spark.index.aggs import match_count
 
-    docs = _load(spark, sf_dir, "documents")
     cat = _shared_index(spark, sf_dir)
     result = match_count(spark, cat, "(spark OR query) AND data")
     rows = result.collect()
@@ -738,7 +729,6 @@ def q_engine_term_vectors(spark, sf_dir):
     stream recounted per doc and joined to the df relation."""
     from mahout_spark.index.diag import term_vectors
 
-    docs = _load(spark, sf_dir, "documents")
     cat = _shared_index(spark, sf_dir)
     result = term_vectors(spark, cat, [0, 1, 2, 3, 4])
     rows = result.collect()
@@ -899,7 +889,6 @@ def q_engine_did_you_mean(spark, sf_dir):
     levenshtein over the df relation per token."""
     from mahout_spark.index.boolquery import did_you_mean
 
-    docs = _load(spark, sf_dir, "documents")
     cat = _shared_index(spark, sf_dir)
     result = did_you_mean(spark, cat, "sparkk dtaa query")
     rows = result.collect()
@@ -1401,7 +1390,6 @@ def q_engine_index_stats(spark, sf_dir):
     of meta + lexicon."""
     from mahout_spark.index.diag import index_stats
 
-    docs = _load(spark, sf_dir, "documents")
     cat = _shared_index(spark, sf_dir)
     result = index_stats(spark, cat).select(
         F.col("n_docs").cast("long").alias("n_docs"),
@@ -1475,7 +1463,6 @@ def q_engine_suggest(spark, sf_dir):
     ranking with its independent levenshtein over the token relation."""
     from mahout_spark.index.boolquery import suggest_terms
 
-    docs = _load(spark, sf_dir, "documents")
     cat = _shared_index(spark, sf_dir)
     rows = suggest_terms(spark, cat, SUGGEST_WORD, n=5, max_edits=2)
     return spark.createDataFrame(
@@ -1520,7 +1507,6 @@ def q_engine_synonym_search(spark, sf_dir):
     the blended idf relationally."""
     from mahout_spark.index.boolquery import boolean_topk
 
-    docs = _load(spark, sf_dir, "documents")
     cat = _shared_index(spark, sf_dir)
     result = boolean_topk(
         spark, cat, SYN_QUERY, k=10, synonyms=SYNONYMS,
@@ -1542,7 +1528,6 @@ def q_engine_explain(spark, sf_dir):
     hash-checked, not just the ranking."""
     from mahout_spark.index.boolquery import explain_topk
 
-    docs = _load(spark, sf_dir, "documents")
     cat = _shared_index(spark, sf_dir)
     result = explain_topk(spark, cat, EXPLAIN_QUERY, k=10).select(
         "doc_id",
@@ -1569,7 +1554,6 @@ def q_engine_wildcard_search(spark, sf_dir):
     same BM25 sum."""
     from mahout_spark.index.boolquery import boolean_topk
 
-    docs = _load(spark, sf_dir, "documents")
     cat = _shared_index(spark, sf_dir)
     result = boolean_topk(spark, cat, WILDCARD_QUERY, k=10).select(
         "doc_id", F.round("score", 6).alias("score")
@@ -1591,7 +1575,6 @@ def q_engine_regexp_search(spark, sf_dir):
     cap on this vocabulary) and the same BM25 sum."""
     from mahout_spark.index.boolquery import boolean_topk
 
-    docs = _load(spark, sf_dir, "documents")
     cat = _shared_index(spark, sf_dir)
     result = boolean_topk(spark, cat, REGEXP_QUERY, k=10).select(
         "doc_id", F.round("score", 6).alias("score")
@@ -1654,7 +1637,6 @@ def q_engine_msm_search(spark, sf_dir):
     BM25 sum."""
     from mahout_spark.index.boolquery import boolean_topk
 
-    docs = _load(spark, sf_dir, "documents")
     cat = _shared_index(spark, sf_dir)
     result = boolean_topk(
         spark, cat, MSM_QUERY, k=10, minimum_should_match=MSM_M
@@ -1677,7 +1659,6 @@ def q_engine_search_after(spark, sf_dir):
     the deep ranking (LIMIT/OFFSET over the same relation)."""
     from mahout_spark.index.boolquery import boolean_topk
 
-    docs = _load(spark, sf_dir, "documents")
     cat = _shared_index(spark, sf_dir)
     page1 = boolean_topk(spark, cat, AFTER_QUERY, k=10).collect()
     cursor = (page1[-1]["score"], page1[-1]["doc_id"])
@@ -1747,7 +1728,6 @@ def q_engine_field_search(spark, sf_dir):
     independent of the posting machinery."""
     from mahout_spark.index.boolquery import boolean_topk
 
-    docs = _load(spark, sf_dir, "documents")
     cat = _shared_index(spark, sf_dir, lang_col="lang")
     result = boolean_topk(spark, cat, FIELD_QUERY, k=10).select(
         "doc_id", F.round("score", 6).alias("score")
@@ -1768,7 +1748,6 @@ def q_engine_proximity_search(spark, sf_dir):
     arithmetic."""
     from mahout_spark.index.phrase import proximity_topk
 
-    docs = _load(spark, sf_dir, "documents")
     cat = _shared_index(spark, sf_dir, positions=True)
     result = proximity_topk(
         spark, cat, PROX_TERMS, PROX_WINDOW, k=10
@@ -1870,7 +1849,6 @@ def q_engine_significant_terms(spark, sf_dir):
     df from the token stream, and the same JLH formula."""
     from mahout_spark.index.aggs import significant_terms
 
-    docs = _load(spark, sf_dir, "documents")
     cat = _shared_index(spark, sf_dir)
     cleanup: list = []
     result = significant_terms(
@@ -1942,7 +1920,6 @@ def q_engine_search_template(spark, sf_dir):
     from mahout_spark.index.boolquery import boolean_topk
     from mahout_spark.index.queryparse import render_template
 
-    docs = _load(spark, sf_dir, "documents")
     cat = _shared_index(spark, sf_dir, positions=True)
     rendered = render_template(
         '("{{p}}" OR {{a}}) AND {{m}} NOT {{x}}',
@@ -1968,6 +1945,39 @@ def q_engine_highlight(spark, sf_dir):
     docs = _load(spark, sf_dir, "documents")
     cat = _shared_index(spark, sf_dir, positions=True)
     result = highlight(spark, cat, docs, BOOL_QUERY, context=3)
+    rows = result.collect()
+    return spark.createDataFrame(rows, result.schema)
+
+
+def q_engine_rank_eval(spark, sf_dir):
+    """_rank_eval API (X124): the standard WAND top-10 evaluated against
+    graded judgments derived relationally from the corpus (grade = how
+    many of the query's terms a doc contains, 1-3) — precision@10,
+    recall@10, MRR, NDCG@10 in one relational plan. Ranks recompute on
+    the 6-dp-rounded score (doc_id tiebreak) on BOTH sides so the DCG
+    position arithmetic is bit-comparable; the DuckDB oracle rebuilds
+    every metric from the independent BM25 relation with window
+    functions."""
+    from mahout_spark.index.wand import topk
+    from mahout_spark.operators.rankeval import rank_eval
+
+    cat = _shared_index(spark, sf_dir)
+    w = Window.orderBy(
+        F.round("score", 6).desc(), F.col("doc_id").asc()
+    )
+    res = (
+        topk(spark, cat, BM25_QUERY_TERMS, k=10)
+        .withColumn("rank", F.row_number().over(w))
+        .select(F.lit("q0").alias("query_id"), "doc_id", "rank")
+    )
+    tf = _simple_tf(spark, sf_dir)
+    jud = (
+        tf.filter(F.col("term").isin(BM25_QUERY_TERMS))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("grade"))
+        .select(F.lit("q0").alias("query_id"), "doc_id", "grade")
+    )
+    result = rank_eval(res, jud, k=10)
     rows = result.collect()
     return spark.createDataFrame(rows, result.schema)
 
@@ -2027,7 +2037,6 @@ def q_engine_span_first(spark, sf_dir):
     token stream — fully independent of the composite-key kernel."""
     from mahout_spark.index.phrase import span_first_topk
 
-    docs = _load(spark, sf_dir, "documents")
     cat = _shared_index(spark, sf_dir, positions=True)
     result = span_first_topk(
         spark, cat, PHRASE_QUERY, end=12, k=10
@@ -2041,7 +2050,6 @@ def q_engine_terms_enum(spark, sf_dir):
     (vocabulary-sized, never postings)."""
     from mahout_spark.index.aggs import terms_enum
 
-    docs = _load(spark, sf_dir, "documents")
     cat = _shared_index(spark, sf_dir)
     result = terms_enum(spark, cat, "s", n=10)
     return spark.createDataFrame(result.collect(), result.schema)
@@ -2113,7 +2121,6 @@ def q_engine_rare_terms(spark, sf_dir):
     ES approximates with a CuckooFilter."""
     from mahout_spark.index.aggs import rare_terms
 
-    docs = _load(spark, sf_dir, "documents")
     cat = _shared_index(spark, sf_dir)
     cleanup: list = []
     result = rare_terms(
@@ -2126,7 +2133,6 @@ def q_engine_filters_agg(spark, sf_dir):
     counts, INCLUDING the zero bucket for a never-matching term."""
     from mahout_spark.index.aggs import filters_agg
 
-    docs = _load(spark, sf_dir, "documents")
     cat = _shared_index(spark, sf_dir)
     cleanup: list = []
     result = filters_agg(
@@ -2144,7 +2150,6 @@ def q_engine_adjacency(spark, sf_dir):
     zero intersections omitted."""
     from mahout_spark.index.aggs import adjacency_matrix
 
-    docs = _load(spark, sf_dir, "documents")
     cat = _shared_index(spark, sf_dir)
     cleanup: list = []
     result = adjacency_matrix(
@@ -2212,7 +2217,6 @@ def q_engine_rescore_search(spark, sf_dir):
     and the same linear combination."""
     from mahout_spark.index.hybrid import rescore_topk
 
-    docs = _load(spark, sf_dir, "documents")
     emb = _load(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in
             emb.filter(F.col("vec_id") == 0).first()["embedding"]]
@@ -2237,7 +2241,6 @@ def q_engine_hybrid_search(spark, sf_dir):
     join."""
     from mahout_spark.index.hybrid import hybrid_topk
 
-    docs = _load(spark, sf_dir, "documents")
     emb = _load(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in
             emb.filter(F.col("vec_id") == 0).first()["embedding"]]
@@ -2703,6 +2706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_significant_terms": q_engine_significant_terms,
         "engine_search_template": q_engine_search_template,
         "engine_highlight": q_engine_highlight,
+        "engine_rank_eval": q_engine_rank_eval,
         "engine_delete_by_query": q_engine_delete_by_query,
         "engine_snapshot_restore": q_engine_snapshot_restore,
         "engine_alias_search": q_engine_alias_search,
@@ -4515,6 +4519,50 @@ def _base_oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, score FROM agg
         ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        # rank_eval oracle: metrics rebuilt from the independent BM25
+        # relation — ROW_NUMBER ranks on the rounded score (same
+        # tiebreak), judgments re-derived as count(DISTINCT term),
+        # DCG/IDCG/MRR/precision/recall with window + CASE arithmetic.
+        "engine_rank_eval": _BM25_BASE + f"""
+        , res AS (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC)
+                       AS rank
+            FROM agg QUALIFY rank <= 10
+        ), jud AS (
+            SELECT doc_id, count(DISTINCT term) AS grade
+            FROM tf WHERE term IN {_TERMS_IN} GROUP BY doc_id
+        ), j AS (
+            SELECT r.rank, coalesce(g.grade, 0) AS grade
+            FROM res r LEFT JOIN jud g USING (doc_id)
+        ), m AS (
+            SELECT count(*) AS retrieved,
+                   sum(CASE WHEN grade > 0 THEN 1 ELSE 0 END) AS hits,
+                   min(CASE WHEN grade > 0 THEN rank END) AS fr,
+                   sum((pow(2, grade) - 1) / log2(rank + 1)) AS dcg
+            FROM j
+        ), ideal AS (
+            SELECT grade,
+                   ROW_NUMBER() OVER (ORDER BY grade DESC, doc_id ASC)
+                       AS rn
+            FROM jud WHERE grade > 0 QUALIFY rn <= 10
+        ), i AS (
+            SELECT sum((pow(2, grade) - 1) / log2(rn + 1)) AS idcg,
+                   (SELECT count(*) FROM jud WHERE grade > 0)
+                       AS total_rel
+            FROM ideal
+        )
+        SELECT 'q0' AS query_id,
+               CAST(retrieved AS BIGINT) AS retrieved,
+               CAST(hits AS BIGINT) AS relevant_retrieved,
+               round(hits * 1.0 / retrieved, 6) AS precision_at_k,
+               round(CASE WHEN total_rel > 0
+                     THEN hits * 1.0 / total_rel END, 6) AS recall_at_k,
+               round(coalesce(1.0 / fr, 0.0), 6) AS mrr,
+               round(CASE WHEN idcg > 0 THEN dcg / idcg END, 6)
+                   AS ndcg_at_k
+        FROM m CROSS JOIN i
         """,
         # highlight oracle: the boolean match relation, then the ±3
         # window around the first positive-term occurrence rebuilt with
