@@ -1949,6 +1949,23 @@ def q_engine_highlight(spark, sf_dir):
     return spark.createDataFrame(rows, result.schema)
 
 
+SPAN_N = 8
+
+
+def q_dedup_spans(spark, sf_dir):
+    """Exact-substring duplicated spans (X125 — Lee et al.'s ExactSubstr
+    dedup re-expressed relationally): maximal runs of verbatim-repeated
+    SPAN_N-token windows across the corpus, canonical (first) occurrence
+    exempt. The Spark side shuffles xxhash64 shingle keys; the DuckDB
+    oracle compares EXACT shingle strings and rebuilds the same
+    gaps-and-islands merge with window functions — so a MATCH also
+    certifies zero hash collisions at this scale."""
+    from mahout_spark.operators.dedup import duplicated_spans
+
+    docs = _load(spark, sf_dir, "documents")
+    return duplicated_spans(docs, n=SPAN_N)
+
+
 def q_engine_rank_eval(spark, sf_dir):
     """_rank_eval API (X124): the standard WAND top-10 evaluated against
     graded judgments derived relationally from the corpus (grade = how
@@ -2707,6 +2724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_search_template": q_engine_search_template,
         "engine_highlight": q_engine_highlight,
         "engine_rank_eval": q_engine_rank_eval,
+        "dedup_spans": q_dedup_spans,
         "engine_delete_by_query": q_engine_delete_by_query,
         "engine_snapshot_restore": q_engine_snapshot_restore,
         "engine_alias_search": q_engine_alias_search,
@@ -4519,6 +4537,52 @@ def _base_oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, score FROM agg
         ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        # dedup_spans oracle: exact shingle STRINGS (no hashes) through
+        # the same count/rank windows and gaps-and-islands merge — an
+        # engine/oracle MATCH also certifies zero xxhash64 collisions.
+        "dedup_spans": f"""
+        WITH toksl AS (
+            SELECT doc_id, list_filter(
+                string_split_regex(lower(text), '[^a-z0-9]+'),
+                t -> t <> '') AS l
+            FROM documents WHERE text IS NOT NULL
+        ), occ AS (
+            SELECT doc_id, i - 1 AS start,
+                   array_to_string(l[i:i+{SPAN_N - 1}], ' ') AS s
+            FROM toksl,
+                 unnest(generate_series(
+                     1, greatest(len(l) - {SPAN_N - 1}, 0))) AS t(i)
+        ), ann AS (
+            SELECT doc_id, start,
+                   count(*) OVER (PARTITION BY s) AS c,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY s ORDER BY doc_id, start) AS rn
+            FROM occ
+        ), dup AS (
+            SELECT doc_id, start FROM ann WHERE c > 1 AND rn > 1
+        ), isl AS (
+            SELECT doc_id, start,
+                   CASE WHEN coalesce(max(start + {SPAN_N}) OVER (
+                            PARTITION BY doc_id ORDER BY start
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING),
+                            -1) < start
+                        THEN 1 ELSE 0 END AS brk
+            FROM dup
+        ), grp AS (
+            SELECT doc_id, start,
+                   sum(brk) OVER (
+                       PARTITION BY doc_id ORDER BY start
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS island
+            FROM isl
+        )
+        SELECT doc_id,
+               CAST(min(start) AS BIGINT) AS span_start,
+               CAST(max(start) + {SPAN_N} AS BIGINT) AS span_end,
+               count(*) AS n_shingles
+        FROM grp GROUP BY doc_id, island
         """,
         # rank_eval oracle: metrics rebuilt from the independent BM25
         # relation — ROW_NUMBER ranks on the rounded score (same

@@ -163,6 +163,7 @@ def main() -> None:
         "pack_sequences",
         "report_full",
         "engine_highlight",
+        "dedup_spans",
     ]:
         # NOTE (round 5): engine_* entries now resolve their index via
         # the contract's memoized _shared_index — the FIRST trial pays

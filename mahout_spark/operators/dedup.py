@@ -57,7 +57,7 @@ import warnings
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Observation
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -170,6 +170,145 @@ def exact_dedup_groups(
         )
         .filter(F.col("n_copies") > 1)
         .select("keep_id", "n_copies")
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact-substring duplicated spans (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better" — the ExactSubstr regime,
+# re-expressed relationally instead of via a suffix array)
+# ---------------------------------------------------------------------------
+
+def duplicated_spans(
+    docs: DataFrame,
+    n: int = 20,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    keep_first: bool = True,
+) -> DataFrame:
+    """Token spans duplicated VERBATIM anywhere in the corpus:
+    ``(doc_id, span_start, span_end, n_shingles)`` — every maximal run of
+    overlapping n-token windows whose content occurs more than once
+    (across docs or within one), merged gaps-and-islands style. With
+    ``keep_first`` (the ExactSubstr "keep one copy" discipline) each
+    duplicated window's CANONICAL occurrence — the (doc_id, start)-least
+    one — never seeds a span, so isolated duplicates always keep one
+    copy. (As in Lee et al., a canonical window can still be eroded when
+    it overlaps spans seeded by OTHER duplicated windows in the same
+    region — heavy-duplication regions are exactly what removal is for;
+    the non-overlapping case is exact, test-gated.)
+
+    Plan: the k-shifted zip_with fold builds each doc's shingle array
+    (O(n·k), never the slice-in-lambda O(n²) trap — see _shingles_expr),
+    xxhash64 collapses shingles to 8-byte keys BEFORE the only
+    corpus-sized shuffle (one hash partition by shingle key: count +
+    rank per occurrence), then a per-doc window merges surviving
+    occurrences into maximal spans. Shuffle volume is one (key, doc,
+    pos) row per token — independent of document size; the suffix-array
+    construction this replaces is the part that does not distribute.
+    64-bit key collisions would merge unrelated shingles (~N²/2^64 —
+    negligible below 10^8 distinct shingles; the DuckDB oracle compares
+    exact strings, so a collision would surface as a MISMATCH)."""
+    if n < 2:
+        raise ValueError(f"shingle width must be >= 2 tokens: {n}")
+    occ = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(_shingles_expr(content_col, n),
+                        lambda s: F.xxhash64(s))
+        ).alias("start", "sh"),
+    )
+    w_sh = Window.partitionBy("sh")
+    ann = occ.select(
+        id_col, "start",
+        F.count(F.lit(1)).over(w_sh).alias("_c"),
+        F.row_number().over(
+            w_sh.orderBy(F.col(id_col).asc(), F.col("start").asc())
+        ).alias("_rn"),
+    )
+    dup = ann.filter(F.col("_c") > 1)
+    if keep_first:
+        dup = dup.filter(F.col("_rn") > 1)
+
+    wd = Window.partitionBy(id_col).orderBy("start")
+    prev_end = F.max(F.col("start") + n).over(
+        wd.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = (
+        dup.withColumn(
+            "_brk",
+            F.when(prev_end.isNull() | (F.col("start") > prev_end), 1)
+            .otherwise(0),
+        )
+        .withColumn(
+            "_island",
+            F.sum("_brk").over(wd.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return (
+        isl.groupBy(id_col, "_island")
+        .agg(
+            F.min("start").cast("long").alias("span_start"),
+            (F.max("start") + n).cast("long").alias("span_end"),
+            F.count(F.lit(1)).alias("n_shingles"),
+        )
+        .drop("_island")
+    )
+
+
+def remove_duplicated_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The dedup ACTION for ``duplicated_spans``: rebuild each doc's
+    token stream with every reported span's tokens dropped —
+    ``(doc_id, text_clean, n_tokens, n_tokens_removed)``. Spans arrive
+    as the spans operator emits them (already per-doc disjoint); they
+    aggregate to one array per doc and a single JVM filter-by-index pass
+    rewrites the corpus (no UDF; docs without spans pass through with a
+    null-safe empty array). Under ``keep_first=True`` spans, isolated
+    duplicated n-grams keep exactly one copy in the cleaned corpus
+    (test-gated; see duplicated_spans for the overlap caveat)."""
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(F.col("span_start").alias("s"),
+                     F.col("span_end").alias("e"))
+        ).alias("_spans")
+    )
+    toks = _tokens_expr(content_col)
+    staged = (
+        docs.join(per_doc, id_col, "left")
+        .withColumn("_spans", F.coalesce(
+            "_spans",
+            F.array().cast("array<struct<s:bigint,e:bigint>>"),
+        ))
+        .withColumn("_toks", toks)
+    )
+    # sequence(0, -1) is DESCENDING [0, -1] in Spark, so empty docs need
+    # the explicit empty-array branch (repo gotcha, .claude verify notes)
+    idx = F.when(
+        F.size("_toks") > 0, F.sequence(F.lit(0), F.size("_toks") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    kept = F.filter(
+        F.zip_with(
+            F.col("_toks"),
+            idx,
+            lambda t, i: F.struct(t.alias("t"), i.alias("i")),
+        ),
+        lambda p: ~F.exists(
+            "_spans",
+            lambda sp: (p["i"] >= sp["s"]) & (p["i"] < sp["e"]),
+        ),
+    )
+    return staged.select(
+        id_col,
+        F.array_join(F.transform(kept, lambda p: p["t"]), " ")
+        .alias("text_clean"),
+        F.size("_toks").cast("long").alias("n_tokens"),
+        (F.size("_toks") - F.size(kept)).cast("long")
+        .alias("n_tokens_removed"),
     )
 
 
