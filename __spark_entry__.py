@@ -1949,6 +1949,30 @@ def q_engine_highlight(spark, sf_dir):
     return spark.createDataFrame(rows, result.schema)
 
 
+LTR_QUERIES = {
+    "q0": BM25_QUERY_TERMS,
+    "q1": ["table", "scan", "merge"],
+}
+LTR_K = 20
+
+
+def q_engine_ltr_features(spark, sf_dir):
+    """LTR feature extraction (X126, the ES learning-to-rank plugin's
+    featureset model): per (query, top-20 candidate) the model-ready
+    features — BM25, matched terms, tf sums, idf mass, length signals —
+    computed from INDEX statistics in one batch plan (shared-decode
+    topk_batch candidates, bucket-pruned tf read semi-joined to the
+    candidate set). The DuckDB oracle recomputes every feature from the
+    raw token stream: a MATCH pins candidate selection, rank order, and
+    each feature's arithmetic."""
+    from mahout_spark.index.ltr import ltr_features
+
+    cat = _shared_index(spark, sf_dir)
+    result = ltr_features(spark, cat, LTR_QUERIES, k=LTR_K)
+    rows = result.collect()
+    return spark.createDataFrame(rows, result.schema)
+
+
 SPAN_N = 8
 
 
@@ -2724,6 +2748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_search_template": q_engine_search_template,
         "engine_highlight": q_engine_highlight,
         "engine_rank_eval": q_engine_rank_eval,
+        "engine_ltr_features": q_engine_ltr_features,
         "dedup_spans": q_dedup_spans,
         "engine_delete_by_query": q_engine_delete_by_query,
         "engine_snapshot_restore": q_engine_snapshot_restore,
@@ -4537,6 +4562,46 @@ def _base_oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, score FROM agg
         ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        # ltr_features oracle: per-query BM25 relation from the token
+        # stream, ROW_NUMBER rank on the rounded score, every feature
+        # (tf sums, idf mass, length signals) recomputed independently.
+        "engine_ltr_features": _TOK_CTE + f"""
+        , qt AS (
+            SELECT * FROM (VALUES
+                ('q0', 'spark'), ('q0', 'query'), ('q0', 'data'),
+                ('q1', 'table'), ('q1', 'scan'), ('q1', 'merge')
+            ) AS v(query_id, term)
+        ), contrib AS (
+            SELECT qt.query_id, tf.doc_id,
+                   {_BM25_CONTRIB} AS c,
+                   tf.tf AS tf, dfreq.df AS df, dl.doclen AS doclen,
+                   ln(1.0 + (scal.n_docs - dfreq.df + 0.5)
+                      / (dfreq.df + 0.5)) AS idf
+            FROM tf
+            JOIN qt USING (term)
+            JOIN dfreq USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN scal
+        ), agg AS (
+            SELECT query_id, doc_id,
+                   round(sum(c), 6) AS bm25,
+                   count(*) AS matched_terms,
+                   CAST(sum(tf) AS BIGINT) AS tf_sum,
+                   CAST(max(tf) AS BIGINT) AS tf_max,
+                   round(sum(idf), 6) AS idf_sum,
+                   CAST(max(doclen) AS BIGINT) AS doclen
+            FROM contrib GROUP BY query_id, doc_id
+        ), ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY bm25 DESC, doc_id ASC) AS rank
+            FROM agg QUALIFY rank <= {LTR_K}
+        )
+        SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank, bm25,
+               matched_terms, tf_sum, tf_max, idf_sum, doclen,
+               round(doclen / (SELECT avgdl FROM scal), 6) AS dl_ratio
+        FROM ranked
         """,
         # dedup_spans oracle: exact shingle STRINGS (no hashes) through
         # the same count/rank windows and gaps-and-islands merge — an
