@@ -1066,6 +1066,19 @@ def q_repetition_signals(spark, sf_dir):
     return repetition_signals(_load(spark, sf_dir, "documents"))
 
 
+def q_lm_quality(spark, sf_dir):
+    """CCNet-style LM perplexity bucketing (X128, Wenzek et al. 2020):
+    add-1 unigram LM trained on the deterministic reference slice
+    (doc_id % 10 == 0), per-doc token cross entropy via an ORDERED
+    per-doc running-sum window (hash-stable float folding), tertile
+    head/middle/tail buckets from interpolation-free discrete cut
+    points. The oracle replays the LM, the ordered fold, and the
+    ranked thresholds verbatim."""
+    from mahout_spark.operators.curation import lm_quality
+
+    return lm_quality(_load(spark, sf_dir, "documents"))
+
+
 def q_multi_match_search(spark, sf_dir):
     """multi_match best_fields / dis_max (X97, ES `multi_match` with
     `title^2` and tie_breaker 0.3): title field = the doc's first 5
@@ -2717,6 +2730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_match_search": q_multi_match_search,
         "combined_fields": q_combined_fields,
         "repetition_signals": q_repetition_signals,
+        "lm_quality": q_lm_quality,
         "mixture_sample": q_mixture_sample,
         "mixture_stats": q_mixture_stats,
         "engine_has_child": q_engine_has_child,
@@ -3799,6 +3813,68 @@ def _pipeline_sql() -> dict[str, str]:
         LEFT JOIN lstat l USING (doc_id)
         LEFT JOIN top2 t USING (doc_id)
         LEFT JOIN dup5 d USING (doc_id)
+        """,
+        # LM perplexity bucketing (X128): add-1 unigram LM on the
+        # doc_id%10 reference slice; per-doc cross entropy folded in
+        # term order (ordered window = the engine's exact summation
+        # order); tertile cuts = max H among the ceil(n/3)/ceil(2n/3)
+        # lowest (H, doc_id) rows — discrete, no quantile interpolation
+        "lm_quality": """
+        WITH tokq AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
+                       AS term
+            FROM documents WHERE text IS NOT NULL
+        ), tfq AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM tokq WHERE term <> '' GROUP BY 1, 2
+        ), dlq AS (
+            SELECT doc_id, sum(tf) AS doclen FROM tfq GROUP BY doc_id
+        ), refc AS (
+            SELECT term, sum(tf) AS cnt FROM tfq
+            WHERE doc_id % 10 = 0 GROUP BY term
+        ), tot AS (
+            SELECT sum(cnt) AS t, count(*) AS v FROM refc
+        ), lm AS (
+            SELECT term, log2((cnt + 1.0) / (t + v + 1.0)) AS logp
+            FROM refc, tot
+        ), oov AS (
+            SELECT log2(1.0 / (t + v + 1.0)) AS logp FROM tot
+        ), contrib AS (
+            SELECT tfq.doc_id, tfq.term, dlq.doclen,
+                   tfq.tf * coalesce(lm.logp, oov.logp) AS c
+            FROM tfq JOIN dlq USING (doc_id)
+            LEFT JOIN lm USING (term), oov
+        ), h AS (
+            SELECT doc_id, CAST(doclen AS BIGINT) AS n_tokens,
+                   round(-cum / doclen, 6) AS cross_entropy
+            FROM (
+                SELECT doc_id, doclen,
+                       sum(c) OVER (PARTITION BY doc_id ORDER BY term
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cum,
+                       row_number() OVER (PARTITION BY doc_id
+                           ORDER BY term DESC) AS rn
+                FROM contrib
+            ) WHERE rn = 1
+        ), ranked AS (
+            SELECT cross_entropy,
+                   row_number() OVER (
+                       ORDER BY cross_entropy, doc_id) AS rn,
+                   count(*) OVER () AS n
+            FROM h
+        ), thr AS (
+            SELECT max(CASE WHEN rn <= ceil(n / 3.0)
+                            THEN cross_entropy END) AS t1,
+                   max(CASE WHEN rn <= ceil(2 * n / 3.0)
+                            THEN cross_entropy END) AS t2
+            FROM ranked
+        )
+        SELECT doc_id, n_tokens, cross_entropy,
+               CASE WHEN cross_entropy <= t1 THEN 'head'
+                    WHEN cross_entropy <= t2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM h, thr
         """,
         # has_child (X100): chunk windows -> tf('data') per chunk ->
         # per-parent count/sum with the >= 2 window

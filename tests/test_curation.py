@@ -339,3 +339,115 @@ def test_mixture_stats_achieves_target(spark):
             round(got[s]["n_kept"] / total, 6))
         # the hash split tracks the target within sampling noise
         assert abs(got[s]["n_kept"] / total - p) < 0.08
+
+
+# ---------------------------------------------------------------------------
+# X128 — LM perplexity quality (lm_quality / unigram_lm / lm_cross_entropy)
+
+
+def _py_lm_quality(docs, ref_mod=10, alpha=1.0):
+    """Independent python replay: add-alpha unigram LM on the reference
+    slice, per-doc cross entropy folded IN TERM ORDER (the operator's
+    documented summation order), discrete tertile buckets."""
+    import math
+
+    tf = {}
+    for did, text in docs:
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        if toks:
+            d = tf.setdefault(did, {})
+            for t in toks:
+                d[t] = d.get(t, 0) + 1
+    counts = {}
+    for did, terms in tf.items():
+        if did % ref_mod == 0:
+            for t, c in terms.items():
+                counts[t] = counts.get(t, 0) + c
+    tot, v = sum(counts.values()), len(counts)
+    denom = tot + alpha * (v + 1)
+    oov = math.log2(alpha / denom)
+    scored = {}
+    for did, terms in tf.items():
+        n = sum(terms.values())
+        acc = 0.0
+        for t in sorted(terms):  # the pinned fold order
+            lp = (math.log2((counts[t] + alpha) / denom)
+                  if t in counts else oov)
+            acc += terms[t] * lp
+        scored[did] = (n, round(-acc / n, 6))
+    hs = sorted((h, did) for did, (_, h) in scored.items())
+    n_docs = len(hs)
+    t1 = hs[-(-n_docs // 3) - 1][0]
+    t2 = hs[-(-(2 * n_docs) // 3) - 1][0]
+    return {
+        did: (n, h, "head" if h <= t1 else "middle" if h <= t2 else "tail")
+        for did, (n, h) in scored.items()
+    }
+
+
+LM_DOCS = [
+    (0, "the cat sat on the mat"),        # reference slice (0 % 10 == 0)
+    (10, "the dog sat on the log"),       # reference slice
+    (1, "the cat sat"),                   # all in-vocab
+    (2, "zebra quokka axolotl"),          # all OOV -> worst entropy
+    (3, "the the the the"),               # most reference-like
+    (4, "cat dog unknownword"),           # mixed OOV
+    (5, "on the mat sat a cat"),          # 'a' is OOV
+]
+
+
+def test_lm_quality_matches_python_oracle(spark):
+    from mahout_spark.operators.curation import lm_quality
+
+    docs = spark.createDataFrame(LM_DOCS, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["cross_entropy"], r["bucket"])
+        for r in lm_quality(docs).collect()
+    }
+    want = _py_lm_quality(LM_DOCS)
+    assert set(got) == set(want)
+    for did in want:
+        n_g, h_g, b_g = got[did]
+        n_w, h_w, b_w = want[did]
+        assert n_g == n_w
+        assert h_g == pytest.approx(h_w, abs=2e-6)
+        assert b_g == b_w, f"doc {did}: {got[did]} != {want[did]}"
+    # the all-OOV doc pays the flat unseen mass -> strictly worst score
+    assert got[2][1] == max(h for _, h, _ in got.values())
+    assert got[2][2] == "tail"
+
+
+def test_lm_quality_approx_thresholds_same_plan_shape(spark):
+    """The scale path (approx_percentile) must produce the same schema
+    and a valid 3-way partition without any driver-side TakeOrdered."""
+    from mahout_spark.operators.curation import lm_quality
+
+    docs = spark.createDataFrame(LM_DOCS, "doc_id long, text string")
+    out = lm_quality(docs, exact_thresholds=False)
+    rows = out.collect()
+    assert {r["bucket"] for r in rows} <= {"head", "middle", "tail"}
+    assert len(rows) == len(LM_DOCS)
+    assert out.columns == ["doc_id", "n_tokens", "cross_entropy", "bucket"]
+
+
+def test_lm_cross_entropy_window_is_doc_partitioned(spark):
+    """The ordered fold must never be a global (partition-less) window."""
+    from mahout_spark.operators.curation import lm_cross_entropy, unigram_lm
+
+    docs = spark.createDataFrame(LM_DOCS, "doc_id long, text string")
+    lm, oov = unigram_lm(docs)
+    plan = capture_plan(lm_cross_entropy(docs, lm, oov))
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "doc_id" in line, f"global window in plan: {line}"
+
+
+def test_unigram_lm_is_a_distribution(spark):
+    """Sum of in-vocab probabilities + the OOV bucket must be 1."""
+    from mahout_spark.operators.curation import unigram_lm
+
+    docs = spark.createDataFrame(LM_DOCS, "doc_id long, text string")
+    lm, oov = unigram_lm(docs)
+    p_in = sum(2 ** r["logp"] for r in lm.collect())
+    p_oov = 2 ** oov.collect()[0]["_oov_logp"]
+    assert p_in + p_oov == pytest.approx(1.0, abs=1e-12)
