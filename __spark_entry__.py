@@ -1079,6 +1079,57 @@ def q_lm_quality(spark, sf_dir):
     return lm_quality(_load(spark, sf_dir, "documents"))
 
 
+def q_c4_filters(spark, sf_dir):
+    """C4 heuristic cleaning (X129, Raffel et al. 2020 §2.2): the
+    fixture corpus has no line structure, so the query first derives a
+    deterministic line-structured corpus — 8-token lines, terminated
+    with '.' when (doc_id + line_idx) % 4 != 0 — in pure array
+    expressions both engines share, then applies the full rule set:
+    line floor of 3 words, terminal punctuation, 'stream' as the
+    line-drop policy word, 'vector' as the document policy word,
+    'slow filter' as the banned phrase, sentence floor of 5. The
+    oracle replays the derivation AND every rule."""
+    from mahout_spark.operators.curation import c4_filters
+
+    docs = _load(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda x: x != "",
+    )
+    lined = (
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", toks.alias("_tk"))
+        .filter(F.size("_tk") > 0)
+        .select(
+            "doc_id",
+            F.array_join(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        ((F.size("_tk") - 1) / 8).cast("int"),
+                    ),
+                    lambda i: F.concat(
+                        F.array_join(
+                            F.slice(F.col("_tk"), i * 8 + 1, 8), " "),
+                        F.when(
+                            ((F.col("doc_id") + i) % 4) != 0, F.lit(".")
+                        ).otherwise(F.lit("")),
+                    ),
+                ),
+                "\n",
+            ).alias("text"),
+        )
+    )
+    return c4_filters(
+        lined,
+        min_words_per_line=3,
+        min_sentences=5,
+        line_drop_words=("stream",),
+        banned_words=("vector",),
+        banned_phrases=("slow filter",),
+    )
+
+
 def q_multi_match_search(spark, sf_dir):
     """multi_match best_fields / dis_max (X97, ES `multi_match` with
     `title^2` and tie_breaker 0.3): title field = the doc's first 5
@@ -2731,6 +2782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "combined_fields": q_combined_fields,
         "repetition_signals": q_repetition_signals,
         "lm_quality": q_lm_quality,
+        "c4_filters": q_c4_filters,
         "mixture_sample": q_mixture_sample,
         "mixture_stats": q_mixture_stats,
         "engine_has_child": q_engine_has_child,
@@ -3875,6 +3927,60 @@ def _pipeline_sql() -> dict[str, str]:
                     WHEN cross_entropy <= t2 THEN 'middle'
                     ELSE 'tail' END AS bucket
         FROM h, thr
+        """,
+        # C4 cleaning (X129): replay the derived 8-token-line corpus
+        # ('.' when (doc_id+li)%4 != 0), then every rule — word floor,
+        # terminal punct, 'stream' line drop, 'vector'/'slow filter'
+        # doc policy, sentence floor of 5 on the cleaned text
+        "c4_filters": """
+        WITH tk AS (
+            SELECT doc_id,
+                   list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '') AS tk
+            FROM documents WHERE text IS NOT NULL
+        ), tok AS (
+            SELECT doc_id, unnest(tk) AS term,
+                   generate_subscripts(tk, 1) AS p
+            FROM tk WHERE len(tk) > 0
+        ), lin AS (
+            SELECT doc_id, (p - 1) // 8 AS li,
+                   string_agg(term, ' ' ORDER BY p)
+                     || CASE WHEN (doc_id + (p - 1) // 8) % 4 <> 0
+                             THEN '.' ELSE '' END AS line,
+                   count(*) AS wc
+            FROM tok GROUP BY doc_id, (p - 1) // 8
+        ), marked AS (
+            SELECT *, (wc >= 3
+                       AND regexp_matches(line, '[.!?\"]$')
+                       AND NOT contains(line, 'stream')) AS keepl
+            FROM lin
+        ), per AS (
+            SELECT doc_id,
+                   count(*) AS n_lines,
+                   count(*) FILTER (WHERE keepl) AS n_lines_kept,
+                   coalesce(string_agg(line, chr(10) ORDER BY li)
+                            FILTER (WHERE keepl), '') AS clean_text,
+                   string_agg(line, chr(10) ORDER BY li) AS full_text
+            FROM marked GROUP BY doc_id
+        ), scored AS (
+            SELECT doc_id, n_lines, n_lines_kept, clean_text,
+                   CAST(len(regexp_extract_all(clean_text, '[.!?]'))
+                        AS BIGINT) AS n_sentences,
+                   CASE
+                     WHEN contains(full_text, 'vector')
+                          THEN 'banned_word'
+                     WHEN contains(full_text, 'slow filter')
+                          THEN 'banned_phrase'
+                     WHEN contains(full_text, '{') THEN 'brace'
+                     WHEN len(regexp_extract_all(clean_text, '[.!?]'))
+                          < 5 THEN 'too_few_sentences'
+                   END AS drop_reason
+            FROM per
+        )
+        SELECT doc_id, drop_reason IS NULL AS kept, drop_reason,
+               n_lines, n_lines_kept, n_sentences, clean_text
+        FROM scored
         """,
         # has_child (X100): chunk windows -> tf('data') per chunk ->
         # per-parent count/sum with the >= 2 window

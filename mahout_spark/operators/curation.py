@@ -662,3 +662,157 @@ def lm_quality(
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C4 heuristic cleaning (X129)
+# ---------------------------------------------------------------------------
+
+def c4_filters(
+    docs: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 3,
+    min_sentences: int = 5,
+    line_drop_words: tuple = ("javascript",),
+    banned_words: tuple = (),
+    banned_phrases: tuple = ("lorem ipsum",),
+    drop_braces: bool = True,
+) -> DataFrame:
+    """The C4 cleaning heuristics (Raffel et al. 2020 §2.2 — the rule
+    set that turned Common Crawl into C4, run by every web-scale
+    pretraining pipeline between extraction and dedup): per document,
+
+    * **line rules** (a line = one ``\\n`` split): keep a line only if
+      it (a) has at least ``min_words_per_line`` whitespace-separated
+      words, (b) ends in a terminal punctuation mark (``. ! ?`` or a
+      closing double quote — the paper's convention), and (c) contains
+      none of ``line_drop_words`` (the paper's "javascript" rule;
+      substring containment on the lowercased line);
+    * **document rules**, first match wins (``drop_reason``):
+      ``banned_word`` — the lowercased ORIGINAL text contains any of
+      ``banned_words`` (the paper's policy word list, caller-supplied;
+      substring containment); ``banned_phrase`` — ditto for
+      ``banned_phrases`` (the paper's "lorem ipsum" rule); ``brace`` —
+      the original text contains ``{`` (the paper's code-page rule);
+      ``too_few_sentences`` — fewer than ``min_sentences`` sentence
+      terminators (``[.!?]`` occurrences, the pinned convention) remain
+      in the CLEANED text. ``drop_reason`` NULL ⇒ ``kept``.
+
+    Returns ``(id, kept, drop_reason, n_lines, n_lines_kept,
+    n_sentences, clean_text)`` — ``n_lines`` counts non-blank input
+    lines; ``clean_text`` is the kept lines re-joined by ``\\n``.
+    NULL/empty input text is excluded (the quality_scores contract).
+
+    Scale shape: every rule is a per-document array/string expression
+    (split → lambda filter → join, all JVM higher-order functions) — one
+    narrow projection pass, ZERO exchanges and zero Python, exactly like
+    quality_scores; the paper's remaining rule (three-sentence-span
+    dedup across the corpus) is cross-document state and lives in
+    ``duplicated_spans`` (X125), which see. Rule evaluation on the
+    original vs cleaned text follows the paper: policy/code rules are
+    page-level (pre-clean), the sentence floor is post-clean.
+
+    All outputs are ints/strings/booleans — no float rounding seam, so
+    the SQL oracle replays bit-for-bit.
+    """
+    if min_words_per_line < 1:
+        raise ValueError(
+            f"min_words_per_line must be >= 1: {min_words_per_line}")
+    if min_sentences < 0:
+        raise ValueError(f"min_sentences must be >= 0: {min_sentences}")
+
+    def _wc(line):
+        return F.size(
+            F.filter(F.split(F.trim(line), r"\s+"), lambda w: w != ""))
+
+    def _keep(line):
+        cond = (
+            (_wc(line) >= min_words_per_line)
+            & F.trim(line).rlike('[.!?"]$')
+        )
+        for w in line_drop_words:
+            cond = cond & ~F.lower(line).contains(w.lower())
+        return cond
+
+    staged = (
+        docs.filter(
+            F.col(content_col).isNotNull() & (F.col(content_col) != ""))
+        .select(
+            F.col(id_col).alias(id_col),
+            F.col(content_col).alias("_raw"),
+            F.split(F.col(content_col), "\n").alias("_lines"),
+        )
+        .select(
+            id_col,
+            "_raw",
+            "_lines",
+            F.filter(F.col("_lines"), _keep).alias("_kept"),
+        )
+        .select(
+            id_col,
+            "_raw",
+            F.size(
+                F.filter(F.col("_lines"), lambda x: F.trim(x) != "")
+            ).cast("long").alias("n_lines"),
+            F.size("_kept").cast("long").alias("n_lines_kept"),
+            F.array_join(F.col("_kept"), "\n").alias("clean_text"),
+        )
+        .select(
+            id_col,
+            "_raw",
+            "n_lines",
+            "n_lines_kept",
+            "clean_text",
+            F.regexp_count(F.col("clean_text"), F.lit(r"[.!?]"))
+            .cast("long").alias("n_sentences"),
+        )
+    )
+
+    banned_cond = F.lit(False)
+    for w in banned_words:
+        banned_cond = banned_cond | F.lower(F.col("_raw")).contains(
+            w.lower())
+    phrase_cond = F.lit(False)
+    for p in banned_phrases:
+        phrase_cond = phrase_cond | F.lower(F.col("_raw")).contains(
+            p.lower())
+    brace_cond = (
+        F.col("_raw").contains("{") if drop_braces else F.lit(False))
+
+    reason = (
+        F.when(banned_cond, F.lit("banned_word"))
+        .when(phrase_cond, F.lit("banned_phrase"))
+        .when(brace_cond, F.lit("brace"))
+        .when(F.col("n_sentences") < min_sentences,
+              F.lit("too_few_sentences"))
+    )
+    return staged.select(
+        id_col,
+        reason.isNull().alias("kept"),
+        reason.alias("drop_reason"),
+        "n_lines",
+        "n_lines_kept",
+        "n_sentences",
+        "clean_text",
+    )
+
+
+def c4_stats(filtered: DataFrame) -> DataFrame:
+    """One-row funnel accounting over a ``c4_filters`` result: document
+    counts in/kept/per drop reason, line counts in/kept. One partial
+    aggregation — the audit every cleaning run logs next to its output."""
+    return filtered.agg(
+        F.count(F.lit(1)).alias("docs_in"),
+        F.sum(F.col("kept").cast("long")).alias("docs_kept"),
+        F.sum((F.col("drop_reason") == "banned_word").cast("long"))
+        .alias("docs_banned_word"),
+        F.sum((F.col("drop_reason") == "banned_phrase").cast("long"))
+        .alias("docs_banned_phrase"),
+        F.sum((F.col("drop_reason") == "brace").cast("long"))
+        .alias("docs_brace"),
+        F.sum((F.col("drop_reason") == "too_few_sentences").cast("long"))
+        .alias("docs_too_few_sentences"),
+        F.sum("n_lines").alias("lines_in"),
+        F.sum("n_lines_kept").alias("lines_kept"),
+    )

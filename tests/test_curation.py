@@ -451,3 +451,128 @@ def test_unigram_lm_is_a_distribution(spark):
     p_in = sum(2 ** r["logp"] for r in lm.collect())
     p_oov = 2 ** oov.collect()[0]["_oov_logp"]
     assert p_in + p_oov == pytest.approx(1.0, abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# X129 — C4 heuristic cleaning (c4_filters / c4_stats)
+# ---------------------------------------------------------------------------
+
+C4_DOCS = [
+    # kept: 5 good sentences (>=3 words, terminal punct)
+    (1, "the first line is fine.\nhere is another good one!\n"
+        "is this a question?\nthe narrator said \"quoted line.\"\n"
+        "one more sentence here."),
+    # line rules bite: short line, no-punct line, javascript line;
+    # the two surviving sentences < min_sentences -> too_few_sentences
+    (2, "too short.\nthis line has no terminal punctuation\n"
+        "enable JavaScript to view this page.\n"
+        "this one is perfectly fine.\nand so is this final one."),
+    # lorem ipsum -> banned_phrase even though lines are fine
+    (3, "lorem ipsum dolor sit amet.\nthe rest is a fine sentence.\n"
+        "and another fine sentence here.\nplus a fourth good one.\n"
+        "and the fifth closes it."),
+    # brace -> brace
+    (4, "function body { return 1; }\nthe rest is a fine sentence.\n"
+        "and another fine sentence here.\nplus a fourth good one.\n"
+        "and a fifth one closes it."),
+    # precedence: banned word wins over brace and phrase
+    (5, "badword lorem ipsum { all three.\nthe rest is a fine one.\n"
+        "and another fine sentence here.\nplus a fourth good one.\n"
+        "and a fifth one closes it."),
+    # empty text excluded entirely
+    (6, ""),
+    # blank lines don't count as input lines
+    (7, "a fine first sentence.\n\n  \nanother fine sentence here.\n"
+        "a third good sentence.\nthe fourth one lands.\n"
+        "the fifth one closes."),
+]
+
+
+def _py_c4(docs, min_words=3, min_sent=5, line_drop=("javascript",),
+           banned=("badword",), phrases=("lorem ipsum",)):
+    out = {}
+    for doc_id, text in docs:
+        if text is None or text == "":
+            continue
+        lines = text.split("\n")
+        kept = []
+        for ln in lines:
+            words = [w for w in re.split(r"\s+", ln.strip()) if w]
+            ok = (len(words) >= min_words
+                  and bool(re.search(r'[.!?"]$', ln.strip()))
+                  and not any(w in ln.lower() for w in line_drop))
+            if ok:
+                kept.append(ln)
+        clean = "\n".join(kept)
+        n_sent = len(re.findall(r"[.!?]", clean))
+        low = text.lower()
+        if any(w in low for w in banned):
+            reason = "banned_word"
+        elif any(p in low for p in phrases):
+            reason = "banned_phrase"
+        elif "{" in text:
+            reason = "brace"
+        elif n_sent < min_sent:
+            reason = "too_few_sentences"
+        else:
+            reason = None
+        out[doc_id] = (reason is None, reason,
+                       sum(1 for ln in lines if ln.strip() != ""),
+                       len(kept), n_sent, clean)
+    return out
+
+
+def test_c4_filters_matches_python_oracle(spark):
+    from mahout_spark.operators.curation import c4_filters
+
+    docs = spark.createDataFrame(C4_DOCS, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["kept"], r["drop_reason"], r["n_lines"],
+                      r["n_lines_kept"], r["n_sentences"],
+                      r["clean_text"])
+        for r in c4_filters(docs, banned_words=("badword",)).collect()
+    }
+    want = _py_c4(C4_DOCS)
+    assert got == want
+    # the crafted corpus exercises every reason + keep
+    reasons = {v[1] for v in want.values()}
+    assert reasons == {None, "banned_phrase", "brace", "banned_word",
+                       "too_few_sentences"}
+    assert want[1][0] and want[7][0]          # kept docs
+    assert want[7][2] == 5                    # blank lines not counted
+    assert 6 not in want                      # empty text excluded
+
+
+def test_c4_filters_plan_is_zero_exchange(spark):
+    from mahout_spark.operators.curation import c4_filters
+
+    docs = spark.createDataFrame(C4_DOCS, "doc_id long, text string")
+    plan = capture_plan(c4_filters(docs, banned_words=("badword",)))
+    assert "Exchange" not in plan
+
+
+def test_c4_stats_equals_recount(spark):
+    from mahout_spark.operators.curation import c4_filters, c4_stats
+
+    docs = spark.createDataFrame(C4_DOCS, "doc_id long, text string")
+    res = c4_filters(docs, banned_words=("badword",))
+    row = c4_stats(res).collect()[0]
+    rows = res.collect()
+    assert row["docs_in"] == len(rows)
+    assert row["docs_kept"] == sum(1 for r in rows if r["kept"])
+    for reason in ("banned_word", "banned_phrase", "brace",
+                   "too_few_sentences"):
+        assert row[f"docs_{reason}"] == sum(
+            1 for r in rows if r["drop_reason"] == reason)
+    assert row["lines_in"] == sum(r["n_lines"] for r in rows)
+    assert row["lines_kept"] == sum(r["n_lines_kept"] for r in rows)
+
+
+def test_c4_filters_rejects(spark):
+    from mahout_spark.operators.curation import c4_filters
+
+    docs = spark.createDataFrame(C4_DOCS, "doc_id long, text string")
+    with pytest.raises(ValueError):
+        c4_filters(docs, min_words_per_line=0)
+    with pytest.raises(ValueError):
+        c4_filters(docs, min_sentences=-1)
