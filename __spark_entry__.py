@@ -1130,6 +1130,57 @@ def q_c4_filters(spark, sf_dir):
     )
 
 
+def q_gopher_filters(spark, sf_dir):
+    """Gopher quality gate (X130, Rae et al. 2021 table A1): like
+    q_c4_filters the query first derives a deterministic line-structured
+    corpus — 6-token lines; every line bulleted ('- ') when doc_id%11==0;
+    '...' endings on every line when doc_id%17==0 (drives the
+    symbol-to-word rule) or on every third line when doc_id%13==0
+    (drives the line-ellipsis rule); '.' otherwise — then applies the
+    full gate incl. the X98 repetition thresholds. min_words=20 and
+    min_stop_hits=1 fit the fixture (its vocabulary carries 'the' but
+    no second Gopher stop word). The oracle replays the derivation,
+    every doc-level rule, AND the repetition signals."""
+    from mahout_spark.operators.curation import gopher_filters
+
+    docs = _load(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda x: x != "",
+    )
+    lined = (
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", toks.alias("_tk"))
+        .filter(F.size("_tk") > 0)
+        .select(
+            "doc_id",
+            F.array_join(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        ((F.size("_tk") - 1) / 6).cast("int"),
+                    ),
+                    lambda i: F.concat(
+                        F.when(F.col("doc_id") % 11 == 0, F.lit("- "))
+                        .otherwise(F.lit("")),
+                        F.array_join(
+                            F.slice(F.col("_tk"), i * 6 + 1, 6), " "),
+                        F.when(F.col("doc_id") % 17 == 0, F.lit("..."))
+                        .when(
+                            ((F.col("doc_id") % 13) == 0)
+                            & ((i % 3) == 0),
+                            F.lit("..."),
+                        )
+                        .otherwise(F.lit(".")),
+                    ),
+                ),
+                "\n",
+            ).alias("text"),
+        )
+    )
+    return gopher_filters(lined, min_words=20, min_stop_hits=1)
+
+
 def q_multi_match_search(spark, sf_dir):
     """multi_match best_fields / dis_max (X97, ES `multi_match` with
     `title^2` and tie_breaker 0.3): title field = the doc's first 5
@@ -2783,6 +2834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": q_repetition_signals,
         "lm_quality": q_lm_quality,
         "c4_filters": q_c4_filters,
+        "gopher_filters": q_gopher_filters,
         "mixture_sample": q_mixture_sample,
         "mixture_stats": q_mixture_stats,
         "engine_has_child": q_engine_has_child,
@@ -3980,6 +4032,161 @@ def _pipeline_sql() -> dict[str, str]:
         )
         SELECT doc_id, drop_reason IS NULL AS kept, drop_reason,
                n_lines, n_lines_kept, n_sentences, clean_text
+        FROM scored
+        """,
+        # Gopher gate (X130): replay the derived 6-token-line corpus
+        # ('- ' prefix when doc_id%11=0; '...' every line when %17=0,
+        # every 3rd line when %13=0, else '.'), then every doc rule AND
+        # the X98 repetition signals, thresholds in table-A1 order
+        "gopher_filters": """
+        WITH tk AS (
+            SELECT doc_id,
+                   list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '') AS tk
+            FROM documents WHERE text IS NOT NULL
+        ), tok AS (
+            SELECT doc_id, unnest(tk) AS term,
+                   generate_subscripts(tk, 1) AS p
+            FROM tk WHERE len(tk) > 0
+        ), lin AS (
+            SELECT doc_id, (p - 1) // 6 AS li,
+                   CASE WHEN doc_id % 11 = 0 THEN '- ' ELSE '' END
+                     || string_agg(term, ' ' ORDER BY p)
+                     || CASE WHEN doc_id % 17 = 0 THEN '...'
+                             WHEN doc_id % 13 = 0
+                                  AND ((p - 1) // 6) % 3 = 0 THEN '...'
+                             ELSE '.' END AS line
+            FROM tok GROUP BY doc_id, (p - 1) // 6
+        ), base AS (
+            SELECT doc_id, string_agg(line, chr(10) ORDER BY li) AS text
+            FROM lin GROUP BY doc_id
+        ), met AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'),
+                               x -> x <> '') AS words,
+                   list_filter(string_split(text, chr(10)),
+                               x -> x <> '') AS lns,
+                   length(text) - length(replace(text, '#', ''))
+                       AS n_hash,
+                   len(regexp_extract_all(text, '\\.\\.\\.')) AS n_ell,
+                   list_intersect(
+                       list_filter(
+                           string_split_regex(lower(text),
+                                              '[^a-z0-9]+'),
+                           x -> x <> ''),
+                       ['the','be','to','of','and','that','have','with']
+                   ) AS stops
+            FROM base
+        ), m2 AS (
+            SELECT doc_id,
+                   CAST(len(words) AS BIGINT) AS n_words,
+                   round(CASE WHEN len(words) > 0 THEN
+                       CAST(list_sum(list_transform(
+                           words, w -> length(w))) AS DOUBLE)
+                       / len(words) ELSE 0.0 END, 6) AS mean_word_len,
+                   round(CASE WHEN len(words) > 0 THEN
+                       CAST(n_hash + n_ell AS DOUBLE) / len(words)
+                       ELSE 0.0 END, 6) AS symbol_ratio,
+                   round(CASE WHEN len(lns) > 0 THEN
+                       CAST(len(list_filter(lns, l ->
+                           regexp_matches(trim(l), '^[-*•]')))
+                           AS DOUBLE) / len(lns)
+                       ELSE 0.0 END, 6) AS bullet_frac,
+                   round(CASE WHEN len(lns) > 0 THEN
+                       CAST(len(list_filter(lns, l ->
+                           ends_with(trim(l), '...'))) AS DOUBLE)
+                           / len(lns)
+                       ELSE 0.0 END, 6) AS ellipsis_frac,
+                   round(CASE WHEN len(words) > 0 THEN
+                       CAST(len(list_filter(words, w ->
+                           regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+                           / len(words)
+                       ELSE 0.0 END, 6) AS alpha_frac,
+                   CAST(len(stops) AS BIGINT) AS stop_hits
+            FROM met
+        ), rlines AS (
+            SELECT doc_id, line, count(*) AS c, length(line) AS l
+            FROM lin GROUP BY 1, 2
+        ), lstat AS (
+            SELECT doc_id,
+                   round(CAST(sum(c - 1) AS DOUBLE) / sum(c), 6)
+                       AS dup_line_frac,
+                   CASE WHEN sum(c * l) > 0
+                        THEN round(CAST(sum((c - 1) * l) AS DOUBLE)
+                                   / sum(c * l), 6)
+                        ELSE 0.0 END AS dup_line_char_frac
+            FROM rlines GROUP BY doc_id
+        ), tnorm AS (
+            SELECT b.doc_id, k.tk,
+                   length(array_to_string(k.tk, ' ')) AS nl
+            FROM base b JOIN tk k USING (doc_id)
+        ), g2 AS (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(tk) - 1),
+                          i -> tk[i] || ' ' || tk[i + 1])) AS g
+            FROM tnorm WHERE len(tk) >= 2
+        ), g2c AS (
+            SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2
+        ), top2 AS (
+            SELECT t.doc_id,
+                   round(t.c * length(t.g) / n.nl, 6) AS f
+            FROM (SELECT doc_id, g, c,
+                         row_number() OVER (PARTITION BY doc_id
+                             ORDER BY c DESC, g ASC) AS rn
+                  FROM g2c) t
+            JOIN tnorm n USING (doc_id)
+            WHERE t.rn = 1 AND n.nl > 0
+        ), g5 AS (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(tk) - 4),
+                          i -> tk[i] || ' ' || tk[i + 1] || ' '
+                               || tk[i + 2] || ' ' || tk[i + 3] || ' '
+                               || tk[i + 4])) AS g
+            FROM tnorm WHERE len(tk) >= 5
+        ), g5c AS (
+            SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY 1, 2
+        ), dup5 AS (
+            SELECT c.doc_id,
+                   round(least(1.0, sum(c.c * length(c.g))
+                                    / any_value(n.nl)), 6) AS f
+            FROM g5c c JOIN tnorm n USING (doc_id)
+            WHERE c.c >= 2 AND n.nl > 0 GROUP BY c.doc_id
+        ), joined AS (
+            SELECT m.*,
+                   coalesce(l.dup_line_frac, 0.0) AS dup_line_frac,
+                   coalesce(l.dup_line_char_frac, 0.0)
+                       AS dup_line_char_frac,
+                   coalesce(t.f, 0.0) AS top2gram_char_frac,
+                   coalesce(d.f, 0.0) AS dup5gram_char_frac
+            FROM m2 m
+            LEFT JOIN lstat l USING (doc_id)
+            LEFT JOIN top2 t USING (doc_id)
+            LEFT JOIN dup5 d USING (doc_id)
+        ), scored AS (
+            SELECT *,
+                   CASE WHEN n_words < 20 THEN 'too_few_words'
+                        WHEN n_words > 100000 THEN 'too_many_words'
+                        WHEN mean_word_len < 3.0 OR mean_word_len > 10.0
+                             THEN 'word_length'
+                        WHEN symbol_ratio > 0.1 THEN 'symbol_ratio'
+                        WHEN bullet_frac > 0.9 THEN 'bullet_lines'
+                        WHEN ellipsis_frac > 0.3 THEN 'ellipsis_lines'
+                        WHEN alpha_frac < 0.8 THEN 'alpha_words'
+                        WHEN stop_hits < 1 THEN 'stop_words'
+                        WHEN dup_line_frac > 0.3 THEN 'dup_lines'
+                        WHEN dup_line_char_frac > 0.2
+                             THEN 'dup_line_chars'
+                        WHEN top2gram_char_frac > 0.2 THEN 'top_ngram'
+                        WHEN dup5gram_char_frac > 0.15 THEN 'dup_ngram'
+                   END AS drop_reason
+            FROM joined
+        )
+        SELECT doc_id, drop_reason IS NULL AS kept, drop_reason,
+               n_words, mean_word_len, symbol_ratio, bullet_frac,
+               ellipsis_frac, alpha_frac, stop_hits,
+               dup_line_frac, dup_line_char_frac,
+               top2gram_char_frac, dup5gram_char_frac
         FROM scored
         """,
         # has_child (X100): chunk windows -> tf('data') per chunk ->

@@ -816,3 +816,223 @@ def c4_stats(filtered: DataFrame) -> DataFrame:
         F.sum("n_lines").alias("lines_in"),
         F.sum("n_lines_kept").alias("lines_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality gate (X130)
+# ---------------------------------------------------------------------------
+
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_filters(
+    docs: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    stop_words: tuple = GOPHER_STOPS,
+    min_stop_hits: int = 2,
+    include_repetition: bool = True,
+    max_dup_line_frac: float = 0.3,
+    max_dup_line_char_frac: float = 0.2,
+    max_top_gram_frac: float = 0.2,
+    max_dup_gram_frac: float = 0.15,
+) -> DataFrame:
+    """The Gopher quality gate (Rae et al. 2021, table A1 — the
+    MassiveText document filter between extraction and dedup; with
+    ``c4_filters`` (X129) these are the two canonical web-pretraining
+    rule sets). Per document, first failing rule wins (``drop_reason``,
+    evaluated in the table's order):
+
+    ``too_few_words`` / ``too_many_words`` — word count outside
+    [min_words, max_words]; ``word_length`` — mean word length outside
+    [min, max]; ``symbol_ratio`` — (count('#') + count('...')) / words
+    above the cap (the paper's symbol-to-word rule — ellipses count
+    HERE first; the line-level ellipsis rule below sees only docs that
+    pass it); ``bullet_lines`` / ``ellipsis_lines`` — fraction of lines
+    starting with a bullet (trimmed ``- * •``) / ending with ``...``
+    above the caps; ``alpha_words`` — fraction of words containing at
+    least one ``[A-Za-z]`` below the floor; ``stop_words`` — fewer than
+    ``min_stop_hits`` DISTINCT entries of ``stop_words`` present; then
+    the repetition rules on the X98 signals (``dup_lines`` /
+    ``dup_line_chars`` / ``top_ngram`` / ``dup_ngram`` against the
+    ROUNDED fractions ``repetition_signals`` reports, so the decision
+    is exactly replayable from that operator's output).
+
+    Pinned conventions (the paper leaves them open): *words* = non-empty
+    whitespace splits of the raw text; *lines* = non-empty ``\\n``
+    splits; stop-word hits are counted over the lowercased alphanumeric
+    token stream (punctuation-glued words still hit); ``...`` counts
+    are non-overlapping left-to-right. NULL/empty text is excluded (the
+    quality_scores contract). Reported ratios round once to 1e-6;
+    ``kept`` is decided on the same rounded values.
+
+    Scale shape: every doc-level rule is one JVM higher-order-function
+    projection (zero exchanges, zero Python) — same pass structure as
+    ``c4_filters``; ``include_repetition=True`` adds the X98 signals via
+    an id-equijoin to ``repetition_signals`` (the one Arrow pass whose
+    per-doc-multiset story is argued there). No cross-document state
+    anywhere, so the whole gate streams map-side at any corpus size.
+    """
+    if min_words < 0 or max_words < min_words:
+        raise ValueError(
+            f"bad word bounds: [{min_words}, {max_words}]")
+    if min_stop_hits < 0:
+        raise ValueError(f"min_stop_hits must be >= 0: {min_stop_hits}")
+    if min_stop_hits > len(stop_words):
+        raise ValueError(
+            f"min_stop_hits {min_stop_hits} exceeds the stop list "
+            f"({len(stop_words)} entries)")
+
+    words = F.col("_words")
+    n_words = F.size(words)
+    lines = F.col("_lines")
+    n_lines = F.size(lines)
+
+    staged = (
+        docs.filter(
+            F.col(content_col).isNotNull() & (F.col(content_col) != ""))
+        .select(
+            F.col(id_col).alias(id_col),
+            F.col(content_col).alias("_raw"),
+            F.filter(
+                F.split(F.col(content_col), r"\s+"),
+                lambda w: w != "",
+            ).alias("_words"),
+            F.filter(
+                F.split(F.col(content_col), "\n"),
+                lambda x: x != "",
+            ).alias("_lines"),
+        )
+        .select(
+            id_col,
+            n_words.cast("long").alias("n_words"),
+            F.when(
+                n_words > 0,
+                F.aggregate(
+                    words, F.lit(0).cast("long"),
+                    lambda acc, w: acc + F.length(w),
+                ) / n_words,
+            ).otherwise(F.lit(0.0)).alias("_mean_wl"),
+            F.when(
+                n_words > 0,
+                (
+                    (F.length("_raw")
+                     - F.length(F.replace(F.col("_raw"), F.lit("#"),
+                                          F.lit(""))))
+                    + F.regexp_count(F.col("_raw"), F.lit(r"\.\.\."))
+                ) / n_words,
+            ).otherwise(F.lit(0.0)).alias("_symbol"),
+            F.when(
+                n_lines > 0,
+                F.size(F.filter(
+                    lines, lambda x: F.trim(x).rlike("^[-*•]")
+                )) / n_lines,
+            ).otherwise(F.lit(0.0)).alias("_bullet"),
+            F.when(
+                n_lines > 0,
+                F.size(F.filter(
+                    lines, lambda x: F.trim(x).endswith("...")
+                )) / n_lines,
+            ).otherwise(F.lit(0.0)).alias("_ellipsis"),
+            F.when(
+                n_words > 0,
+                F.size(F.filter(
+                    words, lambda w: w.rlike("[A-Za-z]")
+                )) / n_words,
+            ).otherwise(F.lit(0.0)).alias("_alpha"),
+            F.size(F.array_intersect(
+                F.filter(
+                    F.split(F.lower(F.col("_raw")), "[^a-z0-9]+"),
+                    lambda t: t != "",
+                ),
+                F.array(*[F.lit(s) for s in stop_words]),
+            )).cast("long").alias("stop_hits"),
+        )
+        .select(
+            id_col,
+            "n_words",
+            F.round("_mean_wl", 6).alias("mean_word_len"),
+            F.round("_symbol", 6).alias("symbol_ratio"),
+            F.round("_bullet", 6).alias("bullet_frac"),
+            F.round("_ellipsis", 6).alias("ellipsis_frac"),
+            F.round("_alpha", 6).alias("alpha_frac"),
+            "stop_hits",
+        )
+    )
+
+    reason = (
+        F.when(F.col("n_words") < min_words, F.lit("too_few_words"))
+        .when(F.col("n_words") > max_words, F.lit("too_many_words"))
+        .when(
+            (F.col("mean_word_len") < min_mean_word_len)
+            | (F.col("mean_word_len") > max_mean_word_len),
+            F.lit("word_length"))
+        .when(F.col("symbol_ratio") > max_symbol_ratio,
+              F.lit("symbol_ratio"))
+        .when(F.col("bullet_frac") > max_bullet_frac,
+              F.lit("bullet_lines"))
+        .when(F.col("ellipsis_frac") > max_ellipsis_frac,
+              F.lit("ellipsis_lines"))
+        .when(F.col("alpha_frac") < min_alpha_frac,
+              F.lit("alpha_words"))
+        .when(F.col("stop_hits") < min_stop_hits, F.lit("stop_words"))
+    )
+    if not include_repetition:
+        return staged.select(
+            id_col,
+            reason.isNull().alias("kept"),
+            reason.alias("drop_reason"),
+            "n_words", "mean_word_len", "symbol_ratio", "bullet_frac",
+            "ellipsis_frac", "alpha_frac", "stop_hits",
+        )
+
+    sig = repetition_signals(docs, content_col=content_col,
+                             id_col=id_col, top_n=2, dup_n=5)
+    reason = (
+        reason
+        .when(F.col("dup_line_frac") > max_dup_line_frac,
+              F.lit("dup_lines"))
+        .when(F.col("dup_line_char_frac") > max_dup_line_char_frac,
+              F.lit("dup_line_chars"))
+        .when(F.col("top2gram_char_frac") > max_top_gram_frac,
+              F.lit("top_ngram"))
+        .when(F.col("dup5gram_char_frac") > max_dup_gram_frac,
+              F.lit("dup_ngram"))
+    )
+    return staged.join(sig, on=id_col, how="inner").select(
+        id_col,
+        reason.isNull().alias("kept"),
+        reason.alias("drop_reason"),
+        "n_words", "mean_word_len", "symbol_ratio", "bullet_frac",
+        "ellipsis_frac", "alpha_frac", "stop_hits",
+        "dup_line_frac", "dup_line_char_frac",
+        "top2gram_char_frac", "dup5gram_char_frac",
+    )
+
+
+def gopher_stats(filtered: DataFrame) -> DataFrame:
+    """One-row funnel accounting over a ``gopher_filters`` result:
+    docs in/kept plus a count per drop reason (reasons absent from the
+    input report 0 — the audit row is schema-stable across corpora)."""
+    reasons = (
+        "too_few_words", "too_many_words", "word_length", "symbol_ratio",
+        "bullet_lines", "ellipsis_lines", "alpha_words", "stop_words",
+        "dup_lines", "dup_line_chars", "top_ngram", "dup_ngram",
+    )
+    return filtered.agg(
+        F.count(F.lit(1)).alias("docs_in"),
+        F.sum(F.col("kept").cast("long")).alias("docs_kept"),
+        *[
+            F.sum((F.col("drop_reason") == r).cast("long"))
+            .alias(f"docs_{r}")
+            for r in reasons
+        ],
+    )

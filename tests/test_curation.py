@@ -576,3 +576,121 @@ def test_c4_filters_rejects(spark):
         c4_filters(docs, min_words_per_line=0)
     with pytest.raises(ValueError):
         c4_filters(docs, min_sentences=-1)
+
+
+# ---------------------------------------------------------------------------
+# X130 — Gopher quality gate (gopher_filters / gopher_stats)
+# ---------------------------------------------------------------------------
+
+KEPT_TEXT = (
+    "the quick brown fox jumped over that lazy sleeping dog while "
+    "seven other animals watched from behind tall green hedges and "
+    "wondered whether anyone would ever bother counting them with "
+    "care because every single word here appears once except some "
+    "function words that glue ordinary sentences together nicely"
+)
+
+GOPHER_DOCS = [
+    (1, KEPT_TEXT),                                        # kept
+    (2, "short text here."),                               # too_few_words
+    (3, "#" * 30 + " " + "the of and when words here are with fine "
+        "tokens appearing over and over again in this line " * 2),  # symbol
+    (4, "\n".join(["- the bullet line of text number %d with words" % i
+                   for i in range(6)])),                   # bullet_lines
+    (5, "the first line has plenty of ordinary words in it today...\n"
+        "the second line also has plenty of ordinary words here\n"
+        "a third line with plenty of ordinary words trails off...\n"
+        "the fourth line has plenty of ordinary words in it too"),   # ellipsis
+    (6, "1234 5678 9012 3456 7890 1234 5678 9012 3456 7890 "
+        "1234 5678 9012 3456 7890 the of and with words"),  # alpha_words
+    (7, "zebra yonder xylem wombat velvet umbral tundra sonar "
+        "quartz pillar nimbus meadow lumber kernel jigsaw indigo "
+        "hollow garnet fathom ember dusky cobalt barley almond"),    # stop_words
+    (8, "\n".join(["the same line of text and that with have been"] * 12)),
+]
+
+
+def test_gopher_each_rule_fires(spark):
+    from mahout_spark.operators.curation import gopher_filters
+
+    docs = spark.createDataFrame(GOPHER_DOCS, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in gopher_filters(
+        docs, min_words=20, min_stop_hits=2).collect()}
+    assert out[1]["kept"] and out[1]["drop_reason"] is None
+    expected = {2: "too_few_words", 3: "symbol_ratio", 4: "bullet_lines",
+                5: "ellipsis_lines", 6: "alpha_words", 7: "stop_words",
+                8: "dup_lines"}
+    for doc_id, reason in expected.items():
+        assert out[doc_id]["drop_reason"] == reason, (doc_id, out[doc_id])
+        assert not out[doc_id]["kept"]
+
+
+def test_gopher_metrics_hand_computed(spark):
+    from mahout_spark.operators.curation import gopher_filters
+
+    text = ("- the cat... sat\n"      # bullet AND ellipsis-free end? no:
+            "plain line of words\n"   # words: see mirror below
+            "* next item ends here...")
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = gopher_filters(docs, include_repetition=False,
+                       min_words=1, min_stop_hits=1).first()
+    words = [w for w in __import__("re").split(r"\s+", text) if w]
+    assert r["n_words"] == len(words) == 13
+    assert r["mean_word_len"] == round(
+        sum(len(w) for w in words) / len(words), 6)
+    # '#'-free text, two non-overlapping '...' occurrences
+    assert r["symbol_ratio"] == round(2 / 13, 6)
+    assert r["bullet_frac"] == round(2 / 3, 6)    # '-' and '*' lines
+    assert r["ellipsis_frac"] == round(1 / 3, 6)  # only the last line ENDS ...
+    n_alpha = sum(1 for w in words
+                  if __import__("re").search("[A-Za-z]", w))
+    assert r["alpha_frac"] == round(n_alpha / 13, 6) == round(11 / 13, 6)
+    assert r["stop_hits"] == 2                    # 'the', 'of'
+
+
+def test_gopher_precedence_and_norepetition_schema(spark):
+    from mahout_spark.operators.curation import gopher_filters
+
+    # violates BOTH word floor and symbol cap -> the earlier rule wins
+    docs = spark.createDataFrame(
+        [(1, "# # tiny.")], "doc_id long, text string")
+    r = gopher_filters(docs, min_words=20).first()
+    assert r["drop_reason"] == "too_few_words"
+
+    # repetition-skipping variant: heavy dup lines, but kept
+    rep = spark.createDataFrame(
+        [(2, "\n".join(["the same line of text and that with have been"] * 12))],
+        "doc_id long, text string")
+    out = gopher_filters(rep, min_words=20, include_repetition=False)
+    assert "dup_line_frac" not in out.columns
+    row = out.first()
+    assert row["kept"] and row["drop_reason"] is None
+
+
+def test_gopher_stats_funnel(spark):
+    from mahout_spark.operators.curation import gopher_filters, gopher_stats
+
+    docs = spark.createDataFrame(GOPHER_DOCS, "doc_id long, text string")
+    filtered = gopher_filters(docs, min_words=20, min_stop_hits=2)
+    s = gopher_stats(filtered).first()
+    assert s["docs_in"] == 8 and s["docs_kept"] == 1
+    by_reason = {r["drop_reason"]: r["n"] for r in
+                 filtered.groupBy("drop_reason")
+                 .agg(F.count(F.lit(1)).alias("n")).collect()}
+    for reason in ("too_few_words", "symbol_ratio", "bullet_lines",
+                   "ellipsis_lines", "alpha_words", "stop_words",
+                   "dup_lines"):
+        assert s[f"docs_{reason}"] == by_reason.get(reason, 0) == 1
+    assert s["docs_too_many_words"] == 0
+
+
+def test_gopher_rejects(spark):
+    from mahout_spark.operators.curation import gopher_filters
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="word bounds"):
+        gopher_filters(docs, min_words=50, max_words=10)
+    with pytest.raises(ValueError, match="min_stop_hits"):
+        gopher_filters(docs, min_stop_hits=-1)
+    with pytest.raises(ValueError, match="exceeds the stop list"):
+        gopher_filters(docs, stop_words=("the",), min_stop_hits=2)
