@@ -1181,6 +1181,40 @@ def q_gopher_filters(spark, sf_dir):
     return gopher_filters(lined, min_words=20, min_stop_hits=1)
 
 
+def _curated(spark, sf_dir):
+    """The X131 pipeline fixture: train split (doc_id % 97 != 0) plus
+    PLANTED exact duplicates — a +1,000,000-id copy of every train doc
+    with doc_id % 89 == 0 — so canonical selection has real work (the
+    fixture corpus itself has no duplicate texts); eval = the % 97 == 0
+    split; 4-grams as in q_decontaminate; min_quality 0.55 (drops the
+    low tail, keeps the bulk)."""
+    from mahout_spark.operators.curation import curate_pipeline
+
+    train, test = _contam_split(spark, sf_dir)
+    train = train.select("doc_id", "text")
+    planted = train.filter(F.col("doc_id") % 89 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    return curate_pipeline(
+        train.unionAll(planted), test,
+        min_quality=0.55, decon_n=4)
+
+
+def q_curate_pipeline(spark, sf_dir):
+    """End-to-end curation funnel (X131): quality gate -> exact dedup
+    (canonical = min id per sha256) -> decontamination, sequential
+    first-drop-wins disposition per doc. The oracle replays every stage
+    relationally (dedup on exact text equality — a MATCH doubles as a
+    sha collision check on the planted duplicates)."""
+    return _curated(spark, sf_dir)
+
+
+def q_curate_stats(spark, sf_dir):
+    """The X131 one-row funnel audit (docs in/kept + per-stage drops)."""
+    from mahout_spark.operators.curation import curate_stats
+
+    return curate_stats(_curated(spark, sf_dir))
+
+
 def q_multi_match_search(spark, sf_dir):
     """multi_match best_fields / dis_max (X97, ES `multi_match` with
     `title^2` and tie_breaker 0.3): title field = the doc's first 5
@@ -2835,6 +2869,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_quality": q_lm_quality,
         "c4_filters": q_c4_filters,
         "gopher_filters": q_gopher_filters,
+        "curate_pipeline": q_curate_pipeline,
+        "curate_stats": q_curate_stats,
         "mixture_sample": q_mixture_sample,
         "mixture_stats": q_mixture_stats,
         "engine_has_child": q_engine_has_child,
@@ -4414,11 +4450,107 @@ def _pipeline_sql() -> dict[str, str]:
 
 
 def oracle_sql() -> dict[str, str]:
-    out = _base_oracle_sql() | _textstats_sql() | _pipeline_sql()
+    out = (_base_oracle_sql() | _textstats_sql() | _pipeline_sql()
+           | _curate_sql())
     # the prefiltered percolator is contract-identical to the compiled
     # one — the same relation checks both (cross-evaluator parity gate)
     out["engine_percolate_prefiltered"] = out["engine_percolate"]
     return out
+
+
+def _curate_sql() -> dict[str, str]:
+    """X131 curation-funnel oracle: replays the SEQUENTIAL funnel —
+    quality gate (the X10 formula verbatim) → exact dedup on text
+    EQUALITY (standing in for the engine's sha256, so a MATCH on the
+    planted duplicates doubles as a collision-freedom check) → 4-gram
+    decontamination over the dedup survivors only — on the same
+    train+planted fixture corpus ``_curated`` builds."""
+    from mahout_spark.operators.textstats import STOP30
+
+    tok = ("list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+           "t -> t <> '')")
+    stop_in = "('" + "','".join(STOP30) + "')"
+    alpha = ("length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))"
+             "::DOUBLE / length(lower(text))")
+    stopr = (f"CASE WHEN len({tok}) > 0 THEN len(list_filter({tok}, "
+             f"t -> t IN {stop_in}))::DOUBLE / len({tok}) ELSE 0.0 END")
+    ctes = f"""
+        corpus AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, text FROM documents
+            WHERE doc_id % 97 <> 0 AND doc_id % 89 = 0
+        ), q AS (
+            SELECT doc_id,
+                   round(0.4 * ({alpha})
+                       + 0.3 * least(1.0, 5.0 * ({stopr}))
+                       + 0.3 * least(1.0, len({tok}) / 50.0), 6) AS quality
+            FROM corpus WHERE length(text) > 0
+        ), base AS (
+            SELECT c.doc_id, c.text, q.quality
+            FROM corpus c LEFT JOIN q USING (doc_id)
+        ), surv1 AS (
+            SELECT doc_id, text FROM base
+            WHERE quality IS NOT NULL AND quality >= 0.55
+        ), keyed AS (
+            SELECT s.doc_id, s.text, m.canonical_id
+            FROM surv1 s JOIN (
+                SELECT text, min(doc_id) AS canonical_id
+                FROM surv1 GROUP BY text
+            ) m USING (text)
+        ), dup_map AS (
+            SELECT doc_id, canonical_id FROM keyed
+            WHERE doc_id <> canonical_id
+        ), surv2 AS (
+            SELECT doc_id, text FROM keyed WHERE doc_id = canonical_id
+        ), tg AS (
+            SELECT DISTINCT doc_id, g FROM (
+                SELECT doc_id, unnest(list_transform(
+                    generate_series(1, greatest(0, len(ts) - 3)),
+                    i -> array_to_string(ts[i:i+3], ' '))) AS g
+                FROM (SELECT doc_id, {tok} AS ts FROM surv2))
+        ), eg AS (
+            SELECT DISTINCT g FROM (
+                SELECT unnest(list_transform(
+                    generate_series(1, greatest(0, len(ts) - 3)),
+                    i -> array_to_string(ts[i:i+3], ' '))) AS g
+                FROM (SELECT {tok} AS ts FROM documents
+                      WHERE doc_id % 97 = 0 AND text IS NOT NULL))
+        ), cont AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+            FROM tg JOIN eg USING (g) GROUP BY doc_id
+        ), disp AS (
+            SELECT b.doc_id, b.quality, d.canonical_id, c.n_shared,
+                   CASE WHEN b.quality IS NULL THEN 'empty'
+                        WHEN b.quality < 0.55 THEN 'quality'
+                        WHEN d.canonical_id IS NOT NULL THEN 'exact_dup'
+                        WHEN c.n_shared IS NOT NULL THEN 'contaminated'
+                   END AS stage
+            FROM base b
+            LEFT JOIN dup_map d USING (doc_id)
+            LEFT JOIN cont c USING (doc_id)
+        )"""
+    return {
+        "curate_pipeline": "WITH " + ctes + """
+        SELECT doc_id, stage IS NULL AS kept, stage, quality,
+               canonical_id, n_shared
+        FROM disp
+        """,
+        "curate_stats": "WITH " + ctes + """
+        SELECT CAST(count(*) AS BIGINT) AS docs_in,
+               CAST(count(*) FILTER (WHERE stage IS NULL) AS BIGINT)
+                   AS docs_kept,
+               CAST(count(*) FILTER (WHERE stage = 'empty') AS BIGINT)
+                   AS docs_empty,
+               CAST(count(*) FILTER (WHERE stage = 'quality') AS BIGINT)
+                   AS docs_quality,
+               CAST(count(*) FILTER (WHERE stage = 'exact_dup') AS BIGINT)
+                   AS docs_exact_dup,
+               CAST(count(*) FILTER (WHERE stage = 'contaminated')
+                   AS BIGINT) AS docs_contaminated
+        FROM disp
+        """,
+    }
 
 
 def _base_oracle_sql() -> dict[str, str]:

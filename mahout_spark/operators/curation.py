@@ -1036,3 +1036,114 @@ def gopher_stats(filtered: DataFrame) -> DataFrame:
             for r in reasons
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation pipeline (X131)
+# ---------------------------------------------------------------------------
+
+def curate_pipeline(
+    docs: DataFrame,
+    eval_docs: DataFrame | None = None,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.5,
+    decon_n: int = 13,
+    decon_min_shared: int = 1,
+) -> DataFrame:
+    """The training-data curation funnel, composed SEQUENTIALLY from the
+    oracled stage operators (the FineWeb/MassiveText shape: quality gate
+    → exact dedup → benchmark decontamination), with a per-document
+    disposition instead of a silently shrinking corpus — the lineage a
+    100 TB curation run has to keep to be auditable.
+
+    Stages, first drop wins (``stage``):
+
+    * ``empty`` — NULL/zero-length content (excluded by every stage
+      operator's contract, surfaced here instead of vanishing);
+    * ``quality`` — X10 ``quality_scores`` combined score below
+      ``min_quality`` (decided on the ROUNDED score, so the decision
+      replays from that operator's output);
+    * ``exact_dup`` — X1 semantics over the quality SURVIVORS: canonical
+      = min id per sha256(content); non-canonical rows drop and report
+      ``canonical_id`` (sequential semantics — a duplicate of a
+      quality-dropped doc is NOT a duplicate, its twin never entered
+      this stage);
+    * ``contaminated`` — X85 ``contaminated_docs`` over the dedup
+      survivors vs ``eval_docs`` (skipped when ``eval_docs`` is None);
+      flagged rows report ``n_shared``.
+
+    Returns one row per input doc: ``(id, kept, stage, quality,
+    canonical_id, n_shared)``.
+
+    Scale shape: one exchange per stage boundary, every key narrow —
+    the id-equijoin against the quality relation, the 32-byte sha
+    shuffle for canonical selection (bodies never shuffle), and the
+    broadcast gram semi-join from X85 (the corpus side never shuffles).
+    The final assembly is two more id-equijoins against DROP-sized
+    relations (dup map, contamination list), which AQE broadcasts when
+    small. No stage widens rows with bodies past its own boundary.
+    """
+    from mahout_spark.operators.textstats import quality_scores
+
+    q = quality_scores(docs, content_col=content_col, id_col=id_col)
+    base = (
+        docs.select(F.col(id_col), F.col(content_col))
+        .join(q.select(id_col, "quality"), on=id_col, how="left")
+    )
+
+    surv1 = (
+        base.filter(
+            F.col("quality").isNotNull()
+            & (F.col("quality") >= min_quality))
+        .withColumn("_k", F.sha2(F.col(content_col), 256))
+    )
+    canon = surv1.groupBy("_k").agg(
+        F.min(id_col).alias("canonical_id"))
+    keyed = surv1.join(canon, "_k")
+    dup_map = (
+        keyed.filter(F.col(id_col) != F.col("canonical_id"))
+        .select(id_col, "canonical_id")
+    )
+    surv2 = (
+        keyed.filter(F.col(id_col) == F.col("canonical_id"))
+        .select(id_col, content_col)
+    )
+
+    out = base.join(dup_map, on=id_col, how="left")
+    if eval_docs is not None:
+        cont = contaminated_docs(
+            surv2, eval_docs, n=decon_n, min_shared=decon_min_shared,
+            content_col=content_col, id_col=id_col)
+        out = out.join(cont, on=id_col, how="left")
+    else:
+        out = out.withColumn("n_shared", F.lit(None).cast("long"))
+
+    stage = (
+        F.when(F.col("quality").isNull(), F.lit("empty"))
+        .when(F.col("quality") < min_quality, F.lit("quality"))
+        .when(F.col("canonical_id").isNotNull(), F.lit("exact_dup"))
+        .when(F.col("n_shared").isNotNull(), F.lit("contaminated"))
+    )
+    return out.select(
+        id_col,
+        stage.isNull().alias("kept"),
+        stage.alias("stage"),
+        "quality",
+        "canonical_id",
+        "n_shared",
+    )
+
+
+def curate_stats(disposition: DataFrame) -> DataFrame:
+    """One-row funnel audit over a ``curate_pipeline`` result: docs in,
+    docs kept, and a count per pipeline stage (schema-stable — absent
+    stages report 0)."""
+    return disposition.agg(
+        F.count(F.lit(1)).alias("docs_in"),
+        F.sum(F.col("kept").cast("long")).alias("docs_kept"),
+        *[
+            F.sum((F.col("stage") == s).cast("long")).alias(f"docs_{s}")
+            for s in ("empty", "quality", "exact_dup", "contaminated")
+        ],
+    )

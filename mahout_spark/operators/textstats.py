@@ -124,7 +124,12 @@ def quality_scores(
         F.filter(toks, lambda t: t.isin(STOP30))
     )
     alpha_chars = F.length(F.regexp_replace(c, "[^a-z0-9 ]", ""))
-    alpha_ratio = alpha_chars / F.length(c)
+    # try_divide, not /: the length(>0) filter above guarantees a nonzero
+    # divisor HERE, but a caller's downstream filter (e.g. the X131
+    # funnel's quality gate) can be conjunction-merged with it and
+    # evaluate this division on an empty doc first — ANSI mode then
+    # fails the whole job on a row the filter was about to drop
+    alpha_ratio = F.try_divide(alpha_chars, F.length(c))
     stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0))
     len_score = F.least(F.lit(1.0), n_tokens / F.lit(50.0))
     quality = (

@@ -694,3 +694,72 @@ def test_gopher_rejects(spark):
         gopher_filters(docs, min_stop_hits=-1)
     with pytest.raises(ValueError, match="exceeds the stop list"):
         gopher_filters(docs, stop_words=("the",), min_stop_hits=2)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation funnel (X131)
+# ---------------------------------------------------------------------------
+
+GOOD = "the cat sat on the mat and it was happy there for a while"
+JUNK = "@@@@ !!!! ####"
+LEAKY = "the dog ran to the park and it was very happy today indeed"
+CUR_DOCS = [
+    (1, GOOD),      # kept
+    (2, GOOD),      # exact duplicate of 1
+    (3, JUNK),      # quality drop (alpha ~0.14, no tokens)
+    (4, JUNK),      # duplicate of a quality-dropped doc -> ALSO quality
+    (5, ""),        # empty
+    (6, None),      # empty
+    (7, LEAKY),     # contaminated (shares "the dog ran" with eval)
+    (8, LEAKY),     # duplicate of 7 -> exact_dup, NOT contaminated
+]
+CUR_EVAL = [(100, "the dog ran fast and far")]
+
+
+def _cur(spark, eval_docs=True):
+    from mahout_spark.operators.curation import curate_pipeline
+
+    docs = spark.createDataFrame(CUR_DOCS, "doc_id long, text string")
+    ev = (spark.createDataFrame(CUR_EVAL, "doc_id long, text string")
+          if eval_docs else None)
+    return curate_pipeline(docs, ev, min_quality=0.5, decon_n=3)
+
+
+def test_curate_pipeline_stages_hand_computed(spark):
+    rows = {r["doc_id"]: r for r in _cur(spark).collect()}
+    assert len(rows) == 8
+    assert rows[1]["kept"] and rows[1]["stage"] is None
+    assert rows[1]["canonical_id"] is None and rows[1]["n_shared"] is None
+    # exact duplicate: canonical = min id, reported
+    assert rows[2]["stage"] == "exact_dup" and rows[2]["canonical_id"] == 1
+    # quality drops carry the rounded score that decided them
+    for i in (3, 4):
+        assert rows[i]["stage"] == "quality"
+        assert rows[i]["quality"] < 0.5
+        # SEQUENTIAL semantics: 4 duplicates 3, but 3 never entered the
+        # dedup stage -> 4 is a quality drop, not an exact_dup
+        assert rows[i]["canonical_id"] is None
+    for i in (5, 6):
+        assert rows[i]["stage"] == "empty" and rows[i]["quality"] is None
+    # contamination decided AFTER dedup: the canonical is flagged with
+    # the shared-gram count, its duplicate is an exact_dup
+    assert rows[7]["stage"] == "contaminated" and rows[7]["n_shared"] == 1
+    assert rows[8]["stage"] == "exact_dup" and rows[8]["canonical_id"] == 7
+    assert rows[8]["n_shared"] is None
+    assert all(not rows[i]["kept"] for i in (2, 3, 4, 5, 6, 7, 8))
+
+
+def test_curate_pipeline_without_eval_keeps_leaky_doc(spark):
+    rows = {r["doc_id"]: r for r in _cur(spark, eval_docs=False).collect()}
+    assert rows[7]["kept"] and rows[7]["stage"] is None
+    assert rows[2]["stage"] == "exact_dup"  # other stages unchanged
+
+
+def test_curate_stats_funnel(spark):
+    from mahout_spark.operators.curation import curate_stats
+
+    s = curate_stats(_cur(spark)).collect()[0].asDict()
+    assert s == {
+        "docs_in": 8, "docs_kept": 1, "docs_empty": 2,
+        "docs_quality": 2, "docs_exact_dup": 2, "docs_contaminated": 1,
+    }
