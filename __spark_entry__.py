@@ -1215,6 +1215,97 @@ def q_curate_stats(spark, sf_dir):
     return curate_stats(_curated(spark, sf_dir))
 
 
+def _planted_lines(spark, sf_dir):
+    """The X132/X133 fixture: the corpus has no line structure OR
+    cross-document repetition, so derive both deterministically in pure
+    shared array expressions — 8-token '.'-terminated body lines, plus
+    a PLANTED header line on every doc_id % 3 == 0 doc and footer line
+    on every % 5 == 0 doc (the repeated chrome the operators exist to
+    find). The oracle replays the derivation on line STRINGS."""
+    docs = _load(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda x: x != "",
+    )
+    body = F.transform(
+        F.sequence(F.lit(0), ((F.size("_tk") - 1) / 8).cast("int")),
+        lambda i: F.concat(
+            F.array_join(F.slice(F.col("_tk"), i * 8 + 1, 8), " "),
+            F.lit("."),
+        ),
+    )
+    header = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.array(F.lit("shared header banner.")),
+    ).otherwise(F.array().cast("array<string>"))
+    footer = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.array(F.lit("shared footer notice.")),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", toks.alias("_tk"))
+        .filter(F.size("_tk") > 0)
+        .select(
+            "doc_id",
+            F.array_join(F.concat(header, body, footer), "\n")
+            .alias("text"),
+        )
+    )
+
+
+def q_dedup_lines(spark, sf_dir):
+    """Corpus-wide line-level exact dedup (X132, the MassiveText/Dolma
+    paragraph-dedup stage): first occurrence by (doc_id, line index)
+    keeps the line, every later copy drops — the planted header/footer
+    survive only in their lowest-id carrier. Oracle replays on line
+    strings, so MATCH doubles as an xxhash64 collision check."""
+    from mahout_spark.operators.curation import dedup_lines
+
+    return dedup_lines(_planted_lines(spark, sf_dir))
+
+
+def q_line_dedup_stats(spark, sf_dir):
+    """The X132 one-row audit (docs / lines in / kept / dropped)."""
+    from mahout_spark.operators.curation import (
+        dedup_lines, line_dedup_stats)
+
+    return line_dedup_stats(dedup_lines(_planted_lines(spark, sf_dir)))
+
+
+def q_boilerplate_lines(spark, sf_dir):
+    """The X133 boilerplate list: lines in >= 25 distinct docs (only
+    the planted header/footer qualify — body lines are corpus text)."""
+    from mahout_spark.operators.curation import boilerplate_lines
+
+    return boilerplate_lines(_planted_lines(spark, sf_dir), min_df=25)
+
+
+def q_remove_boilerplate(spark, sf_dir):
+    """X133 removal: EVERY occurrence of a >= 25-df line drops (unlike
+    X132 no copy survives); per-doc counts + cleaned text."""
+    from mahout_spark.operators.curation import remove_boilerplate
+
+    return remove_boilerplate(_planted_lines(spark, sf_dir), min_df=25)
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (X134, Xie et al. 2023): log2 ratio of
+    the target-slice (doc_id % 10 == 0) unigram LM to the whole-corpus
+    LM, ordered-fold per doc — the data-selection signal."""
+    from mahout_spark.operators.curation import dsir_weights
+
+    return dsir_weights(_load(spark, sf_dir, "documents"))
+
+
+def q_dsir_sample(spark, sf_dir):
+    """X134 deterministic selection: top-50 docs by importance ratio
+    (desc, id asc) — the RNG-free Gumbel-top-k stand-in."""
+    from mahout_spark.operators.curation import dsir_sample
+
+    return dsir_sample(_load(spark, sf_dir, "documents"), k=50)
+
+
 def q_multi_match_search(spark, sf_dir):
     """multi_match best_fields / dis_max (X97, ES `multi_match` with
     `title^2` and tie_breaker 0.3): title field = the doc's first 5
@@ -2871,6 +2962,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filters": q_gopher_filters,
         "curate_pipeline": q_curate_pipeline,
         "curate_stats": q_curate_stats,
+        "dedup_lines": q_dedup_lines,
+        "line_dedup_stats": q_line_dedup_stats,
+        "boilerplate_lines": q_boilerplate_lines,
+        "remove_boilerplate": q_remove_boilerplate,
+        "dsir_weights": q_dsir_weights,
+        "dsir_sample": q_dsir_sample,
         "mixture_sample": q_mixture_sample,
         "mixture_stats": q_mixture_stats,
         "engine_has_child": q_engine_has_child,
@@ -4451,7 +4548,7 @@ def _pipeline_sql() -> dict[str, str]:
 
 def oracle_sql() -> dict[str, str]:
     out = (_base_oracle_sql() | _textstats_sql() | _pipeline_sql()
-           | _curate_sql())
+           | _curate_sql() | _lines_sql() | _dsir_sql())
     # the prefiltered percolator is contract-identical to the compiled
     # one — the same relation checks both (cross-evaluator parity gate)
     out["engine_percolate_prefiltered"] = out["engine_percolate"]
@@ -4549,6 +4646,144 @@ def _curate_sql() -> dict[str, str]:
                CAST(count(*) FILTER (WHERE stage = 'contaminated')
                    AS BIGINT) AS docs_contaminated
         FROM disp
+        """,
+    }
+
+
+def _lines_sql() -> dict[str, str]:
+    """X132/X133 oracles: replay the planted-line derivation (8-token
+    '.' body lines; header on %3 docs, footer on %5 docs) and both
+    policies on line STRINGS — the engine keys on xxhash64, so every
+    MATCH doubles as a collision-freedom check."""
+    tok = ("list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+           "t -> t <> '')")
+    ctes = f"""
+        tk AS (
+            SELECT doc_id, {tok} AS tk
+            FROM documents WHERE text IS NOT NULL
+        ), lns AS (
+            SELECT doc_id,
+                   (CASE WHEN doc_id % 3 = 0
+                         THEN ['shared header banner.']
+                         ELSE []::VARCHAR[] END
+                    || list_transform(
+                           generate_series(0, (len(tk) - 1) // 8),
+                           i -> array_to_string(
+                               tk[i*8+1 : i*8+8], ' ') || '.')
+                    || CASE WHEN doc_id % 5 = 0
+                            THEN ['shared footer notice.']
+                            ELSE []::VARCHAR[] END) AS lns
+            FROM tk WHERE len(tk) > 0
+        ), occ AS (
+            SELECT doc_id, unnest(lns) AS line,
+                   generate_subscripts(lns, 1) - 1 AS li
+            FROM lns
+        )"""
+    dedup_marked = ctes + """
+        , marked AS (
+            SELECT doc_id, li, line,
+                   row_number() OVER (
+                       PARTITION BY line ORDER BY doc_id, li) AS rn
+            FROM occ
+        )"""
+    bp_marked = ctes + """
+        , bp AS (
+            SELECT line FROM occ
+            GROUP BY line HAVING count(DISTINCT doc_id) >= 25
+        ), marked AS (
+            SELECT o.doc_id, o.li, o.line,
+                   CASE WHEN b.line IS NULL THEN 1 ELSE 2 END AS rn
+            FROM occ o LEFT JOIN bp b USING (line)
+        )"""
+    per_doc = """
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT)
+                   AS n_lines_kept,
+               coalesce(string_agg(line, chr(10) ORDER BY li)
+                        FILTER (WHERE rn = 1), '') AS clean_text
+        FROM marked GROUP BY doc_id
+        """
+    return {
+        "dedup_lines": "WITH " + dedup_marked + per_doc,
+        "line_dedup_stats": "WITH " + dedup_marked + """
+        SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS docs_in,
+               CAST(count(*) AS BIGINT) AS lines_in,
+               CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT)
+                   AS lines_kept,
+               CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT)
+                   AS lines_dropped
+        FROM marked
+        """,
+        "boilerplate_lines": "WITH " + ctes + """
+        SELECT line, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM occ GROUP BY line HAVING count(DISTINCT doc_id) >= 25
+        """,
+        "remove_boilerplate": "WITH " + bp_marked + per_doc,
+    }
+
+
+def _dsir_sql() -> dict[str, str]:
+    """X134 oracle: rebuild both add-1 unigram LMs (target = %10 slice,
+    raw = whole corpus), replay the per-term log ratio and the SAME
+    term-ordered fold the engine uses, round once to 1e-6."""
+    ctes = """
+        tokq AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
+                       AS term
+            FROM documents WHERE text IS NOT NULL
+        ), tfq AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM tokq WHERE term <> '' GROUP BY 1, 2
+        ), dlq AS (
+            SELECT doc_id, sum(tf) AS doclen FROM tfq GROUP BY doc_id
+        ), refct AS (
+            SELECT term, sum(tf) AS cnt FROM tfq
+            WHERE doc_id % 10 = 0 GROUP BY term
+        ), tott AS (
+            SELECT sum(cnt) AS t, count(*) AS v FROM refct
+        ), lmt AS (
+            SELECT term, log2((cnt + 1.0) / (t + v + 1.0)) AS lt
+            FROM refct, tott
+        ), oovt AS (
+            SELECT log2(1.0 / (t + v + 1.0)) AS lt FROM tott
+        ), refcr AS (
+            SELECT term, sum(tf) AS cnt FROM tfq GROUP BY term
+        ), totr AS (
+            SELECT sum(cnt) AS t, count(*) AS v FROM refcr
+        ), lmr AS (
+            SELECT term, log2((cnt + 1.0) / (t + v + 1.0)) AS lr
+            FROM refcr, totr
+        ), oovr AS (
+            SELECT log2(1.0 / (t + v + 1.0)) AS lr FROM totr
+        ), contrib AS (
+            SELECT tfq.doc_id, tfq.term, dlq.doclen,
+                   tfq.tf * (coalesce(lmt.lt, oovt.lt)
+                             - coalesce(lmr.lr, oovr.lr)) AS c
+            FROM tfq JOIN dlq USING (doc_id)
+            LEFT JOIN lmt USING (term)
+            LEFT JOIN lmr USING (term), oovt, oovr
+        ), w AS (
+            SELECT doc_id, CAST(doclen AS BIGINT) AS n_tokens,
+                   round(cum, 6) AS logratio
+            FROM (
+                SELECT doc_id, doclen,
+                       sum(c) OVER (PARTITION BY doc_id ORDER BY term
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cum,
+                       row_number() OVER (PARTITION BY doc_id
+                           ORDER BY term DESC) AS rn
+                FROM contrib
+            ) WHERE rn = 1
+        )"""
+    return {
+        "dsir_weights": "WITH " + ctes + """
+        SELECT doc_id, n_tokens, logratio FROM w
+        """,
+        "dsir_sample": "WITH " + ctes + """
+        SELECT doc_id, n_tokens, logratio FROM w
+        ORDER BY logratio DESC, doc_id ASC LIMIT 50
         """,
     }
 

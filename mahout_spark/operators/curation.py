@@ -1147,3 +1147,248 @@ def curate_stats(disposition: DataFrame) -> DataFrame:
             for s in ("empty", "quality", "exact_dup", "contaminated")
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document line-level dedup + boilerplate removal (X132/X133)
+# ---------------------------------------------------------------------------
+
+def _line_occurrences(
+    docs: DataFrame, content_col: str, id_col: str
+) -> DataFrame:
+    """(id, li, line) for every NON-EMPTY newline-split line; ``li`` is
+    the ORIGINAL 0-based split index, so callers can rebuild against the
+    same split without re-aligning positions."""
+    return (
+        docs.filter(F.col(content_col).isNotNull())
+        .select(
+            id_col,
+            F.posexplode(F.split(F.col(content_col), "\n"))
+            .alias("li", "line"),
+        )
+        .filter(F.col("line") != "")
+    )
+
+
+def _rebuild_without(
+    docs: DataFrame,
+    dropped: DataFrame,
+    content_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Reassemble each doc minus the (id, li) positions in ``dropped``:
+    one groupBy of the DROPPED positions only (never the full line
+    stream), one id-equijoin back to the intact corpus row, and a pure
+    array-expression rebuild — document bodies never shuffle."""
+    drop_per_doc = dropped.groupBy(id_col).agg(
+        F.collect_list("li").alias("_drop"))
+    lines = F.split(F.col(content_col), "\n")
+    kept = F.filter(
+        lines,
+        lambda x, i: (x != "") & ~F.coalesce(
+            F.array_contains(F.col("_drop"), i), F.lit(False)),
+    )
+    n_lines = F.size(F.filter(lines, lambda x: x != ""))
+    return (
+        docs.filter(F.col(content_col).isNotNull())
+        .join(drop_per_doc, on=id_col, how="left")
+        .select(
+            id_col,
+            n_lines.cast("long").alias("n_lines"),
+            (n_lines - F.when(F.col("_drop").isNull(), F.lit(0))
+             .otherwise(F.size("_drop"))).cast("long")
+            .alias("n_lines_kept"),
+            F.array_join(kept, "\n").alias("clean_text"),
+        )
+    )
+
+
+def dedup_lines(
+    docs: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide line-level exact dedup (the MassiveText / Dolma
+    paragraph-dedup stage, Rae et al. 2021 / Soldaini et al. 2024 —
+    boilerplate and templated paragraphs repeat ACROSS documents, so a
+    per-doc gate can't see them): an occurrence of a line is kept iff
+    it is the corpus-wide FIRST occurrence of that exact line, ordered
+    by (id, line index) — later copies drop, in the same doc or any
+    other. Returns one row per doc: ``(id, n_lines, n_lines_kept,
+    clean_text)`` over non-empty lines.
+
+    Scale shape: lines are keyed by JVM ``xxhash64`` (8 bytes), so the
+    two exchanges carry only (key, id, li) tuples — the canonical-
+    occurrence aggregation (min struct per key) and the dropped-
+    positions-per-doc groupBy; document BODIES never shuffle (rebuild
+    is an id-equijoin back to the intact corpus row + one array
+    projection). The dropped relation is duplicate-sized, not
+    corpus-sized. A corpus-scale oracle MATCH on line STRINGS doubles
+    as an xxhash64 collision check.
+    """
+    occ = _line_occurrences(docs, content_col, id_col).select(
+        id_col, "li", F.xxhash64("line").alias("_k"))
+    pos = F.struct(F.col(id_col), F.col("li"))
+    first = occ.groupBy("_k").agg(F.min(pos).alias("_first"))
+    dropped = (
+        occ.join(first, "_k")
+        .filter(pos != F.col("_first"))
+        .select(id_col, "li")
+    )
+    return _rebuild_without(docs, dropped, content_col, id_col)
+
+
+def line_dedup_stats(result: DataFrame) -> DataFrame:
+    """One-row audit over a ``dedup_lines``/``remove_boilerplate``
+    result: docs, total non-empty lines, kept, dropped."""
+    return result.agg(
+        F.count(F.lit(1)).alias("docs_in"),
+        F.sum("n_lines").cast("long").alias("lines_in"),
+        F.sum("n_lines_kept").cast("long").alias("lines_kept"),
+        (F.sum("n_lines") - F.sum("n_lines_kept")).cast("long")
+        .alias("lines_dropped"),
+    )
+
+
+def boilerplate_lines(
+    docs: DataFrame,
+    min_df: int = 2,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The corpus's boilerplate list: every distinct line appearing in
+    at least ``min_df`` DISTINCT documents, as ``(line, df)`` — the
+    CCNet/RefinedWeb frequency signal (navigation chrome, cookie
+    banners, templated footers repeat across unrelated pages; content
+    does not).
+
+    Plan: one groupBy(line) with map-side partial aggregation (repeats
+    collapse before the exchange), countDistinct over ids. The output
+    is threshold-sized — the audit relation a curation run reviews
+    before ``remove_boilerplate`` deletes anything."""
+    if min_df < 1:
+        raise ValueError(f"min_df must be >= 1: {min_df}")
+    return (
+        _line_occurrences(docs, content_col, id_col)
+        .groupBy("line")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+
+
+def remove_boilerplate(
+    docs: DataFrame,
+    min_df: int = 2,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop EVERY occurrence of a boilerplate line (line present in
+    ``>= min_df`` distinct docs) — unlike ``dedup_lines``, no copy
+    survives: chrome is noise everywhere, not content once. Returns
+    the same per-doc shape ``(id, n_lines, n_lines_kept, clean_text)``.
+
+    Plan: the boilerplate keys aggregate to a threshold-sized 8-byte
+    relation (AQE broadcasts it into the occurrence semi-join), dropped
+    positions group per doc, bodies never shuffle (``_rebuild_without``).
+    """
+    if min_df < 1:
+        raise ValueError(f"min_df must be >= 1: {min_df}")
+    occ = _line_occurrences(docs, content_col, id_col).select(
+        id_col, "li", F.xxhash64("line").alias("_k"))
+    bp = (
+        occ.groupBy("_k")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("_k")
+    )
+    dropped = occ.join(bp, "_k", "leftsemi").select(id_col, "li")
+    return _rebuild_without(docs, dropped, content_col, id_col)
+
+
+# ---------------------------------------------------------------------------
+# DSIR data selection (X134)
+# ---------------------------------------------------------------------------
+
+def dsir_weights(
+    docs: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    target_mod: int = 10,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): per-doc log importance
+    ratio ``log2 p_target(x) - log2 p_raw(x)`` under two add-``alpha``
+    unigram LMs — target = the deterministic ``id % target_mod == 0``
+    slice (stands in for the paper's target-domain sample; no external
+    data), raw = the WHOLE corpus. Positive = more target-like than the
+    corpus average. Returns ``(id, n_tokens, logratio)``.
+
+    The ratio is the paper's raw (unnormalized) log weight: one tf pass
+    joined against BOTH vocabulary-sized LMs, per-term contribution
+    ``tf * (logp_t - logp_r)`` (each side OOV-backed), folded per doc by
+    the SAME ordered running-sum window as ``lm_cross_entropy`` — both
+    engines sum identical doubles in term order, rounded once to 1e-6.
+
+    Scale: LM training is one term groupBy per side (the target side
+    over its slice only); scoring is one corpus tf aggregation + two
+    vocabulary joins + one doc-partitioned window — no global window,
+    no driver state.
+    """
+    from pyspark.sql import Window
+
+    from mahout_spark.operators.stats import simple_term_frequencies
+
+    lm_t, oov_t = unigram_lm(docs, content_col, id_col, target_mod, alpha)
+    lm_r, oov_r = unigram_lm(docs, content_col, id_col, 1, alpha)
+    tf = simple_term_frequencies(docs, content_col, id_col)
+    contrib = (
+        tf.join(lm_t.withColumnRenamed("logp", "_lt"), "term", "left")
+        .join(lm_r.withColumnRenamed("logp", "_lr"), "term", "left")
+        .crossJoin(F.broadcast(
+            oov_t.select(F.col("_oov_logp").alias("_ot"))))
+        .crossJoin(F.broadcast(
+            oov_r.select(F.col("_oov_logp").alias("_or"))))
+        .select(
+            id_col,
+            "term",
+            "doclen",
+            (F.col("tf")
+             * (F.coalesce(F.col("_lt"), F.col("_ot"))
+                - F.coalesce(F.col("_lr"), F.col("_or")))).alias("_c"),
+        )
+    )
+    cum = Window.partitionBy(id_col).orderBy("term").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    last = Window.partitionBy(id_col).orderBy(F.col("term").desc())
+    return (
+        contrib.withColumn("_cum", F.sum("_c").over(cum))
+        .withColumn("_rn", F.row_number().over(last))
+        .filter(F.col("_rn") == 1)
+        .select(
+            id_col,
+            F.col("doclen").cast("long").alias("n_tokens"),
+            F.round(F.col("_cum"), 6).alias("logratio"),
+        )
+    )
+
+
+def dsir_sample(
+    docs: DataFrame,
+    k: int,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    target_mod: int = 10,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Deterministic DSIR selection: the top ``k`` docs by importance
+    ratio (desc, id asc tie-break) — the RNG-free stand-in for the
+    paper's Gumbel-top-k resampling (the sandbox contract is replayable
+    SQL; swapping in Gumbel noise keyed on a seeded hash would restore
+    the sampled variant without changing the plan). One
+    TakeOrderedAndProject over the weight relation — no global sort."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    w = dsir_weights(docs, content_col, id_col, target_mod, alpha)
+    return w.orderBy(F.col("logratio").desc(), F.col(id_col)).limit(k)
