@@ -385,6 +385,21 @@ def q_engine_indexed_bm25_simple(spark, sf_dir):
     return spark.createDataFrame(rows, result.schema)
 
 
+def q_engine_percentile_ranks(spark, sf_dir):
+    """percentile_ranks aggregation (X135, the inverse of X87's
+    percentiles): for n_chars values 300/500/900, the percentage of the
+    match set at or below each — the exact discrete rank convention
+    (100·|{x <= v}|/n), which the oracle replays verbatim."""
+    from mahout_spark.index.aggs import percentile_ranks
+
+    docs = _load(spark, sf_dir, "documents")
+    cat = _shared_index(spark, sf_dir)
+    return percentile_ranks(
+        spark, cat, docs, " OR ".join(BM25_QUERY_TERMS), "n_chars",
+        (300, 500, 900),
+    )
+
+
 PHRASE_QUERY = ["table", "scan"]
 DELETE_MOD = 7
 
@@ -2977,6 +2992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "packing_stats": q_packing_stats,
         "engine_percentiles": q_engine_percentiles,
+        "engine_percentile_ranks": q_engine_percentile_ranks,
         "engine_extended_stats": q_engine_extended_stats,
         "engine_composite": q_engine_composite,
         "engine_sorted_scan": q_engine_sorted_scan,
@@ -5158,6 +5174,26 @@ def _base_oracle_sql() -> dict[str, str]:
         "engine_indexed_bm25_simple": _BM25_BASE + """
         SELECT doc_id, score FROM agg
         ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        # percentile_ranks (X135): exact discrete rank over the OR
+        # match set — 100 * count(<= v) / count per requested value
+        "engine_percentile_ranks": _TOK_CTE + f"""
+        , matched AS (
+            SELECT DISTINCT doc_id FROM tf WHERE term IN {_TERMS_IN}
+        ), vals AS (
+            SELECT n_chars FROM documents JOIN matched USING (doc_id)
+            WHERE n_chars IS NOT NULL
+        )
+        SELECT round(100.0 * sum(CASE WHEN n_chars <= 300 THEN 1
+                                      ELSE 0 END) / count(*), 6)
+                   AS rank_300,
+               round(100.0 * sum(CASE WHEN n_chars <= 500 THEN 1
+                                      ELSE 0 END) / count(*), 6)
+                   AS rank_500,
+               round(100.0 * sum(CASE WHEN n_chars <= 900 THEN 1
+                                      ELSE 0 END) / count(*), 6)
+                   AS rank_900
+        FROM vals
         """,
         # search template (X119): rendering is semantics-preserving =>
         # the LITERAL boolean query's relation

@@ -161,6 +161,13 @@ def main() -> None:
         "repetition_signals",
         "decontaminate",
         "pack_sequences",
+        "lm_quality",
+        "c4_filters",
+        "gopher_filters",
+        "curate_pipeline",
+        "dedup_lines",
+        "remove_boilerplate",
+        "dsir_weights",
         "report_full",
         "engine_highlight",
         "dedup_spans",

@@ -205,6 +205,52 @@ def facet_percentiles(
     return base.agg(*aggs)
 
 
+def percentile_ranks(
+    spark: SparkSession,
+    cat: ParquetCatalog,
+    docs: DataFrame,
+    query,
+    value_col: str,
+    values,
+    id_col: str = "doc_id",
+    max_expansions: int = MAX_EXPANSIONS,
+) -> DataFrame:
+    """ES ``percentile_ranks`` agg — the inverse of ``percentiles``: for
+    each given value ``v``, the percentage of the match set's (non-NULL)
+    values ``<= v``, one row with a round-6 ``rank_<v>`` column per
+    requested value.
+
+    Convention pinned: the exact discrete rank ``100·|{x <= v}|/n`` —
+    ES's t-digest interpolates BETWEEN observations, which no exact SQL
+    engine replays bit-for-bit; the discrete count is the
+    oracle-checkable fixpoint both regimes agree on as the sketch
+    converges. One partial aggregation (a sum of comparisons per
+    requested value) — only the single result row moves at any corpus
+    size, same plan family as ``extended_stats``."""
+    vs = list(values)
+    if not vs:
+        raise ValueError("percentile_ranks needs at least one value")
+    m = matching_docs(spark, cat, query, max_expansions=max_expansions)
+    base = (
+        docs.select(F.col(id_col).alias("doc_id"), value_col)
+        .join(m, "doc_id", "left_semi")
+        .filter(F.col(value_col).isNotNull())
+    )
+
+    def name(v) -> str:
+        return "rank_" + f"{v:g}".replace(".", "_").replace("-", "m")
+
+    n = F.count(F.lit(1))
+    return base.agg(*[
+        F.round(
+            F.lit(100.0)
+            * F.sum((F.col(value_col) <= F.lit(v)).cast("long")) / n,
+            6,
+        ).alias(name(v))
+        for v in vs
+    ])
+
+
 def extended_stats(
     spark: SparkSession,
     cat: ParquetCatalog,

@@ -93,7 +93,8 @@ def _topk_arrays(docs: np.ndarray, scores: np.ndarray, k: int):
 def _make_shard_kernel(idf_by_term: dict, k1: float, b: float, avgdl: float,
                        k: int, mode_all: bool, n_terms: int, prune: bool,
                        use_stored_bounds: bool = True,
-                       deleted: np.ndarray | None = None):
+                       deleted: np.ndarray | None = None,
+                       after: tuple | None = None):
     terms_sorted = sorted(idf_by_term)  # deterministic reduction order
 
     def block_bounds(g: pd.DataFrame, t: str) -> np.ndarray:
@@ -162,7 +163,14 @@ def _make_shard_kernel(idf_by_term: dict, k1: float, b: float, avgdl: float,
             shard_max = {t: float(bounds[t].max()) for t in present}
             total_max = sum(shard_max.values())
             theta = -np.inf
-            if prune and len(present) > 1:
+            # search_after: θ may only be seeded from CURSOR-ELIGIBLE
+            # docs, but the seed's single-term scores are LOWER bounds on
+            # totals — a doc whose lb clears the cursor may still total
+            # past it, so any seed could over-prune true page-2 hits.
+            # Pagination therefore pays the unpruned in-shard scan (the
+            # per-shard k-heap still bounds the output); ES's collector
+            # makes the same trade absent exact per-doc bounds.
+            if prune and len(present) > 1 and after is None:
                 # seed θ from the globally best block's exact contributions
                 best_t = max(present, key=lambda t: shard_max[t])
                 g = groups[best_t]
@@ -243,7 +251,15 @@ def _make_shard_kernel(idf_by_term: dict, k1: float, b: float, avgdl: float,
         if deleted is not None:
             live = ~np.isin(uniq, deleted)
             uniq, sums = uniq[live], sums[live]
-        d_out, s_out = _topk_arrays(uniq.astype(np.int64), sums, k)
+        uniq = uniq.astype(np.int64)
+        if after is not None:
+            # keep docs strictly AFTER the cursor in (score desc, id asc)
+            # order; scores are this kernel's own deterministic doubles,
+            # so equality against a page-1 score is exact by construction
+            cs, cd = float(after[0]), int(after[1])
+            m = (sums < cs) | ((sums == cs) & (uniq > cd))
+            uniq, sums = uniq[m], sums[m]
+        d_out, s_out = _topk_arrays(uniq, sums, k)
         return pd.DataFrame({"doc_id": d_out, "score": s_out})
 
     return kernel
@@ -259,8 +275,18 @@ def topk(
     lex_rows: list | None = None,
     merge: str = "spark",
     deleted: np.ndarray | None = None,
+    after: tuple | None = None,
 ) -> DataFrame:
     """BM25 top-k over the built index; rank-identical to the naive scorer.
+
+    ``after`` — the ES ``search_after`` cursor ``(score, doc_id)`` of the
+    previous page's LAST hit: only docs strictly after it in
+    (score desc, doc_id asc) order are returned, so consecutive pages
+    tile the total ranking with no overlap and no skips regardless of
+    score ties at page boundaries. Unlike from+size pagination, page N
+    costs one k-deep pass — no shard materializes N·k rows. The cursor
+    disables θ-seeding (see the kernel note: a seed from a pre-cursor
+    doc could over-prune true page hits) but keeps the per-shard k-heap.
 
     ``lex_rows`` (term/bucket/df mappings) can be supplied by a caller
     that caches lexicon lookups across queries (index.searcher.Searcher)
@@ -318,7 +344,7 @@ def topk(
     )
     kernel = _make_shard_kernel(
         idf_by_term, k1, b, avgdl, k, mode_all, len(qterms), prune,
-        use_stored_bounds=use_stored_bounds, deleted=deleted,
+        use_stored_bounds=use_stored_bounds, deleted=deleted, after=after,
     )
     from mahout_spark.index.delete import apply_shard_kernel
 

@@ -365,3 +365,28 @@ def test_multi_terms_matches_manual(spark, built, docs_df, token_sets):
             round(sums[(r["lang"], r["source"])], 6))
     with pytest.raises(ValueError, match=">= 2 key"):
         multi_terms_agg(spark, built, docs_df, "data", ["lang"])
+
+
+def test_percentile_ranks_matches_manual(spark, built, docs_df, token_sets):
+    from mahout_spark.index.aggs import percentile_ranks
+
+    matched = {d for d, toks in token_sets.items()
+               if {"spark", "query", "data"} & toks}
+    vals = [r["n_chars"] for r in docs_df.collect()
+            if r["doc_id"] in matched and r["n_chars"] is not None]
+    got = percentile_ranks(
+        spark, built, docs_df, "spark OR query OR data", "n_chars",
+        (300, 500, 900),
+    ).collect()[0]
+    for v in (300, 500, 900):
+        want = round(100.0 * sum(1 for x in vals if x <= v) / len(vals), 6)
+        assert got[f"rank_{v}"] == pytest.approx(want, abs=1e-9), v
+    # monotone by construction
+    assert got["rank_300"] <= got["rank_500"] <= got["rank_900"]
+
+
+def test_percentile_ranks_rejects_empty_values(spark, built, docs_df):
+    from mahout_spark.index.aggs import percentile_ranks
+
+    with pytest.raises(ValueError, match="at least one value"):
+        percentile_ranks(spark, built, docs_df, "spark", "n_chars", ())

@@ -60,3 +60,39 @@ def test_batch_empty_and_absent(spark, built):
         spark, built, {"a": ["zzz_absent_term"]}, k=5, mode_all=True
     )
     assert out2.count() == 0
+
+
+def test_wand_after_cursor_tiles_the_full_ranking(spark, built):
+    """topk(after=...) (the plain-WAND search_after seam): consecutive
+    cursor pages must tile the deep ranking exactly — no overlap, no
+    skip — and agree with one deep unpaginated run."""
+    from mahout_spark.index.wand import topk
+
+    terms = ["spark", "query", "data"]
+    deep = [(r["doc_id"], r["score"])
+            for r in topk(spark, built, terms, k=30, prune=False).collect()]
+    pages, cursor = [], None
+    for _ in range(3):
+        rows = topk(spark, built, terms, k=10, after=cursor).collect()
+        pages.extend((r["doc_id"], r["score"]) for r in rows)
+        cursor = (rows[-1]["score"], rows[-1]["doc_id"])
+    assert pages == deep
+
+
+def test_wand_after_matches_boolquery_cursor(spark, built):
+    """The wand-level cursor and the boolquery-level cursor (X51) are
+    the same contract: page 2 of an OR query must be identical."""
+    from mahout_spark.index.boolquery import boolean_topk
+    from mahout_spark.index.wand import topk
+
+    terms = ["table", "scan"]
+    p1 = topk(spark, built, terms, k=10).collect()
+    cur = (p1[-1]["score"], p1[-1]["doc_id"])
+    got = [(r["doc_id"], round(r["score"], 6))
+           for r in topk(spark, built, terms, k=10, after=cur).collect()]
+    b1 = boolean_topk(spark, built, "table OR scan", k=10).collect()
+    bcur = (b1[-1]["score"], b1[-1]["doc_id"])
+    want = [(r["doc_id"], round(r["score"], 6))
+            for r in boolean_topk(
+                spark, built, "table OR scan", k=10, after=bcur).collect()]
+    assert got == want
