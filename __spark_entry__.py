@@ -1321,6 +1321,28 @@ def q_dsir_sample(spark, sf_dir):
     return dsir_sample(_load(spark, sf_dir, "documents"), k=50)
 
 
+def q_domain_cap(spark, sf_dir):
+    """Per-domain cap (X136, the RefinedWeb/FineWeb fix for a handful
+    of giant domains dominating a crawl): keep at most 10 docs per
+    source, selected by the seed-42 multiplicative permutation — exact
+    via the skew-safe two-phase (salted per-partition top-cap, then a
+    cap-bounded re-rank). The oracle replays the permutation and a
+    single per-source rank."""
+    from mahout_spark.operators.curation import domain_cap
+
+    return domain_cap(
+        _load(spark, sf_dir, "documents"), max_per_domain=10
+    ).select("doc_id", "source")
+
+
+def q_domain_cap_stats(spark, sf_dir):
+    """The X136 per-domain audit (n_docs / n_kept / kept_frac)."""
+    from mahout_spark.operators.curation import domain_cap_stats
+
+    return domain_cap_stats(
+        _load(spark, sf_dir, "documents"), max_per_domain=10)
+
+
 def q_multi_match_search(spark, sf_dir):
     """multi_match best_fields / dis_max (X97, ES `multi_match` with
     `title^2` and tie_breaker 0.3): title field = the doc's first 5
@@ -2983,6 +3005,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_boilerplate": q_remove_boilerplate,
         "dsir_weights": q_dsir_weights,
         "dsir_sample": q_dsir_sample,
+        "domain_cap": q_domain_cap,
+        "domain_cap_stats": q_domain_cap_stats,
         "mixture_sample": q_mixture_sample,
         "mixture_stats": q_mixture_stats,
         "engine_has_child": q_engine_has_child,
@@ -4564,7 +4588,8 @@ def _pipeline_sql() -> dict[str, str]:
 
 def oracle_sql() -> dict[str, str]:
     out = (_base_oracle_sql() | _textstats_sql() | _pipeline_sql()
-           | _curate_sql() | _lines_sql() | _dsir_sql())
+           | _curate_sql() | _lines_sql() | _dsir_sql()
+           | _domain_cap_sql())
     # the prefiltered percolator is contract-identical to the compiled
     # one — the same relation checks both (cross-evaluator parity gate)
     out["engine_percolate_prefiltered"] = out["engine_percolate"]
@@ -4736,6 +4761,37 @@ def _lines_sql() -> dict[str, str]:
         FROM occ GROUP BY line HAVING count(DISTINCT doc_id) >= 25
         """,
         "remove_boilerplate": "WITH " + bp_marked + per_doc,
+    }
+
+
+def _domain_cap_sql() -> dict[str, str]:
+    """X136 oracle: the same seed-42 multiplicative permutation (exact
+    int64 arithmetic) and ONE per-source rank — the engine's two-phase
+    salted plan must select the identical cap-smallest set."""
+    from mahout_spark.operators.curation import PACK_MOD, pack_multiplier
+
+    mult = pack_multiplier(42)
+    ctes = f"""
+        r AS (
+            SELECT doc_id, source,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY (doc_id * {mult}) % {PACK_MOD}) AS rn
+            FROM documents
+        )"""
+    return {
+        "domain_cap": "WITH " + ctes + """
+        SELECT doc_id, source FROM r WHERE rn <= 10
+        """,
+        "domain_cap_stats": "WITH " + ctes + """
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(*) FILTER (WHERE rn <= 10) AS BIGINT)
+                   AS n_kept,
+               round(count(*) FILTER (WHERE rn <= 10)
+                     / count(*)::DOUBLE, 6) AS kept_frac
+        FROM r GROUP BY source
+        """,
     }
 
 

@@ -1392,3 +1392,79 @@ def dsir_sample(
         raise ValueError(f"k must be >= 1: {k}")
     w = dsir_weights(docs, content_col, id_col, target_mod, alpha)
     return w.orderBy(F.col("logratio").desc(), F.col(id_col)).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Per-domain document caps (X136)
+# ---------------------------------------------------------------------------
+
+def domain_cap(
+    docs: DataFrame,
+    max_per_domain: int,
+    seed: int = 42,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    n_salts: int = 32,
+) -> DataFrame:
+    """RefinedWeb/FineWeb-style per-domain cap: keep at most
+    ``max_per_domain`` docs per ``source_col`` value, selected by the
+    X86 seeded multiplicative permutation (a deterministic "random"
+    subset — the key is bijective mod P, so selection is unbiased,
+    tie-free, and replayable by any SQL engine; re-runs are
+    bit-identical). A handful of giant domains otherwise dominate a web
+    crawl — the cap is the standard fix.
+
+    Exact and skew-safe in TWO bounded phases (a single
+    row_number-per-domain window would sort each domain inside one
+    task — the biggest domain becomes the straggler):
+
+    1. per (domain, salt = key % n_salts): keep the ``cap`` smallest
+       keys — each window partition is ~1/n_salts of a domain, and the
+       global cap-smallest set is provably a subset of this union
+       (every survivor beats at most cap-1 keys in its own salt);
+    2. re-rank the <= n_salts·cap survivors per domain and cut at the
+       cap — the second window's partitions are CAP-BOUNDED, never
+       corpus-bounded.
+
+    Returns the kept rows (input schema unchanged).
+    """
+    if max_per_domain < 1:
+        raise ValueError(f"max_per_domain must be >= 1: {max_per_domain}")
+    if n_salts < 1:
+        raise ValueError(f"n_salts must be >= 1: {n_salts}")
+    from pyspark.sql import Window
+
+    key = pack_key_expr(id_col, seed)
+    staged = docs.withColumn("_key", key)
+    w1 = Window.partitionBy(
+        source_col, F.pmod(F.col("_key"), F.lit(n_salts))
+    ).orderBy("_key")
+    w2 = Window.partitionBy(source_col).orderBy("_key")
+    return (
+        staged.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= max_per_domain)
+        .withColumn("_r2", F.row_number().over(w2))
+        .filter(F.col("_r2") <= max_per_domain)
+        .drop("_key", "_r1", "_r2")
+    )
+
+
+def domain_cap_stats(
+    docs: DataFrame,
+    max_per_domain: int,
+    seed: int = 42,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain audit for ``domain_cap``: corpus count, kept count
+    (= min(cap, n)), and the fraction kept — one #domains-row relation."""
+    kept = domain_cap(docs, max_per_domain, seed, source_col, id_col)
+    n = docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    k = kept.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_kept"))
+    return (
+        n.join(k, source_col, "left")
+        .withColumn("n_kept", F.coalesce(F.col("n_kept"), F.lit(0)))
+        .withColumn(
+            "kept_frac", F.round(F.col("n_kept") / F.col("n_docs"), 6))
+        .orderBy(source_col)
+    )

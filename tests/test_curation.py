@@ -763,3 +763,74 @@ def test_curate_stats_funnel(spark):
         "docs_in": 8, "docs_kept": 1, "docs_empty": 2,
         "docs_quality": 2, "docs_exact_dup": 2, "docs_contaminated": 1,
     }
+
+
+# ---------------------------------------------------------------------------
+# Per-domain caps (X136)
+# ---------------------------------------------------------------------------
+
+def _cap_docs(spark):
+    rows = [(i, f"s{i % 4}", f"text {i}") for i in range(80)]
+    return spark.createDataFrame(
+        rows, "doc_id long, source string, text string")
+
+
+def test_domain_cap_respects_cap_and_is_deterministic(spark):
+    from mahout_spark.operators.curation import domain_cap
+
+    docs = _cap_docs(spark)
+    kept = domain_cap(docs, max_per_domain=5)
+    per = {r["source"]: r["cnt"] for r in
+           kept.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    assert per == {f"s{i}": 5 for i in range(4)}
+    # bit-identical re-run (no RNG state)
+    ids1 = sorted(r["doc_id"] for r in kept.collect())
+    ids2 = sorted(r["doc_id"] for r in
+                  domain_cap(docs, max_per_domain=5).collect())
+    assert ids1 == ids2
+    # a different seed selects a different (still capped) subset
+    ids3 = sorted(r["doc_id"] for r in
+                  domain_cap(docs, max_per_domain=5, seed=7).collect())
+    assert len(ids3) == 20 and ids3 != ids1
+
+
+def test_domain_cap_two_phase_equals_single_window(spark):
+    """The salted two-phase selection must equal the naive one-window
+    rank for EVERY n_salts (the subset-inclusion argument, exercised)."""
+    from mahout_spark.operators.curation import domain_cap, pack_key_expr
+    from pyspark.sql import Window
+
+    docs = _cap_docs(spark)
+    w = Window.partitionBy("source").orderBy(pack_key_expr("doc_id", 42))
+    naive = sorted(
+        r["doc_id"] for r in docs.withColumn(
+            "_r", F.row_number().over(w))
+        .filter(F.col("_r") <= 7).collect()
+    )
+    for n_salts in (1, 3, 32):
+        got = sorted(r["doc_id"] for r in domain_cap(
+            docs, max_per_domain=7, n_salts=n_salts).collect())
+        assert got == naive, n_salts
+
+
+def test_domain_cap_small_domains_untouched(spark):
+    from mahout_spark.operators.curation import domain_cap
+
+    docs = _cap_docs(spark)
+    kept = domain_cap(docs, max_per_domain=100)
+    assert kept.count() == 80  # cap above domain size keeps everything
+
+
+def test_domain_cap_stats_and_rejects(spark):
+    from mahout_spark.operators.curation import (
+        domain_cap, domain_cap_stats)
+
+    docs = _cap_docs(spark)
+    s = {r["source"]: r for r in
+         domain_cap_stats(docs, max_per_domain=5).collect()}
+    for src, r in s.items():
+        assert (r["n_docs"], r["n_kept"], r["kept_frac"]) == (20, 5, 0.25)
+    with pytest.raises(ValueError, match="max_per_domain"):
+        domain_cap(docs, max_per_domain=0)
+    with pytest.raises(ValueError, match="n_salts"):
+        domain_cap(docs, max_per_domain=1, n_salts=0)
