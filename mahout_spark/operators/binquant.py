@@ -37,6 +37,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from mahout_spark.checkpoint import spread_input
+
 
 def bq_train(emb: DataFrame, vec_col: str = "embedding") -> np.ndarray:
     """Train the quantizer: the per-dimension mean over the FULL corpus
@@ -78,8 +80,10 @@ def add_bq_codes(
             "bq_norm": np.linalg.norm(X, axis=1),
         })
 
+    # spread_input: a few-split embedding table would run the encode
+    # UDF (and every downstream code scan) as one task per file
     return (
-        emb.withColumn("_bq", encode(F.col(vec_col)))
+        spread_input(emb).withColumn("_bq", encode(F.col(vec_col)))
         .withColumn("bq_code", F.col("_bq.bq_code"))
         .withColumn("bq_norm", F.col("_bq.bq_norm"))
         .drop("_bq")
@@ -135,6 +139,14 @@ def bq_ann_topk(
             .limit(k)
         )
     n_cand = max(k, int(rerank) if rerank is not None else 8 * k)
+    # clamp to the corpus size: TakeOrderedAndProject sizes its bounded
+    # priority queue by the LIMIT literal, so an "infinite" rerank
+    # sentinel (e.g. 10^9 for the brute-force oracle regime) would
+    # allocate a 10^9-slot queue PER TASK -- seconds of GC on one
+    # partition, OOM on many. One column-pruned count, paid only when
+    # the requested depth is actually queue-hazard sized.
+    if n_cand > 65536:
+        n_cand = min(n_cand, emb.count())
     cand = (
         approx.orderBy(F.col("est").desc(), F.col(id_col).asc())
         .limit(n_cand)

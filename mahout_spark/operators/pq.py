@@ -34,6 +34,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from mahout_spark.checkpoint import spread_input
+
 
 def pq_train(
     emb: DataFrame, m: int = 8, n_codes: int = 16,
@@ -114,8 +116,10 @@ def add_pq_codes(
             "pq_norm": norms,
         })
 
+    # spread_input: a few-split embedding table would run the encode
+    # UDF (and every downstream code scan) as one task per file
     return (
-        emb.withColumn("_pq", encode(F.col(vec_col)))
+        spread_input(emb).withColumn("_pq", encode(F.col(vec_col)))
         .withColumn("pq_code", F.col("_pq.pq_code"))
         .withColumn("pq_norm", F.col("_pq.pq_norm"))
         .drop("_pq")
@@ -182,6 +186,14 @@ def pq_ann_topk(
             .limit(k)
         )
     n_cand = max(k, int(rerank) if rerank is not None else 4 * k)
+    # clamp to the corpus size: TakeOrderedAndProject sizes its bounded
+    # priority queue by the LIMIT literal, so an "infinite" rerank
+    # sentinel (e.g. 10^9 for the brute-force oracle regime) would
+    # allocate a 10^9-slot queue PER TASK -- seconds of GC on one
+    # partition, OOM on many. One column-pruned count, paid only when
+    # the requested depth is actually queue-hazard sized.
+    if n_cand > 65536:
+        n_cand = min(n_cand, emb.count())
     cand = (
         approx.orderBy(F.col("adc").desc(), F.col(id_col).asc())
         .limit(n_cand)

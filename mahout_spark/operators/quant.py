@@ -37,6 +37,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from mahout_spark.checkpoint import spread_input
+
 
 def sq_train(
     emb: DataFrame, vec_col: str = "embedding",
@@ -87,8 +89,10 @@ def add_sq_codes(
             "sq_norm": np.linalg.norm(X, axis=1),
         })
 
+    # spread_input: a few-split embedding table would run the encode
+    # UDF (and every downstream code scan) as one task per file
     return (
-        emb.withColumn("_sq", encode(F.col(vec_col)))
+        spread_input(emb).withColumn("_sq", encode(F.col(vec_col)))
         .withColumn("sq_code", F.col("_sq.sq_code"))
         .withColumn("sq_norm", F.col("_sq.sq_norm"))
         .drop("_sq")
@@ -145,6 +149,14 @@ def sq_ann_topk(
             .limit(k)
         )
     n_cand = max(k, int(rerank) if rerank is not None else 4 * k)
+    # clamp to the corpus size: TakeOrderedAndProject sizes its bounded
+    # priority queue by the LIMIT literal, so an "infinite" rerank
+    # sentinel (e.g. 10^9 for the brute-force oracle regime) would
+    # allocate a 10^9-slot queue PER TASK -- seconds of GC on one
+    # partition, OOM on many. One column-pruned count, paid only when
+    # the requested depth is actually queue-hazard sized.
+    if n_cand > 65536:
+        n_cand = min(n_cand, emb.count())
     cand = (
         approx.orderBy(F.col("sqs").desc(), F.col(id_col).asc())
         .limit(n_cand)
