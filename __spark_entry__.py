@@ -1321,6 +1321,17 @@ def q_dsir_sample(spark, sf_dir):
     return dsir_sample(_load(spark, sf_dir, "documents"), k=50)
 
 
+def q_token_budget(spark, sf_dir):
+    """Token-budget selection (X137): rank by the X10 quality score
+    (desc, id asc), keep the prefix within 10,000 tokens (~37% of the
+    sf0.01 corpus' 27k). The oracle replays quality, the ordered
+    running total, and the prefix cut with one window."""
+    from mahout_spark.operators.curation import token_budget_select
+
+    return token_budget_select(
+        _load(spark, sf_dir, "documents"), budget_tokens=10_000)
+
+
 def q_domain_cap(spark, sf_dir):
     """Per-domain cap (X136, the RefinedWeb/FineWeb fix for a handful
     of giant domains dominating a crawl): keep at most 10 docs per
@@ -3007,6 +3018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_sample": q_dsir_sample,
         "domain_cap": q_domain_cap,
         "domain_cap_stats": q_domain_cap_stats,
+        "token_budget": q_token_budget,
         "mixture_sample": q_mixture_sample,
         "mixture_stats": q_mixture_stats,
         "engine_has_child": q_engine_has_child,
@@ -4589,7 +4601,7 @@ def _pipeline_sql() -> dict[str, str]:
 def oracle_sql() -> dict[str, str]:
     out = (_base_oracle_sql() | _textstats_sql() | _pipeline_sql()
            | _curate_sql() | _lines_sql() | _dsir_sql()
-           | _domain_cap_sql())
+           | _domain_cap_sql() | _token_budget_sql())
     # the prefiltered percolator is contract-identical to the compiled
     # one — the same relation checks both (cross-evaluator parity gate)
     out["engine_percolate_prefiltered"] = out["engine_percolate"]
@@ -4761,6 +4773,44 @@ def _lines_sql() -> dict[str, str]:
         FROM occ GROUP BY line HAVING count(DISTINCT doc_id) >= 25
         """,
         "remove_boilerplate": "WITH " + bp_marked + per_doc,
+    }
+
+
+def _token_budget_sql() -> dict[str, str]:
+    """X137 oracle: the X10 quality formula verbatim, ONE ordered
+    window running total (quality desc, id asc), prefix cut at the
+    budget — certifying the engine's two-phase bucketed prefix sum."""
+    tok = ("list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+           "t -> t <> '')")
+    from mahout_spark.operators.textstats import STOP30
+
+    stop_in = "('" + "','".join(STOP30) + "')"
+    alpha = ("length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))"
+             "::DOUBLE / length(lower(text))")
+    stopr = (f"CASE WHEN len({tok}) > 0 THEN len(list_filter({tok}, "
+             f"t -> t IN {stop_in}))::DOUBLE / len({tok}) ELSE 0.0 END")
+    return {
+        "token_budget": f"""
+        WITH q AS (
+            SELECT doc_id,
+                   CAST(len({tok}) AS BIGINT) AS n_tokens,
+                   round(0.4 * ({alpha})
+                       + 0.3 * least(1.0, 5.0 * ({stopr}))
+                       + 0.3 * least(1.0, len({tok}) / 50.0), 6)
+                       AS quality
+            FROM documents WHERE length(text) > 0
+        ), c AS (
+            SELECT doc_id, quality, n_tokens,
+                   CAST(sum(n_tokens) OVER (
+                       ORDER BY quality DESC, doc_id ASC
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS cum_tokens
+            FROM q WHERE n_tokens > 0
+        )
+        SELECT doc_id, quality, n_tokens, cum_tokens,
+               cum_tokens <= 10000 AS selected
+        FROM c
+        """,
     }
 
 

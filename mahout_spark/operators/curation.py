@@ -1468,3 +1468,82 @@ def domain_cap_stats(
             "kept_frac", F.round(F.col("n_kept") / F.col("n_docs"), 6))
         .orderBy(source_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget selection (X137)
+# ---------------------------------------------------------------------------
+
+def token_budget_select(
+    docs: DataFrame,
+    budget_tokens: int,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = PACK_BUCKETS,
+) -> DataFrame:
+    """Quality-first selection up to a token budget (the "take the best
+    N tokens" step every fixed-compute pretraining run ends with): rank
+    the corpus by the X10 quality score (desc, id asc — the ROUNDED
+    score, so the decision replays from that operator's output), keep
+    the ranking PREFIX whose running token total stays within
+    ``budget_tokens``. Returns one row per non-empty doc:
+    ``(id, quality, n_tokens, cum_tokens, selected)`` — ``cum_tokens``
+    includes the doc, ``selected = cum_tokens <= budget`` (prefix
+    semantics: the budget is never exceeded, and no lower-quality doc
+    is taken over a higher-quality one).
+
+    The running total is the pack_documents two-phase prefix sum over
+    the QUALITY order instead of the permutation order: quality lives
+    in [0, 1], so ``floor((1 - quality) · B)`` is an order-preserving
+    coarse bucketing — per-bucket totals prefix-sum on the driver
+    (<= n_buckets rows), the within-bucket cumsum is a bucket-partitioned
+    window. No global window, no single-task funnel at any corpus size.
+    """
+    if budget_tokens < 0:
+        raise ValueError(f"budget_tokens must be >= 0: {budget_tokens}")
+    from pyspark.sql import Window
+
+    from mahout_spark.operators.textstats import quality_scores
+
+    base = (
+        quality_scores(docs, content_col=content_col, id_col=id_col)
+        .select(id_col, "quality", "n_tokens")
+        .filter(F.col("n_tokens") > 0)
+        .withColumn(
+            "_b",
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(n_buckets - 1),
+                    F.floor((1.0 - F.col("quality")) * n_buckets),
+                ),
+            ).cast("long"),
+        )
+    )
+    totals = {
+        r["_b"]: r["t"]
+        for r in base.groupBy("_b").agg(F.sum("n_tokens").alias("t"))
+        .collect()
+    }
+    bases, acc = [], 0
+    for b in range(n_buckets):
+        bases.append((b, acc))
+        acc += int(totals.get(b, 0))
+    base_df = F.broadcast(
+        docs.sparkSession.createDataFrame(bases, "_b long, _base long")
+    )
+    w = (
+        Window.partitionBy("_b")
+        .orderBy(F.col("quality").desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.col("_base") + F.sum("n_tokens").over(w)
+    return (
+        base.join(base_df, "_b")
+        .withColumn("cum_tokens", cum)
+        .select(
+            id_col, "quality", "n_tokens", "cum_tokens",
+            (F.col("cum_tokens") <= F.lit(int(budget_tokens)))
+            .alias("selected"),
+        )
+    )

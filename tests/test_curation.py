@@ -834,3 +834,62 @@ def test_domain_cap_stats_and_rejects(spark):
         domain_cap(docs, max_per_domain=0)
     with pytest.raises(ValueError, match="n_salts"):
         domain_cap(docs, max_per_domain=1, n_salts=0)
+
+
+# ---------------------------------------------------------------------------
+# Token-budget selection (X137)
+# ---------------------------------------------------------------------------
+
+def test_token_budget_prefix_semantics(spark):
+    from mahout_spark.operators.curation import token_budget_select
+    from mahout_spark.operators.textstats import quality_scores
+
+    rows = [(i, " ".join(f"w{i}x{j}" for j in range(10 + i))
+             + (" the and of is" * i)) for i in range(1, 9)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # python oracle: rank by the operator's own (rounded) quality
+    q = {r["doc_id"]: (r["quality"], r["n_tokens"])
+         for r in quality_scores(docs).collect()}
+    order = sorted(q, key=lambda d: (-q[d][0], d))
+    budget = sum(q[d][1] for d in order) // 2
+    cum, want = 0, {}
+    for d in order:
+        cum += q[d][1]
+        want[d] = (cum, cum <= budget)
+    got = {r["doc_id"]: (r["cum_tokens"], r["selected"])
+           for r in token_budget_select(docs, budget).collect()}
+    assert got == want
+    # selection is a prefix: no selected doc ranks below an unselected
+    sel = [want[d][1] for d in order]
+    assert sel == sorted(sel, reverse=True)
+
+
+def test_token_budget_edges(spark):
+    from mahout_spark.operators.curation import token_budget_select
+
+    docs = spark.createDataFrame(
+        [(1, "the cat and the dog"), (2, ""), (3, None)],
+        "doc_id long, text string")
+    out = token_budget_select(docs, 0).collect()
+    assert [r["doc_id"] for r in out] == [1]  # empty/NULL docs excluded
+    assert not out[0]["selected"]  # zero budget selects nothing
+    full = token_budget_select(docs, 10**9).collect()
+    assert full[0]["selected"]
+    with pytest.raises(ValueError, match="budget_tokens"):
+        token_budget_select(docs, -1)
+
+
+def test_token_budget_bucketing_matches_single_window(spark):
+    """The two-phase bucketed prefix sum must equal one global ordered
+    window for any bucket count."""
+    from mahout_spark.operators.curation import token_budget_select
+
+    rows = [(i, "alpha beta " * (i % 7 + 1) + "the of and is to " * (i % 3))
+            for i in range(1, 60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {r["doc_id"]: r["cum_tokens"] for r in
+            token_budget_select(docs, 100, n_buckets=1).collect()}
+    for nb in (4, 256):
+        got = {r["doc_id"]: r["cum_tokens"] for r in
+               token_budget_select(docs, 100, n_buckets=nb).collect()}
+        assert got == want, nb
