@@ -762,6 +762,18 @@ def q_date_histogram(spark, sf_dir):
     return date_histogram(events, "ts", "day", "value")
 
 
+def q_auto_date_histogram(spark, sf_dir):
+    """auto_date_histogram (X138): the finest calendar interval whose
+    ACTUAL distinct-bucket count fits target_buckets=20 — at sf0.01 the
+    ladder walks hour(720) → day(30) → week(5 ≤ 20), so the oracle must
+    reproduce both the choice and the weekly buckets."""
+    from mahout_spark.operators.timeseries import auto_date_histogram
+
+    events = _load(spark, sf_dir, "events")
+    return auto_date_histogram(events, "ts", target_buckets=20,
+                               value_col="value")
+
+
 def q_events_date_math(spark, sf_dir):
     """Date-math range query (X107, ES `now-20d/d`): events in
     [now-20d/d, now-5d/d) against the pinned now 2024-01-28T12:30:00
@@ -2987,6 +2999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_function_score": q_engine_function_score,
         "engine_term_vectors": q_engine_term_vectors,
         "date_histogram": q_date_histogram,
+        "auto_date_histogram": q_auto_date_histogram,
         "histogram_pipeline": q_histogram_pipeline,
         "histogram_top_buckets": q_histogram_top_buckets,
         "histogram_stats": q_histogram_stats,
@@ -5078,6 +5091,34 @@ def _base_oracle_sql() -> dict[str, str]:
                round(avg(value), 6) AS avg_value
         FROM events WHERE ts IS NOT NULL
         GROUP BY 1 ORDER BY 1
+        """,
+        # auto_date_histogram (X138): replay the ladder walk on ACTUAL
+        # distinct truncation counts (hour/day/week/month/quarter/year,
+        # finest fitting <= 20 wins), then the chosen histogram
+        "auto_date_histogram": """
+        WITH c AS (
+            SELECT count(DISTINCT date_trunc('hour', ts)) AS c_hour,
+                   count(DISTINCT date_trunc('day', ts)) AS c_day,
+                   count(DISTINCT date_trunc('week', ts)) AS c_week,
+                   count(DISTINCT date_trunc('month', ts)) AS c_month,
+                   count(DISTINCT date_trunc('quarter', ts)) AS c_quarter
+            FROM events WHERE ts IS NOT NULL
+        ), ch AS (
+            SELECT CASE WHEN c_hour <= 20 THEN 'hour'
+                        WHEN c_day <= 20 THEN 'day'
+                        WHEN c_week <= 20 THEN 'week'
+                        WHEN c_month <= 20 THEN 'month'
+                        WHEN c_quarter <= 20 THEN 'quarter'
+                        ELSE 'year' END AS iv
+            FROM c
+        )
+        SELECT CAST(date_trunc(iv, ts) AS TIMESTAMP) AS bucket,
+               count(*) AS n_events,
+               round(sum(value), 6) AS sum_value,
+               round(avg(value), 6) AS avg_value,
+               iv AS interval
+        FROM events, ch WHERE ts IS NOT NULL
+        GROUP BY 1, iv ORDER BY 1
         """,
         # pipeline aggs (X93): the same three windowed derivations over
         # the date_histogram relation, same trailing-3 frame, same

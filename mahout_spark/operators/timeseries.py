@@ -269,3 +269,38 @@ def bucket_serial_diff(
             out_col, F.round(v - F.lag(v, lag).over(w), 6))
         .orderBy(F.col(bucket_col).asc())
     )
+
+
+def auto_date_histogram(
+    events: DataFrame,
+    ts_col: str = "ts",
+    target_buckets: int = 20,
+    value_col: str | None = None,
+) -> DataFrame:
+    """ES ``auto_date_histogram``: pick the FINEST calendar interval in
+    the ``INTERVALS`` ladder whose actual bucket count stays within
+    ``target_buckets`` (falling back to the coarsest when even years
+    overflow), then aggregate exactly as ``date_histogram`` does. The
+    chosen interval rides along as an ``interval`` column, so a replay
+    can verify the choice, not just the buckets.
+
+    Convention pinned: ES estimates counts from the time span and its
+    rounding ladder; this implementation counts the ACTUAL distinct
+    truncations — one aggregation row computing every ladder level at
+    once (a handful of count-distincts over one pass), exact at any
+    corpus size and replayable by any SQL engine. Two jobs total: the
+    1-row ladder probe, then the chosen histogram."""
+    if target_buckets < 1:
+        raise ValueError(
+            f"target_buckets must be >= 1: {target_buckets}")
+    probe = events.filter(F.col(ts_col).isNotNull()).agg(*[
+        F.countDistinct(F.date_trunc(iv, F.col(ts_col))).alias(iv)
+        for iv in INTERVALS
+    ]).first()
+    chosen = INTERVALS[-1]
+    for iv in INTERVALS:
+        if int(probe[iv] or 0) <= target_buckets:
+            chosen = iv
+            break
+    return date_histogram(events, ts_col, chosen, value_col).withColumn(
+        "interval", F.lit(chosen))

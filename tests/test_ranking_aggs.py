@@ -588,3 +588,35 @@ def test_bucket_serial_diff_matches_python(spark, events):
                     round(vals[i] - vals[i - lag], 6), abs=1e-6)
     with pytest.raises(ValueError, match="lag"):
         bucket_serial_diff(h, "sum_value", lag=0)
+
+
+def test_auto_date_histogram_ladder_and_buckets(spark):
+    """The finest ladder interval that fits wins; buckets equal the
+    fixed-interval histogram at the chosen level; target below every
+    level falls back to the coarsest."""
+    import datetime as dt
+
+    from mahout_spark.operators.timeseries import (
+        auto_date_histogram, date_histogram)
+
+    rows = [(i, dt.datetime(2024, 1, 1 + i % 20, i % 24, 0, 0), float(i))
+            for i in range(200)]
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    # hours = 20*...: distinct (day,hour) combos > 20; days = 20 <= 20
+    out = auto_date_histogram(ev, "ts", target_buckets=20, value_col="value")
+    rowsc = out.collect()
+    assert {r["interval"] for r in rowsc} == {"day"}
+    fixed = date_histogram(ev, "ts", "day", "value").collect()
+    assert [(r["bucket"], r["n_events"], r["sum_value"]) for r in rowsc] == \
+        [(r["bucket"], r["n_events"], r["sum_value"]) for r in fixed]
+    # one calendar month of data: target 1 picks month, not year
+    tiny = auto_date_histogram(ev, "ts", target_buckets=1).collect()
+    assert {r["interval"] for r in tiny} == {"month"} and len(tiny) == 1
+    # a span no ladder level can fit falls back to the coarsest (year)
+    years = spark.createDataFrame(
+        [(i, dt.datetime(2000 + i, 6, 1), 1.0) for i in range(5)],
+        "event_id long, ts timestamp, value double")
+    fb = auto_date_histogram(years, "ts", target_buckets=2).collect()
+    assert {r["interval"] for r in fb} == {"year"} and len(fb) == 5
+    with pytest.raises(ValueError, match="target_buckets"):
+        auto_date_histogram(ev, "ts", target_buckets=0)
