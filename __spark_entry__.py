@@ -400,6 +400,24 @@ def q_engine_percentile_ranks(spark, sf_dir):
     )
 
 
+def q_engine_phrase_prefix(spark, sf_dir):
+    """match_phrase_prefix (X139, the ES search-as-you-type primitive):
+    the phrase 'table s*' — last slot is any dictionary term starting
+    with 's' (6 expansions at sf0.01, under the 50 cap), one positional
+    kernel pass, per-doc score = the BEST matching variant's BM25 sum
+    (pinned convention; ES's MultiPhrase idf blend is not exactly
+    replayable). The oracle enumerates the expansions from the token
+    stream and replays match + scoring per variant relationally."""
+    from mahout_spark.index.phrase import phrase_prefix_topk
+
+    cat = _shared_index(spark, sf_dir, positions=True)
+    result = phrase_prefix_topk(
+        spark, cat, ["table"], "s", k=10
+    ).select("doc_id", F.round("score", 6).alias("score"))
+    rows = result.collect()
+    return spark.createDataFrame(rows, result.schema)
+
+
 PHRASE_QUERY = ["table", "scan"]
 DELETE_MOD = 7
 
@@ -3050,6 +3068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_dedup_delete_search": q_engine_dedup_delete_search,
         "engine_delete_purge_search": q_engine_delete_purge_search,
         "engine_phrase_search": q_engine_phrase_search,
+        "engine_phrase_prefix": q_engine_phrase_prefix,
         "engine_proximity_search": q_engine_proximity_search,
         "engine_boolean_search": q_engine_boolean_search,
         "engine_prefix_search": q_engine_prefix_search,
@@ -5429,6 +5448,44 @@ def _base_oracle_sql() -> dict[str, str]:
             GROUP BY doc_id
         )
         SELECT doc_id, score FROM agg
+        ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        # match_phrase_prefix (X139): expansions enumerated from the
+        # token stream, per-variant phrase match via the stream LIKE,
+        # per-variant score = fixed + alt contributions (two doubles —
+        # commutative, so the engine's sorted-term fold agrees), doc
+        # score = max over matching variants, rounded once
+        "engine_phrase_prefix": _TOK_CTE + f"""
+        , stream AS (
+            SELECT doc_id,
+                   ' ' || array_to_string(list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9]+'),
+                       t -> t <> ''), ' ') || ' ' AS s
+            FROM documents WHERE text IS NOT NULL
+        ), alts AS (
+            SELECT term FROM dfreq WHERE term LIKE 's%'
+        ), m AS (
+            SELECT st.doc_id, a.term
+            FROM stream st JOIN alts a
+              ON st.s LIKE '% table ' || a.term || ' %'
+        ), fixedc AS (
+            SELECT tf.doc_id, {_BM25_CONTRIB} AS c
+            FROM tf JOIN dfreq USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN scal WHERE tf.term = 'table'
+        ), altc AS (
+            SELECT tf.doc_id, tf.term, {_BM25_CONTRIB} AS c
+            FROM tf JOIN dfreq USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN scal WHERE tf.term LIKE 's%'
+        ), best AS (
+            SELECT m.doc_id, round(max(f.c + a.c), 6) AS score
+            FROM m
+            JOIN fixedc f ON m.doc_id = f.doc_id
+            JOIN altc a ON m.doc_id = a.doc_id AND m.term = a.term
+            GROUP BY m.doc_id
+        )
+        SELECT doc_id, score FROM best
         ORDER BY score DESC, doc_id ASC LIMIT 10
         """,
         # proximity oracle: per-term 0-based token positions via

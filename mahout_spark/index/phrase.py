@@ -484,3 +484,148 @@ def span_first_topk(
     )
     return _run_positional_kernel(spark, blocks, kernel, k, merge,
                                   tomb, int(meta["docs_per_shard"]))
+
+
+def _decode_single(g: pd.DataFrame, cand: np.ndarray):
+    """Decode ONE term's block rows restricted to a sorted candidate doc
+    set (block range-skip, then exact membership) — the per-alternative
+    half of the phrase-prefix kernel; the fixed slots reuse the shared
+    ``_decode_intersect`` front."""
+    lo = np.searchsorted(cand, g["first_docid"].to_numpy(np.uint64))
+    hi = np.searchsorted(
+        cand, g["block_max_docid"].to_numpy(np.uint64), "right")
+    g = g[hi > lo]
+    d_p, tf_p, dl_p, c_p, p_p = [], [], [], [], []
+    for r in g.itertuples(index=False):
+        d, tf_, dl_ = decode_doc_block(r.doc_ids, r.tfs, r.doclens)
+        cnt, pos = decode_positions_block(r.pos_counts, r.positions)
+        d_p.append(d); tf_p.append(tf_); dl_p.append(dl_)
+        c_p.append(cnt.astype(np.int64)); p_p.append(pos)
+    if not d_p:
+        e = np.empty(0, np.uint64)
+        return e, e, e, e, e
+    d, tf_, dl_, cnt, pos = (np.concatenate(x)
+                             for x in (d_p, tf_p, dl_p, c_p, p_p))
+    keep = _sorted_member(d, cand)
+    pos = pos[np.repeat(keep, cnt)]
+    return d[keep], tf_[keep], dl_[keep], cnt[keep], pos
+
+
+def _make_phrase_prefix_kernel(
+    fixed: list[str], alts: list[str], idf_by_term: dict, k1: float,
+    b: float, avgdl: float, k: int, docs_per_shard: int,
+    deleted: np.ndarray | None = None,
+):
+    _check_shard_budget(docs_per_shard)
+    fixed_distinct = sorted(dict.fromkeys(fixed))
+
+    def kernel(pdf, *, deleted=deleted):  # kw-only: applyInPandas sees 1 arg
+        groups = {t: g for t, g in pdf.groupby("term")}
+        front = _decode_intersect(pdf, fixed_distinct, docs_per_shard)
+        if front is None:
+            return _empty_result()
+        decoded, cand, base = front
+        keys_fixed = _occurrence_keys(decoded, cand, base, fixed_distinct)
+        doc_parts, score_parts = [], []
+        for a in alts:  # bounded by max_expansions — query-sized, never
+            if a in fixed_distinct:  # corpus-sized
+                dec_a, merged = decoded[a], decoded
+            elif a in groups:
+                dec_a = _decode_single(groups[a], cand)
+                if len(dec_a[0]) == 0:
+                    continue
+                merged = {**decoded, a: dec_a}
+            else:
+                continue
+            d_a = dec_a[0]
+            local = (d_a - base).astype(np.uint64)
+            ka = np.sort(
+                (np.repeat(local, dec_a[3]) << np.uint64(POS_BITS))
+                | dec_a[4])
+            starts = _adjacency_start_keys(
+                {**keys_fixed, a: ka}, fixed + [a])
+            if len(starts) == 0:
+                continue
+            match_docs = np.unique(starts >> np.uint64(POS_BITS)) + base
+            sc = _score_match_docs(
+                merged, match_docs, sorted(dict.fromkeys(fixed + [a])),
+                idf_by_term, k1, b, avgdl, None, deleted=deleted,
+            )
+            doc_parts.append(sc["doc_id"].to_numpy(np.int64))
+            score_parts.append(sc["score"].to_numpy(np.float64))
+        if not doc_parts:
+            return _empty_result()
+        docs = np.concatenate(doc_parts)
+        scores = np.concatenate(score_parts)
+        # per doc: the BEST matching expansion's score (ES MultiPhrase
+        # blends idf across the expansion set, which no exact SQL engine
+        # replays; max-of-matching-variants is the pinned convention)
+        order = np.lexsort((-scores, docs))
+        docs, scores = docs[order], scores[order]
+        first = np.concatenate(
+            [[True], docs[1:] != docs[:-1]]) if len(docs) else np.empty(
+                0, bool)
+        d_out, s_out = _topk_arrays(docs[first], scores[first], k)
+        return pd.DataFrame({"doc_id": d_out, "score": s_out})
+
+    return kernel
+
+
+def phrase_prefix_topk(
+    spark: SparkSession,
+    cat: ParquetCatalog,
+    fixed: list[str],
+    prefix: str,
+    k: int = 10,
+    max_expansions: int = 50,
+    merge: str = "spark",
+) -> DataFrame:
+    """ES ``match_phrase_prefix``: the phrase ``fixed + [last]`` where
+    ``last`` is any dictionary term starting with ``prefix`` — the
+    search-as-you-type primitive. Expansion routes through the permuterm
+    tier (X71's rotation probe; df-desc/term-asc capped at
+    ``max_expansions`` — the ES cap convention), then ONE positional
+    kernel pass evaluates every variant: the fixed slots decode once per
+    shard, each alternative adds a candidate-restricted single-term
+    decode, and a doc's score is the BEST matching variant's BM25 sum
+    (pinned; see kernel note). Cost per shard is adjacency over the
+    fixed phrase × the alternatives actually present — bounded by the
+    query, never the corpus."""
+    if not fixed:
+        raise ValueError(
+            "phrase_prefix needs at least one fixed term before the "
+            "prefix slot (a bare prefix is a prefix query)")
+    if not prefix:
+        raise ValueError("empty prefix")
+    from mahout_spark.index.permuterm import expand_prefix_rows
+
+    meta = cat.read_meta("postings")
+    n_buckets = int(meta["n_buckets"])
+    # the permuterm tier answers the prefix probe without the lexicon;
+    # the full-lexicon frame here only feeds the tier-less fallback
+    # (and the fixed-term df lookup below, which prunes to its buckets)
+    lex = _read_query_lexicon(spark, cat, list(range(n_buckets)))
+    if lex is None:
+        return spark.createDataFrame([], "doc_id long, score double")
+    alt_rows = expand_prefix_rows(
+        spark, cat, lex, prefix, max_expansions, meta=meta)
+    if not alt_rows:
+        return spark.createDataFrame([], "doc_id long, score double")
+    fixed_rows = (
+        lex.filter(F.col("term").isin(sorted(set(fixed))))
+        .select("term", "bucket", "df").collect()
+    )
+    alts = [r["term"] for r in alt_rows]
+    lex_rows = fixed_rows + [r for r in alt_rows
+                             if r["term"] not in set(fixed)]
+    qterms = sorted(set(fixed) | set(alts))
+    plan = _positional_query_plan(spark, cat, qterms, lex_rows)
+    if plan is None:
+        return spark.createDataFrame([], "doc_id long, score double")
+    meta, idf_by_term, blocks, deleted, tomb = plan
+    kernel = _make_phrase_prefix_kernel(
+        list(fixed), alts, idf_by_term, meta["k1"], meta["b"],
+        meta["avgdl"], k, int(meta["docs_per_shard"]), deleted=deleted,
+    )
+    return _run_positional_kernel(spark, blocks, kernel, k, merge,
+                                  tomb, int(meta["docs_per_shard"]))

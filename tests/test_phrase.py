@@ -376,3 +376,65 @@ def test_span_first_rejects_and_degenerate(spark, pos_built):
     # a 2-slot span can never fit inside the first 1 positions
     assert span_first_topk(
         spark, pos_built, ["table", "scan"], 1).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# match_phrase_prefix (X139)
+# ---------------------------------------------------------------------------
+
+def _phrase_prefix_oracle(oracle, fixed, prefix, k=10):
+    """Brute-force: expansions = dictionary terms with the prefix; a doc
+    matches a variant iff the token sequence fixed+[alt] occurs; doc
+    score = max over matching variants of the BM25 sum (sorted-term
+    fold, like the engine)."""
+    alts = sorted(t for t in oracle.df if t.startswith(prefix))
+    best = {}
+    for did, toks in oracle.tokens.items():
+        for a in alts:
+            ph = fixed + [a]
+            n = len(ph)
+            if not any(toks[i:i + n] == ph
+                       for i in range(len(toks) - n + 1)):
+                continue
+            s = sum(oracle.bm25(did, t)
+                    for t in sorted(dict.fromkeys(ph)))
+            if did not in best or s > best[did]:
+                best[did] = s
+    out = sorted(best.items(), key=lambda e: (-e[1], e[0]))[:k]
+    return [(d, round(s, 6)) for d, s in out]
+
+
+def test_phrase_prefix_matches_brute_force(spark, pos_built, oracle):
+    from mahout_spark.index.phrase import phrase_prefix_topk
+
+    for fixed, prefix in ([["table"], "s"], [["data"], "p"],
+                          [["slow", "query"], "p"]):
+        got = [(d, round(s, 6)) for d, s in
+               _rows(phrase_prefix_topk(spark, pos_built, fixed, prefix,
+                                        k=10))]
+        want = _phrase_prefix_oracle(oracle, fixed, prefix)
+        assert got == want, (fixed, prefix)
+
+
+def test_phrase_prefix_alt_can_equal_fixed_term(spark, pos_built, oracle):
+    """'table t*' — expansions include 'table' itself; the kernel's
+    merged-decode path must handle an alt that is also a fixed slot."""
+    from mahout_spark.index.phrase import phrase_prefix_topk
+
+    got = [(d, round(s, 6)) for d, s in
+           _rows(phrase_prefix_topk(spark, pos_built, ["table"], "t",
+                                    k=10))]
+    want = _phrase_prefix_oracle(oracle, ["table"], "t")
+    assert got == want
+
+
+def test_phrase_prefix_edges(spark, pos_built):
+    from mahout_spark.index.phrase import phrase_prefix_topk
+
+    # a prefix matching no dictionary term -> empty
+    assert _rows(phrase_prefix_topk(
+        spark, pos_built, ["table"], "zzzzqq")) == []
+    with pytest.raises(ValueError, match="fixed term"):
+        phrase_prefix_topk(spark, pos_built, [], "s")
+    with pytest.raises(ValueError, match="empty prefix"):
+        phrase_prefix_topk(spark, pos_built, ["table"], "")
