@@ -2973,6 +2973,21 @@ def q_engine_embedding_neardup_lsh(spark, sf_dir):
     )
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (X140, Abbas et al. 2023): IVF-clustered embedding
+    dedup — within each cell, members >= 0.9 cosine-similar to an
+    already-kept vector drop; keep order = ascending centroid cosine
+    (the least cluster-typical representative survives). Rows-only
+    check (the k-means quantizer is not SQL-replayable); the greedy is
+    python-oracle-verified per cell in tests, and the disposition's
+    internal consistency (dup_of points at a kept row in the same
+    cell) is asserted there too."""
+    from mahout_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(
+        _load(spark, sf_dir, "embeddings"), threshold=0.9, n_cells=8)
+
+
 def q_engine_cluster_docs(spark, sf_dir):
     """Document clustering (reference Canopy→FKM pipeline re-expressed as
     TF-IDF vectors + cosine k-means; golden-tested against
@@ -3149,6 +3164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_media_decode": q_engine_media_decode,
         "engine_cluster_docs": q_engine_cluster_docs,
         "engine_embedding_neardup_lsh": q_engine_embedding_neardup_lsh,
+        "semantic_dedup": q_semantic_dedup,
         "engine_mmr_ann": q_engine_mmr_ann,
         "engine_disk_usage": q_engine_disk_usage,
     }

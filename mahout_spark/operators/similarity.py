@@ -548,3 +548,87 @@ def mmr_rerank_batch(
             )
         )
     return spark.createDataFrame(rows, out_schema)
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_n: int = 4096,
+    seed: int = 7,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023 — semantic dedup for pretraining
+    data): cluster the embeddings with the IVF coarse quantizer, then
+    WITHIN each cluster drop every vector that is ``>= threshold``
+    cosine-similar to an already-kept one. Keep order is pinned to the
+    paper's selection rule: ascending cosine-to-centroid (the LEAST
+    cluster-typical member of a duplicate neighborhood survives), id
+    ascending on ties — fully deterministic, re-runs bit-identical.
+
+    Returns one row per nonzero vector: ``(id, cell, centroid_cos,
+    kept, dup_of)`` — ``dup_of`` is the kept vector that suppressed a
+    dropped one (the audit trail).
+
+    Scale shape: centroid training is the bounded deterministic sample
+    (driver numpy, corpus never shuffled); assignment is one Arrow
+    matmul; the greedy runs per cell via ``applyInPandas`` — one
+    exchange keyed on the cell id. Within a cell the cost is
+    O(kept × members) vector ops; cells are corpus/n_cells sized, so
+    n_cells must grow with the corpus (the paper uses 50k clusters at
+    LAION scale) — same per-partition-budget contract as the positional
+    kernels. Cross-cluster near-dups are out of contract (the paper's
+    own approximation).
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1]: {threshold}")
+    C = ivf_train_centroids(
+        emb, n_cells=n_cells, sample_n=sample_n, seed=seed,
+        vec_col=vec_col, id_col=id_col,
+    )
+    staged = add_ivf_cells(emb, C, vec_col).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "cell")
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        cell = int(pdf["cell"].iloc[0])
+        X = np.asarray([np.asarray(v, dtype=np.float64)
+                        for v in pdf["_v"]])
+        ids = pdf["_id"].to_numpy(np.int64)
+        norms = np.linalg.norm(X, axis=1)
+        nz = norms > 0
+        X, ids, norms = X[nz], ids[nz], norms[nz]
+        if len(ids) == 0:
+            return pd.DataFrame({
+                "vec_id": pd.Series([], dtype="int64"),
+                "cell": pd.Series([], dtype="int32"),
+                "centroid_cos": pd.Series([], dtype="float64"),
+                "kept": pd.Series([], dtype="bool"),
+                "dup_of": pd.array([], dtype="Int64"),
+            })
+        U = X / norms[:, None]
+        ccos = U @ C[cell]
+        order = np.lexsort((ids, np.round(ccos, 12)))
+        kept_rows: list[int] = []
+        kept = np.zeros(len(ids), dtype=bool)
+        dup_of = [None] * len(ids)
+        for i in order:
+            if kept_rows:
+                sims = U[kept_rows] @ U[i]
+                j = int(np.argmax(sims))
+                if sims[j] >= threshold:
+                    dup_of[i] = int(ids[kept_rows[j]])
+                    continue
+            kept[i] = True
+            kept_rows.append(i)
+        return pd.DataFrame({
+            "vec_id": ids,
+            "cell": np.full(len(ids), cell, dtype=np.int32),
+            "centroid_cos": np.round(ccos, 6),
+            "kept": kept,
+            "dup_of": pd.array(dup_of, dtype="Int64"),
+        })
+
+    out_schema = ("vec_id long, cell int, centroid_cos double, "
+                  "kept boolean, dup_of long")
+    return staged.groupBy("cell").applyInPandas(greedy, out_schema)

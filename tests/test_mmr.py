@@ -119,3 +119,86 @@ def test_mmr_batch_empty_and_rejects(spark, emb):
         mmr_rerank_batch(emb, {"q": _qvec(emb)}, k=10, fetch=5)
     with pytest.raises(ValueError, match="lambda"):
         mmr_rerank_batch(emb, {"q": _qvec(emb)}, lambda_=1.5)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (X140)
+# ---------------------------------------------------------------------------
+
+def _sem_oracle(rows, C, threshold):
+    """Python replay of the per-cell greedy: assign to argmax-dot cell,
+    order by (centroid cos, id), keep unless >= threshold similar to a
+    kept vector in the same cell."""
+    import numpy as np
+
+    out = {}
+    X = {i: np.asarray(v, dtype=np.float64) for i, v in rows}
+    cells = {}
+    for i, v in X.items():
+        n = np.linalg.norm(v)
+        if n == 0:
+            continue
+        u = v / n
+        c = int(np.argmax(C @ u))
+        cells.setdefault(c, []).append((float(u @ C[c]), i, u))
+    for c, members in cells.items():
+        kept = []
+        for ccos, i, u in sorted(members, key=lambda e: (e[0], e[1])):
+            # the engine reports the MOST similar kept vector as dup_of
+            best, bs = None, -2.0
+            for _, ki, ku in kept:
+                s = float(ku @ u)
+                if s > bs:
+                    best, bs = ki, s
+            if bs >= threshold:
+                out[i] = (c, False, best)
+            else:
+                kept.append((ccos, i, u))
+                out[i] = (c, True, None)
+    return out
+
+
+def test_semantic_dedup_matches_python_oracle(spark):
+    import numpy as np
+
+    from mahout_spark.operators.similarity import (
+        ivf_train_centroids, semantic_dedup)
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(6, 16)
+    rows = []
+    vid = 0
+    for b in base:
+        for _ in range(4):  # 4 near-copies of each of 6 anchors
+            rows.append((vid, (b + 0.01 * rng.randn(16)).tolist()))
+            vid += 1
+    rows.append((vid, [0.0] * 16))  # zero vector: excluded
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    C = ivf_train_centroids(emb, n_cells=4, sample_n=4096, seed=7)
+    got = {r["vec_id"]: (r["cell"], r["kept"], r["dup_of"])
+           for r in semantic_dedup(emb, threshold=0.95, n_cells=4).collect()}
+    want = _sem_oracle(rows[:-1], C, 0.95)
+    assert got == want
+    # near-copies collapse: far fewer kept than input
+    n_kept = sum(1 for _, k, _ in got.values() if k)
+    assert n_kept < 24 and n_kept >= 6 - 2  # anchors survive, copies drop
+    # every dup_of points at a KEPT row in the SAME cell
+    for i, (c, k, d) in got.items():
+        if not k:
+            assert got[d][0] == c and got[d][1]
+
+
+def test_semantic_dedup_threshold_one_keeps_all_nonzero(spark):
+    import numpy as np
+
+    from mahout_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.RandomState(5)
+    emb = spark.createDataFrame(
+        [(i, rng.randn(8).tolist()) for i in range(20)],
+        "vec_id long, embedding array<double>")
+    out = semantic_dedup(emb, threshold=1.0, n_cells=2).collect()
+    assert all(r["kept"] for r in out) and len(out) == 20
+    import pytest as pt
+    with pt.raises(ValueError, match="threshold"):
+        semantic_dedup(emb, threshold=0.0)
