@@ -2274,6 +2274,28 @@ LTR_QUERIES = {
 LTR_K = 20
 
 
+LTR_WEIGHTS = {"bm25": 1.0, "dl_ratio": -0.5, "idf_sum": 0.2,
+               "tf_max": 0.05}
+
+
+def q_engine_ltr_rescore(spark, sf_dir):
+    """Linear LTR model application (X141, the ES sltr rescorer): the
+    X126 features for the top-20 BM25 candidates, scored as
+    0.1 + Σ w·feature in weight-NAME-sorted fold order (the model file
+    is data — the score replays from the feature relation), re-ranked
+    to the top 10 per query. The oracle rebuilds features AND the model
+    arithmetic relationally."""
+    from mahout_spark.index.ltr import ltr_rescore
+
+    cat = _shared_index(spark, sf_dir)
+    result = ltr_rescore(
+        spark, cat, LTR_QUERIES, LTR_WEIGHTS, k=10, fetch=LTR_K,
+        intercept=0.1,
+    )
+    rows = result.collect()
+    return spark.createDataFrame(rows, result.schema)
+
+
 def q_engine_ltr_features(spark, sf_dir):
     """LTR feature extraction (X126, the ES learning-to-rank plugin's
     featureset model): per (query, top-20 candidate) the model-ready
@@ -3099,6 +3121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_highlight": q_engine_highlight,
         "engine_rank_eval": q_engine_rank_eval,
         "engine_ltr_features": q_engine_ltr_features,
+        "engine_ltr_rescore": q_engine_ltr_rescore,
         "dedup_spans": q_dedup_spans,
         "engine_delete_by_query": q_engine_delete_by_query,
         "engine_snapshot_restore": q_engine_snapshot_restore,
@@ -5614,6 +5637,55 @@ def _base_oracle_sql() -> dict[str, str]:
                matched_terms, tf_sum, tf_max, idf_sum, doclen,
                round(doclen / (SELECT avgdl FROM scal), 6) AS dl_ratio
         FROM ranked
+        """,
+        # LTR model application (X141): the same feature relation, the
+        # model arithmetic replayed in weight-NAME-sorted fold order
+        # (bm25, dl_ratio, idf_sum, tf_max — left-to-right), re-ranked
+        "engine_ltr_rescore": _TOK_CTE + f"""
+        , qt AS (
+            SELECT * FROM (VALUES
+                ('q0', 'spark'), ('q0', 'query'), ('q0', 'data'),
+                ('q1', 'table'), ('q1', 'scan'), ('q1', 'merge')
+            ) AS v(query_id, term)
+        ), contrib AS (
+            SELECT qt.query_id, tf.doc_id,
+                   {_BM25_CONTRIB} AS c,
+                   tf.tf AS tf, dl.doclen AS doclen,
+                   ln(1.0 + (scal.n_docs - dfreq.df + 0.5)
+                      / (dfreq.df + 0.5)) AS idf
+            FROM tf
+            JOIN qt USING (term)
+            JOIN dfreq USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN scal
+        ), agg AS (
+            SELECT query_id, doc_id,
+                   round(sum(c), 6) AS bm25,
+                   CAST(max(tf) AS BIGINT) AS tf_max,
+                   round(sum(idf), 6) AS idf_sum,
+                   CAST(max(doclen) AS BIGINT) AS doclen
+            FROM contrib GROUP BY query_id, doc_id
+        ), cand AS (
+            SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY bm25 DESC, doc_id ASC) AS rank
+            FROM agg QUALIFY rank <= {LTR_K}
+        ), scored AS (
+            SELECT query_id, doc_id,
+                   round(0.1
+                       + 1.0 * bm25
+                       + (-0.5) * round(doclen
+                             / (SELECT avgdl FROM scal), 6)
+                       + 0.2 * idf_sum
+                       + 0.05 * tf_max, 6) AS model_score
+            FROM cand
+        )
+        SELECT query_id, doc_id, model_score,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY model_score DESC, doc_id ASC) AS BIGINT)
+                   AS rank
+        FROM scored QUALIFY rank <= 10
         """,
         # dedup_spans oracle: exact shingle STRINGS (no hashes) through
         # the same count/rank windows and gaps-and-islands merge — an

@@ -95,3 +95,49 @@ def ltr_features(
         "matched_terms", "tf_sum", "tf_max", "idf_sum", "doclen",
         F.round(F.col("doclen") / F.lit(avgdl), 6).alias("dl_ratio"),
     )
+
+
+def ltr_rescore(
+    spark: SparkSession,
+    cat: ParquetCatalog,
+    queries: dict,
+    weights: dict,
+    k: int = 10,
+    fetch: int = 100,
+    intercept: float = 0.0,
+) -> DataFrame:
+    """Apply a linear LTR model (the ES ``sltr`` rescorer shape, X141):
+    extract the X126 feature set for the top-``fetch`` BM25 candidates
+    per query, score each as ``intercept + Σ w_f · feature_f``, and
+    re-rank to the top ``k``. Returns ``(query_id, doc_id, model_score,
+    rank)`` — rank by (model_score desc, doc_id asc).
+
+    ``weights`` maps feature name → coefficient; only the X126 feature
+    columns are legal (unknown names raise — a silently-ignored weight
+    is a silently-wrong model). The model applies to the ROUNDED
+    features in WEIGHT-NAME-SORTED fold order, so the score is
+    bit-replayable by any engine reading the same feature relation —
+    the model file is data, not code.
+
+    Plan shape: everything is the X126 extraction (no corpus scan —
+    bucket-pruned reads semi-joined to ≤ fetch·|Q| candidates) plus one
+    projection and a per-query window over ≤ fetch rows."""
+    allowed = ("bm25", "matched_terms", "tf_sum", "tf_max", "idf_sum",
+               "doclen", "dl_ratio")
+    bad = sorted(set(weights) - set(allowed))
+    if bad:
+        raise ValueError(f"unknown LTR feature(s): {bad}")
+    if not weights:
+        raise ValueError("empty weight map")
+    feats = ltr_features(spark, cat, queries, k=fetch)
+    score = F.lit(float(intercept))
+    for name in sorted(weights):
+        score = score + F.lit(float(weights[name])) * F.col(name)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("model_score").desc(), F.col("doc_id").asc())
+    return (
+        feats.withColumn("model_score", F.round(score, 6))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "model_score", "rank")
+    )

@@ -72,3 +72,46 @@ def test_rejects(spark, built):
         ltr_features(spark, built, QUERIES, k=0)
     with pytest.raises(ValueError, match="empty"):
         ltr_features(spark, built, {}, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Linear model application (X141)
+# ---------------------------------------------------------------------------
+
+def test_rescore_matches_feature_arithmetic(spark, built):
+    from mahout_spark.index.ltr import ltr_rescore
+
+    weights = {"bm25": 1.0, "dl_ratio": -0.5, "idf_sum": 0.2,
+               "tf_max": 0.05}
+    feats = {(r["query_id"], r["doc_id"]): r
+             for r in ltr_features(spark, built, QUERIES, k=15).collect()}
+    # python replay: intercept + sorted-name fold over ROUNDED features
+    scored = {}
+    for (qid, did), r in feats.items():
+        s = 0.1
+        for name in sorted(weights):
+            s = s + weights[name] * r[name]
+        scored.setdefault(qid, []).append((round(s, 6), did))
+    want = []
+    for qid, rows in scored.items():
+        rows.sort(key=lambda e: (-e[0], e[1]))
+        want += [(qid, did, sc, rank + 1)
+                 for rank, (sc, did) in enumerate(rows[:5])]
+    got = [(r["query_id"], r["doc_id"], r["model_score"], r["rank"])
+           for r in ltr_rescore(spark, built, QUERIES, weights, k=5,
+                                fetch=15, intercept=0.1).collect()]
+    assert sorted(got) == sorted(want)
+    # a weight flip reorders: the model is actually applied
+    flipped = ltr_rescore(spark, built, QUERIES,
+                          {"dl_ratio": 1.0}, k=5, fetch=15).collect()
+    assert [(r["query_id"], r["doc_id"]) for r in flipped] != \
+        [(g[0], g[1]) for g in got]
+
+
+def test_rescore_rejects(spark, built):
+    from mahout_spark.index.ltr import ltr_rescore
+
+    with pytest.raises(ValueError, match="unknown LTR feature"):
+        ltr_rescore(spark, built, QUERIES, {"nope": 1.0})
+    with pytest.raises(ValueError, match="empty weight"):
+        ltr_rescore(spark, built, QUERIES, {})
