@@ -287,3 +287,51 @@ class TestFederatedHybridPlans:
             assert "doclen" not in rs, rs
             assert "tf:" not in rs, rs
         assert "TakeOrderedAndProject" in p
+
+
+class TestLineOpsPlans:
+    """X132/X133/X136/X137 scale claims, pinned on the physical plans."""
+
+    def _hash_keys(self, p):
+        import re
+
+        return re.findall(r"hashpartitioning\(([^)]*)\)", p)
+
+    def test_dedup_lines_bodies_never_shuffle(self, spark):
+        from mahout_spark.operators.curation import dedup_lines
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        p = _plan(dedup_lines(docs))
+        keys = self._hash_keys(p)
+        assert keys, "expected keyed exchanges (canonical agg + drops)"
+        for k in keys:  # only the 8-byte key / id / position ever shuffle
+            assert "line#" not in k and "text#" not in k, k
+        assert "SinglePartition" not in p
+
+    def test_remove_boilerplate_bodies_never_shuffle(self, spark):
+        from mahout_spark.operators.curation import remove_boilerplate
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        p = _plan(remove_boilerplate(docs, min_df=3))
+        for k in self._hash_keys(p):
+            assert "line#" not in k and "text#" not in k, k
+        assert "SinglePartition" not in p
+
+    def test_domain_cap_windows_are_partitioned(self, spark):
+        from mahout_spark.operators.curation import domain_cap
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        p = _plan(domain_cap(docs, max_per_domain=5))
+        # both phases shuffle on (source[, salt]) — never one partition
+        assert "SinglePartition" not in p
+        assert any("source#" in k for k in self._hash_keys(p))
+
+    def test_token_budget_has_no_global_window(self, spark):
+        from mahout_spark.operators.curation import token_budget_select
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        p = _plan(token_budget_select(docs, 1000))
+        # the cumsum window partitions by the quality bucket; a global
+        # window would plan a SinglePartition exchange
+        assert "SinglePartition" not in p
+        assert any("_b#" in k for k in self._hash_keys(p))
