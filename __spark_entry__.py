@@ -400,6 +400,34 @@ def q_engine_percentile_ranks(spark, sf_dir):
     )
 
 
+def q_engine_reshard_search(spark, sf_dir):
+    """Reshard-without-re-analysis (X142, the ES _shrink/_split
+    lifecycle op): reshard the shared index from docs_per_shard 2^14 to
+    64 (analysis artifacts hardlink; only the posting encode re-runs),
+    then answer the standard BM25 query. Scoring is sharding-invariant,
+    so the oracle is the SAME total ordering as
+    engine_indexed_bm25_simple — a MATCH proves the re-encoded blocks,
+    bounds, and shard routing are all correct under the new layout."""
+    import shutil
+    import tempfile
+
+    from mahout_spark.index.build import reshard_index
+    from mahout_spark.index.wand import topk
+
+    base = _shared_index(spark, sf_dir)
+    dst = tempfile.mkdtemp(prefix="msdrv_rs_")
+    try:
+        cat = reshard_index(
+            spark, base, os.path.join(dst, "idx"), docs_per_shard=64,
+            block_size=8)
+        result = topk(spark, cat, BM25_QUERY_TERMS, k=10).select(
+            "doc_id", F.round("score", 6).alias("score"))
+        rows = result.collect()
+    finally:
+        shutil.rmtree(dst, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)
+
+
 def q_engine_phrase_prefix(spark, sf_dir):
     """match_phrase_prefix (X139, the ES search-as-you-type primitive):
     the phrase 'table s*' — last slot is any dictionary term starting
@@ -3106,6 +3134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_delete_purge_search": q_engine_delete_purge_search,
         "engine_phrase_search": q_engine_phrase_search,
         "engine_phrase_prefix": q_engine_phrase_prefix,
+        "engine_reshard_search": q_engine_reshard_search,
         "engine_proximity_search": q_engine_proximity_search,
         "engine_boolean_search": q_engine_boolean_search,
         "engine_prefix_search": q_engine_prefix_search,
@@ -6361,6 +6390,12 @@ def _base_oracle_sql() -> dict[str, str]:
             FROM contrib JOIN matched USING (doc_id)
             GROUP BY doc_id
         )
+        SELECT doc_id, score FROM agg
+        ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        # reshard (X142): scoring is sharding-invariant — the oracle is
+        # the same BM25 total ordering the pre-reshard index answers
+        "engine_reshard_search": _BM25_BASE + """
         SELECT doc_id, score FROM agg
         ORDER BY score DESC, doc_id ASC LIMIT 10
         """,

@@ -472,18 +472,29 @@ def build_index(
 
 
 def _encode_all_buckets(
-    spark, cat, lexicon, encoder, n_buckets: int, build_commit: str
+    spark, cat, lexicon, encoder, n_buckets: int, build_commit: str,
+    shard_dps: int | None = None,
 ) -> None:
     """Encode every bucket's postings in ONE job (single (term, shard)
     shuffle), stage partitioned by bucket, then commit each bucket dir
     atomically with its lineage row — per-bucket checkpoint granularity at
-    one-job cost."""
+    one-job cost.
+
+    ``shard_dps``: recompute the shard column as ``doc_id div shard_dps``
+    instead of trusting tf_raw's stored one — the reshard path, where the
+    analysis artifacts carry over but the document sharding changes."""
     import os
     import shutil
 
     started = time.time()
     _meta = cat.read_meta("postings")
     tf_raw = cat.read(spark, "tf_raw", schema_json=_meta.get("tf_schema"))
+    if shard_dps is not None:
+        # exact integer division (matches the build's //; never the
+        # double-rounding float path — see the delete.py advisory fix)
+        tf_raw = tf_raw.withColumn(
+            "shard", F.expr(f"CAST(doc_id AS BIGINT) div {int(shard_dps)}")
+        )
     enc_in = tf_raw.join(
         _maybe_broadcast(lexicon.select("term", "term_id", "df")), "term"
     )
@@ -614,3 +625,93 @@ def verify_sha(spark: SparkSession, docs: DataFrame, cat: ParquetCatalog,
     return verify_content_integrity(
         spark, cat, docs, content_col=content_col
     ).count()
+
+
+def _link_table_tree(src: str, dst: str) -> None:
+    """Clone one table dir into a new catalog: parquet data files (and
+    _SUCCESS markers) HARDLINK — immutable under the catalog's
+    staged-write contract, so the clone is metadata-time; _meta.json /
+    _lineage.jsonl REAL-COPY — the catalog rewrites/appends those in
+    place, and a shared inode would mutate the source catalog through
+    the link (the same discipline as snapshot_index)."""
+    import os
+    import shutil
+
+    for root, dirs, files in os.walk(src):
+        dirs[:] = [d for d in dirs if ".__" not in d]
+        rel = os.path.relpath(root, src)
+        out = dst if rel == "." else os.path.join(dst, rel)
+        os.makedirs(out, exist_ok=True)
+        for f in files:
+            sp, dp = os.path.join(root, f), os.path.join(out, f)
+            if f.endswith((".json", ".jsonl")):
+                shutil.copy2(sp, dp)
+            else:
+                try:
+                    os.link(sp, dp)
+                except OSError:  # cross-device / no-hardlink FS
+                    shutil.copy2(sp, dp)
+
+
+def reshard_index(
+    spark: SparkSession,
+    src: ParquetCatalog,
+    out_dir: str,
+    docs_per_shard: int,
+    block_size: int | None = None,
+    build_commit: str = "",
+) -> ParquetCatalog:
+    """Re-shard an index WITHOUT re-analysis (the ES ``_shrink`` /
+    ``_split`` lifecycle operation, X142): produce a new catalog with a
+    different ``docs_per_shard`` (and optionally ``block_size``) while
+    reusing every analysis artifact — tf_raw, docstats, the lexicon
+    (term ids, df, buckets unchanged — the term dictionary does not
+    depend on document sharding), and any dictionary tiers present
+    (permuterm / gram tables are term-keyed, so they carry over
+    verbatim). Only stage 3 re-runs: one (term, shard) exchange +
+    encode, with the shard column recomputed as ``doc_id div
+    docs_per_shard``. Tokenization — the dominant build cost — is never
+    repeated, and the carried tables hardlink (metadata-time clone).
+
+    Like ES shrink, the source must be quiesced: pending appends or
+    tombstones raise (compact first) — block-max bounds and the live-doc
+    set would otherwise be re-encoded against stale sharding.
+
+    The result is bit-identical to a fresh build at the new knobs (the
+    encoder is deterministic given the same sorted input) — test-gated.
+    """
+    import os
+
+    if docs_per_shard < 1:
+        raise ValueError(f"docs_per_shard must be >= 1: {docs_per_shard}")
+    meta = src.read_meta("postings")
+    if int(meta.get("appends", 0)) or int(meta.get("deletes", 0)):
+        raise ValueError(
+            "reshard requires a quiesced index: compact pending "
+            "appends/deletes first")
+    bs = int(block_size if block_size is not None else meta["block_size"])
+    if bs < 1:
+        raise ValueError(f"block_size must be >= 1: {bs}")
+    new = ParquetCatalog(out_dir)
+    for table in sorted(os.listdir(src.root)):
+        sp = os.path.join(src.root, table)
+        if (not os.path.isdir(sp) or table == "postings"
+                or ".__" in table):
+            continue
+        _link_table_tree(sp, os.path.join(new.root, table))
+    m2 = dict(meta)
+    m2["docs_per_shard"] = int(docs_per_shard)
+    m2["block_size"] = bs
+    m2["resharded_from"] = src.root
+    new.write_meta("postings", m2)
+    lexicon = new.read(
+        spark, "lexicon", schema_json=m2.get("lexicon_schema"))
+    encoder = _make_encoder(
+        int(m2["n_docs"]), float(m2["avgdl"]), float(m2["k1"]),
+        float(m2["b"]), bs, positional=bool(m2.get("positional")),
+    )
+    _encode_all_buckets(
+        spark, new, lexicon, encoder, int(m2["n_buckets"]), build_commit,
+        shard_dps=int(docs_per_shard),
+    )
+    return new
