@@ -808,6 +808,54 @@ def q_date_histogram(spark, sf_dir):
     return date_histogram(events, "ts", "day", "value")
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (X143, the kdb/pandas merge_asof primitive): every
+    'click' event joined to the latest same-user 'view' at-or-before
+    its timestamp — the union-and-window plan (one key exchange, no
+    range explosion). The oracle is DuckDB's NATIVE ASOF LEFT JOIN — a
+    fully independent implementation of the semantics."""
+    from mahout_spark.operators.joins import asof_join
+
+    ev = _load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value")
+    return asof_join(clicks, views, on="user_id", ts_col="ts")
+
+
+def q_asof_join_tolerance(spark, sf_dir):
+    """X143 with a 2-hour tolerance: matches farther back than 7200 s
+    void to NULL (exact integer-microsecond arithmetic both engines)."""
+    from mahout_spark.operators.joins import asof_join
+
+    ev = _load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value")
+    return asof_join(clicks, views, on="user_id", ts_col="ts",
+                     tolerance_s=7200)
+
+
+RANGE_BANDS = [(0.0, 5.0, "low"), (5.0, 20.0, "mid"),
+               (20.0, 100.0, "high"), (0.0, 50.0, "wide")]
+
+
+def q_range_join(spark, sf_dir):
+    """Range join (X144): events banded by value against an OVERLAPPING
+    interval table (a row can land in 'mid' AND 'wide') via the binned
+    equi-join — the plan is gated to contain NO nested-loop join. The
+    oracle is the plain inequality join."""
+    from mahout_spark.operators.joins import range_join
+
+    ev = _load(spark, sf_dir, "events").select("event_id", "value")
+    bands = spark.createDataFrame(
+        RANGE_BANDS, "lo double, hi double, band string")
+    return range_join(ev, bands, "value", bin_width=8.0).select(
+        "event_id", "value", "band")
+
+
 def q_auto_date_histogram(spark, sf_dir):
     """auto_date_histogram (X138): the finest calendar interval whose
     ACTUAL distinct-bucket count fits target_buckets=20 — at sf0.01 the
@@ -3083,6 +3131,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_term_vectors": q_engine_term_vectors,
         "date_histogram": q_date_histogram,
         "auto_date_histogram": q_auto_date_histogram,
+        "asof_join": q_asof_join,
+        "asof_join_tolerance": q_asof_join_tolerance,
+        "range_join": q_range_join,
         "histogram_pipeline": q_histogram_pipeline,
         "histogram_top_buckets": q_histogram_top_buckets,
         "histogram_stats": q_histogram_stats,
@@ -5178,6 +5229,54 @@ def _base_oracle_sql() -> dict[str, str]:
                round(avg(value), 6) AS avg_value
         FROM events WHERE ts IS NOT NULL
         GROUP BY 1 ORDER BY 1
+        """,
+        # as-of join (X143): DuckDB's NATIVE ASOF JOIN is the oracle —
+        # an independent implementation of the same semantics
+        "asof_join": """
+        WITH clicks AS (
+            SELECT event_id, user_id, ts, value FROM events
+            WHERE event_type = 'click'
+        ), views AS (
+            SELECT user_id, ts, value FROM events
+            WHERE event_type = 'view'
+        )
+        SELECT l.event_id, l.user_id, l.ts, l.value,
+               r.ts AS ts_r, r.value AS value_r
+        FROM clicks l ASOF LEFT JOIN views r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "asof_join_tolerance": """
+        WITH clicks AS (
+            SELECT event_id, user_id, ts, value FROM events
+            WHERE event_type = 'click'
+        ), views AS (
+            SELECT user_id, ts, value FROM events
+            WHERE event_type = 'view'
+        ), m AS (
+            SELECT l.event_id, l.user_id, l.ts, l.value,
+                   r.ts AS ts_r, r.value AS value_r
+            FROM clicks l ASOF LEFT JOIN views r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        )
+        SELECT event_id, user_id, ts, value,
+               CASE WHEN epoch_us(ts) - epoch_us(ts_r) <= 7200000000
+                    THEN ts_r END AS ts_r,
+               CASE WHEN epoch_us(ts) - epoch_us(ts_r) <= 7200000000
+                    THEN value_r END AS value_r
+        FROM m
+        """,
+        # range join (X144): the oracle is the plain inequality join
+        # the binned plan must reproduce exactly (inclusive band)
+        "range_join": f"""
+        WITH bands AS (
+            SELECT * FROM (VALUES
+                {', '.join(f"({lo!r}, {hi!r}, '{b}')"
+                           for lo, hi, b in RANGE_BANDS)}
+            ) AS v(lo, hi, band)
+        )
+        SELECT e.event_id, e.value, b.band
+        FROM events e JOIN bands b
+          ON e.value BETWEEN b.lo AND b.hi
         """,
         # auto_date_histogram (X138): replay the ladder walk on ACTUAL
         # distinct truncation counts (hour/day/week/month/quarter/year,
