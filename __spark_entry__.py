@@ -808,6 +808,30 @@ def q_date_histogram(spark, sf_dir):
     return date_histogram(events, "ts", "day", "value")
 
 
+def q_rollup_day(spark, sf_dir):
+    """Hypertable rollup (X145, the TimescaleDB continuous-aggregate
+    shape): materialize the hour→day tier ladder (the day tier FOLDS
+    the hour tier — raw events are aggregated exactly once), then
+    answer the day query from the materialized tier. The oracle
+    aggregates raw events directly per day, so a MATCH certifies the
+    tier fold is lossless (counts/sums/min/max reassociate; avg derived
+    from sum/count at read)."""
+    import shutil
+    import tempfile
+
+    from mahout_spark.operators.rollup import rollup_build, rollup_query
+
+    ev = _load(spark, sf_dir, "events")
+    dst = tempfile.mkdtemp(prefix="msdrv_ru_")
+    try:
+        rollup_build(spark, ev, dst, intervals=("hour", "day"))
+        result = rollup_query(spark, dst, "day")
+        rows = result.collect()
+    finally:
+        shutil.rmtree(dst, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)
+
+
 def q_asof_join(spark, sf_dir):
     """As-of join (X143, the kdb/pandas merge_asof primitive): every
     'click' event joined to the latest same-user 'view' at-or-before
@@ -3134,6 +3158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "asof_join_tolerance": q_asof_join_tolerance,
         "range_join": q_range_join,
+        "rollup_day": q_rollup_day,
         "histogram_pipeline": q_histogram_pipeline,
         "histogram_top_buckets": q_histogram_top_buckets,
         "histogram_stats": q_histogram_stats,
@@ -5227,6 +5252,18 @@ def _base_oracle_sql() -> dict[str, str]:
                count(*) AS n_events,
                round(sum(value), 6) AS sum_value,
                round(avg(value), 6) AS avg_value
+        FROM events WHERE ts IS NOT NULL
+        GROUP BY 1 ORDER BY 1
+        """,
+        # hypertable rollup (X145): the oracle aggregates RAW events per
+        # day — a MATCH certifies the hour→day tier fold is lossless
+        "rollup_day": """
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+               count(*) AS n_events,
+               round(sum(value), 6) AS sum_value,
+               round(min(value), 6) AS min_value,
+               round(max(value), 6) AS max_value,
+               round(sum(value) / count(*), 6) AS avg_value
         FROM events WHERE ts IS NOT NULL
         GROUP BY 1 ORDER BY 1
         """,
