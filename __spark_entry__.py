@@ -808,6 +808,29 @@ def q_date_histogram(spark, sf_dir):
     return date_histogram(events, "ts", "day", "value")
 
 
+def q_funnel(spark, sf_dir):
+    """Ordered funnel (X146, the ClickHouse windowFunnel shape, pinned
+    to the replayable greedy-earliest chain): view → click → purchase
+    with a 24 h conversion window, one row per user who viewed. The
+    oracle replays the chain as sequential min-aggregate CTEs."""
+    from mahout_spark.operators.behavior import funnel
+
+    return funnel(
+        _load(spark, sf_dir, "events"),
+        ["view", "click", "purchase"], window_s=86400)
+
+
+def q_retention(spark, sf_dir):
+    """Retention cohorts (X147): users cohort by first-event day;
+    per (cohort, day offset ≤ 7) distinct active members + the
+    retention fraction. Fully relational triangle — the oracle replays
+    cohorting, distinct activity marks, and the ratio."""
+    from mahout_spark.operators.behavior import retention_cohorts
+
+    return retention_cohorts(
+        _load(spark, sf_dir, "events"), period="day", max_offset=7)
+
+
 def q_rollup_day(spark, sf_dir):
     """Hypertable rollup (X145, the TimescaleDB continuous-aggregate
     shape): materialize the hour→day tier ladder (the day tier FOLDS
@@ -3159,6 +3182,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_tolerance": q_asof_join_tolerance,
         "range_join": q_range_join,
         "rollup_day": q_rollup_day,
+        "funnel": q_funnel,
+        "retention": q_retention,
         "histogram_pipeline": q_histogram_pipeline,
         "histogram_top_buckets": q_histogram_top_buckets,
         "histogram_stats": q_histogram_stats,
@@ -5254,6 +5279,66 @@ def _base_oracle_sql() -> dict[str, str]:
                round(avg(value), 6) AS avg_value
         FROM events WHERE ts IS NOT NULL
         GROUP BY 1 ORDER BY 1
+        """,
+        # funnel (X146): the greedy-earliest chain as sequential
+        # min-aggregate CTEs; converted = full chain within 24 h
+        # (exact integer microseconds)
+        "funnel": """
+        WITH ev AS (
+            SELECT user_id, event_type, ts FROM events
+            WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        ), s0 AS (
+            SELECT user_id, min(ts) AS t0 FROM ev
+            WHERE event_type = 'view' GROUP BY user_id
+        ), s1 AS (
+            SELECT e.user_id, min(e.ts) AS t1
+            FROM ev e JOIN s0 USING (user_id)
+            WHERE e.event_type = 'click' AND e.ts >= s0.t0
+            GROUP BY e.user_id
+        ), s2 AS (
+            SELECT e.user_id, min(e.ts) AS t2
+            FROM ev e JOIN s1 USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts >= s1.t1
+            GROUP BY e.user_id
+        )
+        SELECT s0.user_id,
+               CAST(1 + (t1 IS NOT NULL)::INT + (t2 IS NOT NULL)::INT
+                    AS BIGINT) AS steps_completed,
+               t0 AS t_first,
+               coalesce(t2, t1, t0) AS t_last,
+               (t2 IS NOT NULL
+                AND epoch_us(t2) - epoch_us(t0) <= 86400000000)
+                   AS converted
+        FROM s0 LEFT JOIN s1 USING (user_id)
+        LEFT JOIN s2 USING (user_id)
+        """,
+        # retention (X147): first-event-day cohorts, distinct per-day
+        # activity marks, the (cohort, offset) triangle
+        "retention": """
+        WITH ev AS (
+            SELECT user_id, date_trunc('day', ts) AS p FROM events
+            WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        ), first AS (
+            SELECT user_id, min(p) AS cohort FROM ev GROUP BY user_id
+        ), act AS (
+            SELECT DISTINCT user_id, p FROM ev
+        ), tri AS (
+            SELECT f.cohort, datediff('day', f.cohort, a.p) AS offset,
+                   a.user_id
+            FROM act a JOIN first f USING (user_id)
+            WHERE datediff('day', f.cohort, a.p) <= 7
+        ), size_ AS (
+            SELECT cohort, count(DISTINCT user_id) AS cohort_size
+            FROM first GROUP BY cohort
+        )
+        SELECT CAST(t.cohort AS TIMESTAMP) AS cohort,
+               CAST(t.offset AS BIGINT) AS offset,
+               CAST(count(DISTINCT t.user_id) AS BIGINT) AS n_active,
+               CAST(s.cohort_size AS BIGINT) AS cohort_size,
+               round(count(DISTINCT t.user_id)
+                     / s.cohort_size::DOUBLE, 6) AS retention
+        FROM tri t JOIN size_ s USING (cohort)
+        GROUP BY t.cohort, t.offset, s.cohort_size
         """,
         # hypertable rollup (X145): the oracle aggregates RAW events per
         # day — a MATCH certifies the hour→day tier fold is lossless
