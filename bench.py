@@ -168,6 +168,12 @@ def main() -> None:
         "dedup_lines",
         "remove_boilerplate",
         "dsir_weights",
+        "token_budget",
+        "domain_cap",
+        "asof_join",
+        "range_join",
+        "rollup_day",
+        "funnel",
         "report_full",
         "engine_highlight",
         "dedup_spans",
