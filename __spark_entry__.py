@@ -808,6 +808,18 @@ def q_date_histogram(spark, sf_dir):
     return date_histogram(events, "ts", "day", "value")
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement (X149, Efraimidis-Spirakis
+    with the replayable permutation as the uniform draw): 100 docs by
+    n_chars weight. The oracle replays u, ln(u)/w at round-6, and the
+    (key desc, id) cut."""
+    from mahout_spark.operators.curation import weighted_sample
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("double").alias("w"))
+    return weighted_sample(docs, k=100, weight_col="w")
+
+
 def q_funnel(spark, sf_dir):
     """Ordered funnel (X146, the ClickHouse windowFunnel shape, pinned
     to the replayable greedy-earliest chain): view → click → purchase
@@ -3184,6 +3196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_day": q_rollup_day,
         "funnel": q_funnel,
         "retention": q_retention,
+        "weighted_sample": q_weighted_sample,
         "histogram_pipeline": q_histogram_pipeline,
         "histogram_top_buckets": q_histogram_top_buckets,
         "histogram_stats": q_histogram_stats,
@@ -4799,6 +4812,27 @@ def _pipeline_sql() -> dict[str, str]:
     }
 
 
+def _ws_sql() -> str:
+    from mahout_spark.operators.curation import PACK_MOD, pack_multiplier
+
+    mult = pack_multiplier(42)
+    return f"""
+        WITH keyed AS (
+            SELECT doc_id, n_chars::DOUBLE AS weight,
+                   round(ln(((doc_id * {mult}) % {PACK_MOD} + 1)
+                             / {float(PACK_MOD + 1)!r})
+                         / n_chars::DOUBLE, 6) AS key
+            FROM documents
+            WHERE n_chars IS NOT NULL AND n_chars > 0
+        )
+        SELECT doc_id, weight, key FROM keyed
+        ORDER BY key DESC, doc_id ASC LIMIT 100
+        """
+
+
+_WS_SQL = _ws_sql()
+
+
 def oracle_sql() -> dict[str, str]:
     out = (_base_oracle_sql() | _textstats_sql() | _pipeline_sql()
            | _curate_sql() | _lines_sql() | _dsir_sql()
@@ -5280,6 +5314,9 @@ def _base_oracle_sql() -> dict[str, str]:
         FROM events WHERE ts IS NOT NULL
         GROUP BY 1 ORDER BY 1
         """,
+        # weighted sampling (X149): replay u from the permutation,
+        # ln(u)/w rounded once at 1e-6, (key desc, id asc) top-100
+        "weighted_sample": _WS_SQL,
         # funnel (X146): the greedy-earliest chain as sequential
         # min-aggregate CTEs; converted = full chain within 24 h
         # (exact integer microseconds)

@@ -1547,3 +1547,55 @@ def token_budget_select(
             .alias("selected"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (X149)
+# ---------------------------------------------------------------------------
+
+def weighted_sample(
+    docs: DataFrame,
+    k: int,
+    weight_col: str,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, RNG-free (Efraimidis &
+    Spirakis 2006 — the standard distributed algorithm, its uniform
+    draw replaced by the X86 permutation so runs replay bit-for-bit):
+    each row gets ``u = (permkey + 1) / (P + 1)`` ∈ (0, 1) and sort key
+    ``ln(u) / w`` (the log-monotone form of the paper's ``u^(1/w)``);
+    the ``k`` LARGEST keys are exactly an E-S sample — heavier rows get
+    flatter keys and win more often, and inclusion is per-row
+    independent of the others' weights given u.
+
+    NULL or non-positive weights are EXCLUDED loudly by contract (the
+    paper requires w > 0; silently keeping them would bias the sample).
+    One projection + TakeOrderedAndProject — no shuffle beyond the
+    top-k merge, no RNG state, re-runs identical; the same seed-vs-
+    content caveats as ``mixture_sample`` apply (ids drive the draw).
+
+    Returns the sampled rows: ``(id, weight, key)`` with ``key``
+    exposed so downstream audits can re-check the order. The key is
+    rounded once at 1e-6 (the contract-wide hash-stability convention —
+    ln() may differ by an ulp across engines, which at finer roundings
+    flips a digit often enough to break replay) and the ordering runs
+    on the ROUNDED key with the id tie-break, so both engines select
+    the identical sample.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    u = (pack_key_expr(id_col, seed) + F.lit(1)).cast("double") / F.lit(
+        float(PACK_MOD + 1))
+    key = F.log(u) / F.col(weight_col)
+    return (
+        docs.filter(
+            F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .select(
+            id_col,
+            F.col(weight_col).alias("weight"),
+            F.round(key, 6).alias("key"),
+        )
+        .orderBy(F.col("key").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

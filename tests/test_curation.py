@@ -893,3 +893,43 @@ def test_token_budget_bucketing_matches_single_window(spark):
         got = {r["doc_id"]: r["cum_tokens"] for r in
                token_budget_select(docs, 100, n_buckets=nb).collect()}
         assert got == want, nb
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (X149)
+# ---------------------------------------------------------------------------
+
+def test_weighted_sample_matches_python_es(spark):
+    import math
+
+    from mahout_spark.operators.curation import (
+        PACK_MOD, pack_multiplier, weighted_sample)
+
+    rows = [(i, float((i % 7) + 1)) for i in range(1, 201)]
+    docs = spark.createDataFrame(rows, "doc_id long, w double")
+    got = [(r["doc_id"], r["weight"], r["key"]) for r in
+           weighted_sample(docs, k=20, weight_col="w").collect()]
+    mult = pack_multiplier(42)
+    keyed = []
+    for i, w in rows:
+        u = ((i * mult) % PACK_MOD + 1) / (PACK_MOD + 1)
+        keyed.append((round(math.log(u) / w, 6), i, w))
+    keyed.sort(key=lambda e: (-e[0], e[1]))
+    want = [(i, w, k) for k, i, w in keyed[:20]]
+    assert got == want
+    # heavier rows are overrepresented: the E-S property, coarse check
+    heavy = sum(1 for _, w, _ in got if w >= 6.0)
+    light = sum(1 for _, w, _ in got if w <= 2.0)
+    assert heavy > light
+
+
+def test_weighted_sample_excludes_bad_weights_and_rejects(spark):
+    from mahout_spark.operators.curation import weighted_sample
+
+    docs = spark.createDataFrame(
+        [(1, 2.0), (2, 0.0), (3, -1.0), (4, None)],
+        "doc_id long, w double")
+    out = weighted_sample(docs, k=10, weight_col="w").collect()
+    assert [r["doc_id"] for r in out] == [1]
+    with pytest.raises(ValueError, match="k must"):
+        weighted_sample(docs, k=0, weight_col="w")
