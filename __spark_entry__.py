@@ -2295,6 +2295,28 @@ def q_embedding_neardup(spark, sf_dir):
     )
 
 
+def q_engine_significant_text(spark, sf_dir):
+    """significant_text (X150, the ES API whose point is
+    filter_duplicate_text): the corpus is the train split PLUS planted
+    exact duplicates (every % 89 == 0 doc copied at +1,000,000 — the
+    X131 fixture shape), indexed as its own tagged shared build. The
+    duplicates inflate every fg_df in plain significant_terms; the
+    dedup-to-canonical foreground must report the UN-inflated counts —
+    the oracle replays dedup + JLH relationally."""
+    from mahout_spark.index.aggs import significant_text
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    planted = train.filter(F.col("doc_id") % 89 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    cat = _shared_index(
+        spark, sf_dir, docs=train.unionAll(planted), tag="dup")
+    cleanup: list = []
+    result = significant_text(
+        spark, cat, "table AND data", n=10, cleanup=cleanup)
+    return _localize(spark, result, cleanup)
+
+
 def q_engine_significant_terms(spark, sf_dir):
     """Significant-terms aggregation (X65, ES significant_terms / JLH):
     terms over-represented in the 'table AND data' match set vs the
@@ -3260,6 +3282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_regexp_search": q_engine_regexp_search,
         "engine_rescore_search": q_engine_rescore_search,
         "engine_significant_terms": q_engine_significant_terms,
+        "engine_significant_text": q_engine_significant_text,
         "engine_search_template": q_engine_search_template,
         "engine_highlight": q_engine_highlight,
         "engine_rank_eval": q_engine_rank_eval,
@@ -4915,7 +4938,42 @@ def _curate_sql() -> dict[str, str]:
             LEFT JOIN dup_map d USING (doc_id)
             LEFT JOIN cont c USING (doc_id)
         )"""
+    sig_ctes = f"""
+        corpus AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, text FROM documents
+            WHERE doc_id % 97 <> 0 AND doc_id % 89 = 0
+        ), toks AS (
+            SELECT doc_id, unnest({tok}) AS term FROM corpus
+            WHERE text IS NOT NULL
+        ), dtf AS (
+            SELECT DISTINCT doc_id, term FROM toks
+        ), dfreq2 AS (
+            SELECT term, count(*) AS df FROM dtf GROUP BY term
+        ), matched AS (
+            SELECT doc_id FROM dtf WHERE term = 'table'
+            INTERSECT
+            SELECT doc_id FROM dtf WHERE term = 'data'
+        ), canon AS (
+            SELECT min(c.doc_id) AS doc_id
+            FROM corpus c JOIN matched m USING (doc_id)
+            GROUP BY c.text
+        ), fg AS (
+            SELECT term, count(*) AS fg_df
+            FROM dtf JOIN canon USING (doc_id) GROUP BY term
+        ), nm AS (SELECT count(*) AS n FROM canon),
+        nd AS (SELECT count(*) AS n FROM corpus)"""
     return {
+        "engine_significant_text": "WITH " + sig_ctes + """
+        SELECT term, CAST(fg_df AS BIGINT) AS fg_df,
+               CAST(df AS BIGINT) AS bg_df,
+               round((fg_df / nm.n::DOUBLE - df / nd.n::DOUBLE)
+                     * ((fg_df / nm.n::DOUBLE)
+                        / (df / nd.n::DOUBLE)), 6) AS score
+        FROM fg JOIN dfreq2 USING (term), nm, nd
+        ORDER BY score DESC, term ASC LIMIT 10
+        """,
         "curate_pipeline": "WITH " + ctes + """
         SELECT doc_id, stage IS NULL AS kept, stage, quality,
                canonical_id, n_shared

@@ -113,6 +113,79 @@ def significant_terms(
     return out.orderBy(F.col("score").desc(), F.col("term").asc()).limit(n)
 
 
+def significant_text(
+    spark: SparkSession,
+    cat: ParquetCatalog,
+    query,
+    n: int = 10,
+    filter_duplicate_text: bool = True,
+    min_fg_df: int = 1,
+    max_expansions: int = MAX_EXPANSIONS,
+    cleanup: list | None = None,
+) -> DataFrame:
+    """ES ``significant_text``: X65's JLH significance with the API's
+    distinguishing knob — ``filter_duplicate_text`` collapses the match
+    set to ONE doc per exact content before counting foreground df, so
+    a boilerplate page duplicated across the match set cannot fabricate
+    significance (the reason the API exists). The dedup rides the
+    index's own ``docstats.content_sha`` column — no corpus re-scan, no
+    re-hashing: one min-id-per-sha aggregate over the MATCH SET only
+    (X1 semantics), then the X65 plan unchanged against the deduped
+    foreground. Background stats stay whole-corpus (the ES contract).
+    Conventions pinned vs ES: full match set, not a sampler (sampling
+    is a sampler-agg composition); exact text equality, not ES's
+    near-duplicate filter (X2/X3 are the near-dup tiers).
+
+    Returns (term, fg_df, bg_df, score) like X65."""
+    from mahout_spark.checkpoint import eager_checkpoint
+
+    meta = cat.read_meta("postings")
+    n_docs = int(meta["n_docs"])
+    m = eager_checkpoint(
+        matching_docs(spark, cat, query, max_expansions=max_expansions),
+        cleanup,
+    )
+    if filter_duplicate_text:
+        stats = cat.read(
+            spark, "docstats", schema_json=meta.get("docstats_schema")
+        ).select("doc_id", "content_sha")
+        m = eager_checkpoint(
+            stats.join(m, "doc_id", "left_semi")
+            .groupBy("content_sha")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id"),
+            cleanup,
+        )
+    tf_raw = cat.read(spark, "tf_raw", schema_json=meta.get("tf_schema"))
+    fg = (
+        tf_raw.join(m, "doc_id", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("fg_df"))
+    )
+    n_matched = m.count()
+    if n_matched == 0:
+        return spark.createDataFrame(
+            [], "term string, fg_df long, bg_df long, score double"
+        )
+    lex = cat.read(
+        spark, "lexicon", schema_json=meta.get("lexicon_schema")
+    ).select("term", F.col("df").alias("bg_df"))
+    fg_rate = F.col("fg_df") / F.lit(float(n_matched))
+    bg_rate = F.col("bg_df") / F.lit(float(n_docs))
+    return (
+        fg.filter(F.col("fg_df") >= min_fg_df)
+        .join(lex, "term")
+        .select(
+            "term", "fg_df", "bg_df",
+            F.round(
+                (fg_rate - bg_rate) * (fg_rate / bg_rate), 6
+            ).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("term").asc())
+        .limit(n)
+    )
+
+
 def facet_histogram(
     spark: SparkSession,
     cat: ParquetCatalog,

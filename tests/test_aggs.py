@@ -390,3 +390,40 @@ def test_percentile_ranks_rejects_empty_values(spark, built, docs_df):
 
     with pytest.raises(ValueError, match="at least one value"):
         percentile_ranks(spark, built, docs_df, "spark", "n_chars", ())
+
+
+def test_significant_text_filters_duplicate_text(spark, docs_df,
+                                                 tmp_path_factory):
+    """Planted duplicates inflate significant_terms' fg_df; the
+    significant_text dedup reports the un-inflated counts (which must
+    equal plain significant_terms over the duplicate-free corpus)."""
+    from mahout_spark.index.aggs import significant_terms, significant_text
+    from mahout_spark.index.build import build_index
+
+    base = docs_df.select("doc_id", "text")
+    dup = base.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"), "text")
+    cat_dup = build_index(
+        spark, base.unionAll(dup),
+        str(tmp_path_factory.mktemp("sigdup")),
+        content_col="text", id_cols=["doc_id"], mode="simple",
+        n_buckets=4, docs_per_shard=64, block_size=16,
+    )
+    got = significant_text(spark, cat_dup, "spark AND data", n=5)
+    rows = {r["term"]: r["fg_df"] for r in got.collect()}
+    # foreground counts must be duplicate-free: every fg_df equals the
+    # count over DISTINCT texts in the match set
+    cat_clean = build_index(
+        spark, base, str(tmp_path_factory.mktemp("sigclean")),
+        content_col="text", id_cols=["doc_id"], mode="simple",
+        n_buckets=4, docs_per_shard=64, block_size=16,
+    )
+    clean = {r["term"]: r["fg_df"] for r in significant_terms(
+        spark, cat_clean, "spark AND data", n=10_000).collect()}
+    for t, fg in rows.items():
+        assert fg == clean[t], t
+    # without the filter, planted duplicates DO inflate fg_df
+    raw = {r["term"]: r["fg_df"] for r in significant_text(
+        spark, cat_dup, "spark AND data", n=10_000,
+        filter_duplicate_text=False).collect()}
+    assert any(raw[t] > clean.get(t, 0) for t in raw)
