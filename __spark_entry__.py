@@ -808,6 +808,38 @@ def q_date_histogram(spark, sf_dir):
     return date_histogram(events, "ts", "day", "value")
 
 
+def q_ingest_pipeline(spark, sf_dir):
+    """Ingest pipeline (X151, the ES _ingest processor chain compiled
+    to one codegen projection): set a constant tag, lowercase text,
+    strip vowels via gsub into a derived column, token-count it via
+    split+convert... each processor an ES-shaped declaration, applied
+    in order. The oracle replays every processor as plain SQL."""
+    from mahout_spark.sources.ingest_pipeline import ingest_pipeline
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source", "n_chars")
+    out = ingest_pipeline(docs, [
+        {"set": {"field": "pipeline_tag", "value": "r5"}},
+        {"lowercase": {"field": "text", "target_field": "lc"}},
+        {"gsub": {"field": "lc", "pattern": "[aeiou]",
+                  "replacement": "", "target_field": "novowel"}},
+        {"split": {"field": "lc", "separator": "[^a-z0-9]+",
+                   "target_field": "toks"}},
+        {"rename": {"field": "source", "target_field": "src"}},
+        {"convert": {"field": "n_chars", "type": "double"}},
+        {"trim": {"field": "novowel"}},
+        {"remove": {"field": "text"}},
+    ])
+    # arrays are unhashable in the driver canonicalizer: project size
+    return out.select(
+        "doc_id", "pipeline_tag", "src",
+        F.col("n_chars").alias("n_chars_d"),
+        F.length("novowel").alias("novowel_len"),
+        F.size(F.filter(F.col("toks"), lambda t: t != ""))
+        .cast("long").alias("n_toks"),
+    )
+
+
 def q_weighted_sample(spark, sf_dir):
     """Weighted sampling without replacement (X149, Efraimidis-Spirakis
     with the replayable permutation as the uniform draw): 100 docs by
@@ -3219,6 +3251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "retention": q_retention,
         "weighted_sample": q_weighted_sample,
+        "ingest_pipeline": q_ingest_pipeline,
         "histogram_pipeline": q_histogram_pipeline,
         "histogram_top_buckets": q_histogram_top_buckets,
         "histogram_stats": q_histogram_stats,
@@ -5371,6 +5404,19 @@ def _base_oracle_sql() -> dict[str, str]:
                round(avg(value), 6) AS avg_value
         FROM events WHERE ts IS NOT NULL
         GROUP BY 1 ORDER BY 1
+        """,
+        # ingest pipeline (X151): every processor replayed as plain SQL
+        "ingest_pipeline": """
+        SELECT doc_id,
+               'r5' AS pipeline_tag,
+               source AS src,
+               n_chars::DOUBLE AS n_chars_d,
+               length(trim(regexp_replace(lower(text), '[aeiou]', '',
+                                          'g'))) AS novowel_len,
+               CAST(len(list_filter(
+                   string_split_regex(lower(text), '[^a-z0-9]+'),
+                   t -> t <> '')) AS BIGINT) AS n_toks
+        FROM documents
         """,
         # weighted sampling (X149): replay u from the permutation,
         # ln(u)/w rounded once at 1e-6, (key desc, id asc) top-100
