@@ -385,6 +385,42 @@ def q_engine_indexed_bm25_simple(spark, sf_dir):
     return spark.createDataFrame(rows, result.schema)
 
 
+def q_engine_mad(spark, sf_dir):
+    """median_absolute_deviation agg (X152, exact regime): median and
+    MAD of n_chars over the OR match set — both exact interpolated
+    percentiles, the fixpoint ES's t-digest converges to."""
+    from mahout_spark.index.aggs import facet_mad
+
+    docs = _load(spark, sf_dir, "documents")
+    cat = _shared_index(spark, sf_dir)
+    return facet_mad(
+        spark, cat, docs, " OR ".join(BM25_QUERY_TERMS), "n_chars")
+
+
+def q_engine_boxplot(spark, sf_dir):
+    """boxplot agg (X152): (min, q1, q2, q3, max) of n_chars over the
+    OR match set, exact interpolation."""
+    from mahout_spark.index.aggs import facet_boxplot
+
+    docs = _load(spark, sf_dir, "documents")
+    cat = _shared_index(spark, sf_dir)
+    return facet_boxplot(
+        spark, cat, docs, " OR ".join(BM25_QUERY_TERMS), "n_chars")
+
+
+def q_engine_string_stats(spark, sf_dir):
+    """string_stats agg (X152): length stats + character-distribution
+    Shannon entropy of the source field over the OR match set; the
+    entropy fold is the char-ordered running sum (alphabet-sized
+    window), which the oracle replays verbatim."""
+    from mahout_spark.index.aggs import string_stats
+
+    docs = _load(spark, sf_dir, "documents")
+    cat = _shared_index(spark, sf_dir)
+    return string_stats(
+        spark, cat, docs, " OR ".join(BM25_QUERY_TERMS), "source")
+
+
 def q_engine_percentile_ranks(spark, sf_dir):
     """percentile_ranks aggregation (X135, the inverse of X87's
     percentiles): for n_chars values 300/500/900, the percentage of the
@@ -3294,6 +3330,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packing_stats": q_packing_stats,
         "engine_percentiles": q_engine_percentiles,
         "engine_percentile_ranks": q_engine_percentile_ranks,
+        "engine_mad": q_engine_mad,
+        "engine_boxplot": q_engine_boxplot,
+        "engine_string_stats": q_engine_string_stats,
         "engine_extended_stats": q_engine_extended_stats,
         "engine_composite": q_engine_composite,
         "engine_sorted_scan": q_engine_sorted_scan,
@@ -5770,6 +5809,66 @@ def _base_oracle_sql() -> dict[str, str]:
         "engine_indexed_bm25_simple": _BM25_BASE + """
         SELECT doc_id, score FROM agg
         ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        # X152 metric aggs: exact percentiles / length stats / the
+        # char-ordered entropy fold over the same OR match set
+        "engine_mad": _TOK_CTE + f"""
+        , matched AS (
+            SELECT DISTINCT doc_id FROM tf WHERE term IN {_TERMS_IN}
+        ), vals AS (
+            SELECT n_chars FROM documents JOIN matched USING (doc_id)
+            WHERE n_chars IS NOT NULL
+        ), med AS (
+            SELECT quantile_cont(n_chars, 0.5) AS m FROM vals
+        )
+        SELECT round(m, 6) AS median,
+               round((SELECT quantile_cont(abs(n_chars - med.m), 0.5)
+                      FROM vals), 6) AS mad
+        FROM med
+        """,
+        "engine_boxplot": _TOK_CTE + f"""
+        , matched AS (
+            SELECT DISTINCT doc_id FROM tf WHERE term IN {_TERMS_IN}
+        ), vals AS (
+            SELECT n_chars FROM documents JOIN matched USING (doc_id)
+            WHERE n_chars IS NOT NULL
+        )
+        SELECT round(min(n_chars)::DOUBLE, 6) AS min_value,
+               round(quantile_cont(n_chars, 0.25), 6) AS q1,
+               round(quantile_cont(n_chars, 0.5), 6) AS q2,
+               round(quantile_cont(n_chars, 0.75), 6) AS q3,
+               round(max(n_chars)::DOUBLE, 6) AS max_value
+        FROM vals
+        """,
+        "engine_string_stats": _TOK_CTE + f"""
+        , matched AS (
+            SELECT DISTINCT doc_id FROM tf WHERE term IN {_TERMS_IN}
+        ), vals AS (
+            SELECT source FROM documents JOIN matched USING (doc_id)
+            WHERE source IS NOT NULL
+        ), lens AS (
+            SELECT CAST(count(*) AS BIGINT) AS count,
+                   CAST(min(length(source)) AS BIGINT) AS min_length,
+                   CAST(max(length(source)) AS BIGINT) AS max_length,
+                   round(avg(length(source)), 6) AS avg_length
+            FROM vals
+        ), chars AS (
+            SELECT substring(source, i, 1) AS ch, count(*) AS n
+            FROM vals, unnest(generate_series(1, length(source)))
+                 AS t(i)
+            GROUP BY 1
+        ), ent AS (
+            SELECT round(c, 6) AS entropy FROM (
+                SELECT sum(-(n / (SELECT sum(n) FROM chars)::DOUBLE)
+                           * log2(n / (SELECT sum(n)
+                                       FROM chars)::DOUBLE))
+                       OVER (ORDER BY ch ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND CURRENT ROW) AS c,
+                       row_number() OVER (ORDER BY ch DESC) AS rn
+                FROM chars
+            ) WHERE rn = 1
+        )
+        SELECT * FROM lens, ent
         """,
         # percentile_ranks (X135): exact discrete rank over the OR
         # match set — 100 * count(<= v) / count per requested value

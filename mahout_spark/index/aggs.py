@@ -324,6 +324,122 @@ def percentile_ranks(
     ])
 
 
+def facet_mad(
+    spark: SparkSession,
+    cat: ParquetCatalog,
+    docs: DataFrame,
+    query,
+    value_col: str,
+    id_col: str = "doc_id",
+    max_expansions: int = MAX_EXPANSIONS,
+) -> DataFrame:
+    """ES ``median_absolute_deviation`` agg, EXACT regime: one row
+    ``(median, mad)`` over the match set's non-NULL values —
+    ``mad = median(|x − median(x)|)``, both medians the exact linear-
+    interpolation percentile (the X87 convention; ES ships a t-digest
+    approximation, which no exact SQL engine replays — the exact value
+    is the fixpoint it converges to). Two aggregations (the second
+    needs the first's scalar); each is one partial-agg exchange."""
+    m = matching_docs(spark, cat, query, max_expansions=max_expansions)
+    base = (
+        docs.select(F.col(id_col).alias("doc_id"), value_col)
+        .join(m, "doc_id", "left_semi")
+        .filter(F.col(value_col).isNotNull())
+    )
+    med_row = base.agg(F.percentile(value_col, 0.5).alias("m")).first()
+    med = float(med_row["m"]) if med_row["m"] is not None else None
+    if med is None:
+        return spark.createDataFrame([], "median double, mad double")
+    return base.agg(
+        F.round(F.lit(med), 6).alias("median"),
+        F.round(
+            F.percentile(F.abs(F.col(value_col) - F.lit(med)), 0.5), 6
+        ).alias("mad"),
+    )
+
+
+def facet_boxplot(
+    spark: SparkSession,
+    cat: ParquetCatalog,
+    docs: DataFrame,
+    query,
+    value_col: str,
+    id_col: str = "doc_id",
+    max_expansions: int = MAX_EXPANSIONS,
+) -> DataFrame:
+    """ES ``boxplot`` agg, exact regime: one row (min, q1, q2, q3, max)
+    over the match set's non-NULL values — quartiles by exact linear
+    interpolation (X87 convention). One aggregation row; only the
+    scalar result moves."""
+    m = matching_docs(spark, cat, query, max_expansions=max_expansions)
+    base = (
+        docs.select(F.col(id_col).alias("doc_id"), value_col)
+        .join(m, "doc_id", "left_semi")
+        .filter(F.col(value_col).isNotNull())
+    )
+    return base.agg(
+        F.round(F.min(value_col).cast("double"), 6).alias("min_value"),
+        F.round(F.percentile(value_col, 0.25), 6).alias("q1"),
+        F.round(F.percentile(value_col, 0.5), 6).alias("q2"),
+        F.round(F.percentile(value_col, 0.75), 6).alias("q3"),
+        F.round(F.max(value_col).cast("double"), 6).alias("max_value"),
+    )
+
+
+def string_stats(
+    spark: SparkSession,
+    cat: ParquetCatalog,
+    docs: DataFrame,
+    query,
+    value_col: str,
+    id_col: str = "doc_id",
+    max_expansions: int = MAX_EXPANSIONS,
+) -> DataFrame:
+    """ES ``string_stats`` agg (with ``show_distribution``'s entropy):
+    one row (count, min_length, max_length, avg_length, entropy) over
+    the match set's non-NULL strings. Entropy is the Shannon entropy of
+    the CHARACTER distribution across all values (the ES definition),
+    computed relationally: explode to characters, one (char → count)
+    aggregation (alphabet-sized output), then the −Σ p·log2(p) fold as
+    an ORDERED running sum over the char-sorted relation — the same
+    hash-stable float-fold discipline as X128 (alphabet-sized window,
+    never corpus-sized). Rounded once at 1e-6."""
+    from pyspark.sql import Window
+
+    m = matching_docs(spark, cat, query, max_expansions=max_expansions)
+    base = (
+        docs.select(F.col(id_col).alias("doc_id"), value_col)
+        .join(m, "doc_id", "left_semi")
+        .filter(F.col(value_col).isNotNull())
+    )
+    lens = base.agg(
+        F.count(F.lit(1)).alias("count"),
+        F.min(F.length(value_col)).cast("long").alias("min_length"),
+        F.max(F.length(value_col)).cast("long").alias("max_length"),
+        F.round(F.avg(F.length(value_col)), 6).alias("avg_length"),
+    )
+    chars = (
+        base.select(F.explode(F.split(value_col, "")).alias("ch"))
+        .filter(F.col("ch") != "")
+        .groupBy("ch")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy()
+    cum = Window.partitionBy().orderBy("ch").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    last = Window.partitionBy().orderBy(F.col("ch").desc())
+    p = F.col("n") / F.sum("n").over(tot)
+    # the windows above are ALPHABET-sized (<= distinct chars), never
+    # corpus-sized — the one place a global window is bounded by design
+    ent = (
+        chars.withColumn("_c", F.sum(-p * F.log2(p)).over(cum))
+        .withColumn("_rn", F.row_number().over(last))
+        .filter(F.col("_rn") == 1)
+        .select(F.round("_c", 6).alias("entropy"))
+    )
+    return lens.crossJoin(F.broadcast(ent))
+
+
 def extended_stats(
     spark: SparkSession,
     cat: ParquetCatalog,

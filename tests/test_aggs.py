@@ -427,3 +427,48 @@ def test_significant_text_filters_duplicate_text(spark, docs_df,
         spark, cat_dup, "spark AND data", n=10_000,
         filter_duplicate_text=False).collect()}
     assert any(raw[t] > clean.get(t, 0) for t in raw)
+
+
+def test_metric_aggs_match_python(spark, built, docs_df, token_sets):
+    """MAD / boxplot / string_stats vs numpy-python recomputation over
+    the same match set."""
+    import numpy as np
+
+    from mahout_spark.index.aggs import (
+        facet_boxplot, facet_mad, string_stats)
+
+    matched = {d for d, toks in token_sets.items()
+               if {"spark", "query", "data"} & toks}
+    rows = {r["doc_id"]: r for r in docs_df.collect()}
+    vals = np.array([rows[d]["n_chars"] for d in matched
+                     if rows[d]["n_chars"] is not None], dtype=float)
+    q = "spark OR query OR data"
+    mad = facet_mad(spark, built, docs_df, q, "n_chars").first()
+    med = float(np.percentile(vals, 50, method="linear"))
+    assert mad["median"] == pytest.approx(round(med, 6), abs=1e-9)
+    assert mad["mad"] == pytest.approx(
+        round(float(np.percentile(np.abs(vals - med), 50,
+                                  method="linear")), 6), abs=1e-9)
+    box = facet_boxplot(spark, built, docs_df, q, "n_chars").first()
+    for name, pct in (("q1", 25), ("q2", 50), ("q3", 75)):
+        assert box[name] == pytest.approx(
+            round(float(np.percentile(vals, pct, method="linear")), 6),
+            abs=1e-9), name
+    assert box["min_value"] == vals.min() and box["max_value"] == vals.max()
+    ss = string_stats(spark, built, docs_df, q, "source").first()
+    srcs = [rows[d]["source"] for d in matched
+            if rows[d]["source"] is not None]
+    assert ss["count"] == len(srcs)
+    assert ss["min_length"] == min(len(s) for s in srcs)
+    assert ss["avg_length"] == pytest.approx(
+        round(sum(len(s) for s in srcs) / len(srcs), 6), abs=1e-9)
+    from collections import Counter
+    import math
+    cnt = Counter(ch for s in srcs for ch in s)
+    tot = sum(cnt.values())
+    # the engine's char-sorted fold order, replayed
+    ent = 0.0
+    for ch in sorted(cnt):
+        p = cnt[ch] / tot
+        ent += -p * math.log2(p)
+    assert ss["entropy"] == pytest.approx(round(ent, 6), abs=2e-6)
