@@ -1672,6 +1672,19 @@ def q_geo_distance(spark, sf_dir):
         _geo_points(spark, sf_dir), 48.8566, 2.3522, 2000.0, k=50)
 
 
+def q_geo_bounds(spark, sf_dir):
+    """geo_bounds + geo_centroid (X153) over the fixture points inside
+    a European-ish box — the tight bounding box corners (ES top-left /
+    bottom-right convention) and the degree-space centroid, one row
+    combined."""
+    from mahout_spark.operators.geo import (
+        geo_bounding_box, geo_bounds, geo_centroid)
+
+    pts = geo_bounding_box(
+        _geo_points(spark, sf_dir), 35.0, 60.0, -10.0, 30.0)
+    return geo_bounds(pts).crossJoin(geo_centroid(pts))
+
+
 def q_geo_grid(spark, sf_dir):
     """geohash_grid-style bucket agg (X96): fixture points on the 32x32
     linear lat/lon integer grid, count + sum(value) + geo_centroid per
@@ -3302,6 +3315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_sq_ann": q_engine_sq_ann,
         "engine_bbq_ann": q_engine_bbq_ann,
         "geo_distance": q_geo_distance,
+        "geo_bounds": q_geo_bounds,
         "geo_grid": q_geo_grid,
         "multi_match_search": q_multi_match_search,
         "combined_fields": q_combined_fields,
@@ -4220,6 +4234,24 @@ def _pipeline_sql() -> dict[str, str]:
         )
         SELECT * FROM d WHERE distance_km <= 2000.0
         ORDER BY distance_km ASC, event_id ASC LIMIT 50
+        """,
+        # geo_bounds + geo_centroid (X153): exact min/max corners (ES
+        # top-left/bottom-right convention) + degree-space mean
+        "geo_bounds": f"""
+        WITH p AS ({_GEO_POINTS_SQL}),
+        b AS (
+            SELECT lat, lon FROM p
+            WHERE lat BETWEEN 35.0 AND 60.0
+              AND lon BETWEEN -10.0 AND 30.0
+        )
+        SELECT max(lat) AS top_left_lat,
+               min(lon) AS top_left_lon,
+               min(lat) AS bottom_right_lat,
+               max(lon) AS bottom_right_lon,
+               round(avg(lat), 6) AS lat,
+               round(avg(lon), 6) AS lon,
+               CAST(count(*) AS BIGINT) AS count
+        FROM b
         """,
         # geo grid agg (X96): exact integer floor arithmetic on the
         # linear lat/lon grid — no transcendentals near cell boundaries

@@ -198,3 +198,43 @@ def geohash_encode(lat: float, lon: float, precision: int = 5) -> str:
         ]
         for j in range(0, nbits, 5)
     )
+
+
+def geo_bounds(
+    df: DataFrame, lat_col: str = "lat", lon_col: str = "lon"
+) -> DataFrame:
+    """ES ``geo_bounds`` agg: the tight bounding box of the point set —
+    one row ``(top_left_lat, top_left_lon, bottom_right_lat,
+    bottom_right_lon)`` (ES corner convention: top-left = max lat / min
+    lon). Exact min/max, one partial aggregation; NULL coordinates
+    excluded. Antimeridian-crossing minimal boxes are out of contract
+    (ES's own default is the same naive min/max unless ``wrap_longitude``
+    — the wrapped variant needs a gap-scan over sorted longitudes)."""
+    return (
+        df.filter(F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull())
+        .agg(
+            F.max(lat_col).alias("top_left_lat"),
+            F.min(lon_col).alias("top_left_lon"),
+            F.min(lat_col).alias("bottom_right_lat"),
+            F.max(lon_col).alias("bottom_right_lon"),
+        )
+    )
+
+
+def geo_centroid(
+    df: DataFrame, lat_col: str = "lat", lon_col: str = "lon"
+) -> DataFrame:
+    """ES ``geo_centroid`` agg: one row ``(lat, lon, count)`` — the
+    arithmetic mean of latitudes and longitudes (round 6). Pinned to
+    the plain degree-space mean (ES accumulates on its internal integer
+    grid encoding, which only matters at the ~1e-7 degree quantization
+    level); point sets straddling the antimeridian average naively,
+    per the same contract note as ``geo_bounds``."""
+    return (
+        df.filter(F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull())
+        .agg(
+            F.round(F.avg(lat_col), 6).alias("lat"),
+            F.round(F.avg(lon_col), 6).alias("lon"),
+            F.count(F.lit(1)).alias("count"),
+        )
+    )

@@ -137,3 +137,19 @@ def test_geohash_published_goldens():
     assert geohash_encode(-90.0, -180.0, 3) == "000"
     with pytest.raises(ValueError, match="precision"):
         geohash_encode(0.0, 0.0, 0)
+
+
+def test_geo_bounds_and_centroid_hand_computed(spark):
+    from mahout_spark.operators.geo import geo_bounds, geo_centroid
+
+    pts = spark.createDataFrame(
+        [(1, 10.0, -5.0), (2, -3.0, 7.5), (3, 4.0, 0.0),
+         (4, None, 1.0), (5, 2.0, None)],
+        "id long, lat double, lon double")
+    b = geo_bounds(pts).first()
+    assert (b["top_left_lat"], b["top_left_lon"]) == (10.0, -5.0)
+    assert (b["bottom_right_lat"], b["bottom_right_lon"]) == (-3.0, 7.5)
+    c = geo_centroid(pts).first()
+    assert c["count"] == 3  # NULL coordinates excluded
+    assert c["lat"] == round((10.0 - 3.0 + 4.0) / 3, 6)
+    assert c["lon"] == round((-5.0 + 7.5 + 0.0) / 3, 6)
